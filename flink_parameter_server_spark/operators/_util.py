@@ -1,0 +1,58 @@
+"""Shared helpers for oracle-checked operators.
+
+Float discipline (FIXTURES.md determinism rules): double summation order
+differs between Spark's partial aggregation and DuckDB, so large SUMs over
+doubles are computed in DECIMAL (exact, order-independent) and only then
+converted back to double and rounded. Products of the *same* input doubles
+are bit-identical in both engines, so ``double product -> decimal -> sum``
+is fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DEC = "decimal(18,6)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def exact_sum(col: Column) -> Column:
+    """Order-independent sum: per-value round to 6dp (exact, same in both
+    engines) then exact decimal addition."""
+    return F.sum(col.cast(DEC))
+
+
+def exact_sum_sql(expr: str) -> str:
+    return f"sum(CAST({expr} AS DECIMAL(18,6)))"
+
+
+def dround(col: Column, scale: int = 6) -> Column:
+    """Decimal/double -> double, rounded — the canonical float output form."""
+    return F.round(col.cast("double"), scale)
+
+
+def dround_sql(expr: str, scale: int = 6) -> str:
+    return f"round(CAST({expr} AS DOUBLE), {scale})"
+
+
+def money_sum(col: Column) -> Column:
+    return dround(exact_sum(col), 4)
+
+
+def money_sum_sql(expr: str) -> str:
+    return dround_sql(exact_sum_sql(expr), 4)
+
+
+def mean_of(sum_col: Column, cnt_col: Column, scale: int = 6) -> Column:
+    """avg computed as exact_sum/count explicitly (both engines identical)."""
+    return F.round(sum_col.cast("double") / cnt_col.cast("double"), scale)
+
+
+def mean_of_sql(sum_expr: str, cnt_expr: str, scale: int = 6) -> str:
+    return f"round(CAST({sum_expr} AS DOUBLE) / CAST({cnt_expr} AS DOUBLE), {scale})"

@@ -1,0 +1,89 @@
+"""Flagship recommendation query (SURVEY.md §7 M0) — item co-purchase
+top-5 per customer.
+
+This is the relational dual of what the reference's online-MF top-K job
+produces (`matrix/factorization/PSOnlineMatrixFactorizationAndTopKGeneration.scala`
+[C-med]): continuous per-user item recommendations. Here the signal is
+order-basket co-occurrence instead of latent factors (the factor-based
+scorer lives in ps/queries.py).
+
+Scale: the pair self-join is per-order (bounded fan-out = basket size²),
+co-occurrence aggregates shuffle on item ids (uniform), and the final
+top-k is a window row_number — no cross join anywhere, so the plan is
+linear in |lineitem| + sum(basket²) and survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+TOP_K = 5
+
+
+@register(
+    "copurchase_recommend_top5",
+    oracle=f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cooc AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS rec, count(*) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+cust_items AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+scores AS (
+  SELECT ci.custkey, c.rec, sum(c.w) AS score
+  FROM cust_items ci JOIN cooc c ON ci.item = c.item
+  WHERE NOT EXISTS (SELECT 1 FROM cust_items o
+                    WHERE o.custkey = ci.custkey AND o.item = c.rec)
+  GROUP BY 1, 2
+)
+SELECT custkey, rec, score, rk FROM (
+  SELECT custkey, rec, score,
+         row_number() OVER (PARTITION BY custkey ORDER BY score DESC, rec) AS rk
+  FROM scores
+) WHERE rk <= {TOP_K}
+""",
+    tags=("M0", "B5"),
+)
+def copurchase_recommend_top5(spark, sf_dir):
+    """Top-5 new-item recommendations per customer by basket co-occurrence,
+    excluding items the customer already bought."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("item"), F.col("b.l_partkey").alias("rec"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cust_items = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    already = cust_items.select("custkey", F.col("item").alias("rec"))
+    scores = (
+        cust_items.join(cooc, "item")
+        .join(already, ["custkey", "rec"], "left_anti")
+        .groupBy("custkey", "rec")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("custkey").orderBy(F.col("score").desc(), F.col("rec"))
+    return scores.select("custkey", "rec", "score", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= TOP_K
+    )

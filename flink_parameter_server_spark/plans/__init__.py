@@ -1,0 +1,20 @@
+"""Query-plan registry. Importing this package registers every operator's
+query + oracle pair; ``__spark_entry__.py`` exposes them to the driver."""
+
+from .registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+# Import operator modules for their registration side effects.
+from ..operators import (  # noqa: F401,E402
+    relational,
+    recommend,
+    windows,
+    asof,
+    dedup,
+    similarity,
+    sketches,
+    textstats,
+    multimodal,
+)
+from ..ps import queries as ps_queries  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,49 @@
+"""Parquet sources for the driver fixture tables (FIXTURES.md).
+
+Reference analog: the example apps' Flink file/Kafka sources
+(`src/main/scala/hu/sztaki/ilab/ps/...` example jobs [C-med], SURVEY.md §0
+citation convention). Here the only source the harness needs is parquet;
+``spark.read.parquet`` gives us the vectorized columnar reader, predicate
+pushdown, and partition pruning for free — at 100 TB the same call reads a
+partitioned/bucketed table layout with no code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as int64 nanoseconds (see session.py); truncate to
+        # microseconds exactly like DuckDB casts TIMESTAMP_NS -> TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        # integer division: double division would lose precision at 1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view for spark.sql use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,82 @@
+"""Bit-for-bit parity of the deterministic primitives between Spark and
+DuckDB — the foundation every oracle-checked query stands on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.functions import hashing, text, vectors
+from tests.conftest import SF_SMALL, register_duck_views
+
+
+def test_poly_hash_parity(spark, duck):
+    register_duck_views(duck, SF_SMALL)
+    sdf = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(
+            "doc_id",
+            hashing.poly_hash(F.col("lang"), 7).alias("h7"),
+            hashing.poly_hash(F.col("source"), 991).alias("h991"),
+        )
+        .orderBy("doc_id")
+    )
+    duck_rows = duck.execute(
+        f"SELECT doc_id, {hashing.poly_hash_sql('lang', 7)} AS h7, "
+        f"{hashing.poly_hash_sql('source', 991)} AS h991 FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in sdf.collect()] == duck_rows
+
+
+def test_int_hash_parity(spark, duck):
+    register_duck_views(duck, SF_SMALL)
+    sdf = (
+        spark.read.parquet(f"{SF_SMALL}/part.parquet")
+        .select(
+            "p_partkey",
+            hashing.int_hash(F.col("p_partkey"), j=3, seed=42).alias("h"),
+            hashing.unit_uniform(hashing.int_hash(F.col("p_partkey"), j=1, seed=1)).alias("u"),
+        )
+        .orderBy("p_partkey")
+    )
+    duck_rows = duck.execute(
+        f"SELECT p_partkey, {hashing.int_hash_sql('p_partkey', j=3, seed=42)} AS h, "
+        f"{hashing.unit_uniform_sql(hashing.int_hash_sql('p_partkey', j=1, seed=1))} AS u "
+        f"FROM part ORDER BY p_partkey"
+    ).fetchall()
+    assert [tuple(r) for r in sdf.collect()] == duck_rows
+
+
+def test_dot_and_norm_parity(spark, duck):
+    register_duck_views(duck, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    v = vectors.as_double(F.col("embedding"))
+    sdf = emb.select(
+        "vec_id",
+        vectors.dot(v, v).alias("d"),
+        vectors.norm2(v).alias("n2"),
+    ).orderBy("vec_id")
+    duck_rows = duck.execute(
+        f"SELECT vec_id, {vectors.dot_sql('embedding', 'embedding')} AS d, "
+        f"{vectors.norm2_sql('embedding')} AS n2 FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(duck_rows)
+    for (sid, sd, sn), (did, dd, dn) in zip(srows, duck_rows):
+        assert sid == did
+        assert sd == dd, f"dot mismatch at {sid}: {sd} vs {dd}"
+        assert sn == dn
+
+
+def test_ngram_parity(spark, duck):
+    register_duck_views(duck, SF_SMALL)
+    sdf = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", text.word_ngrams(F.col("text"), 3).alias("g"))
+        .orderBy("doc_id")
+    )
+    duck_rows = duck.execute(
+        f"SELECT doc_id, {text.word_ngrams_sql('text', 3)} AS g FROM documents ORDER BY doc_id"
+    ).fetchall()
+    srows = [(r[0], list(r[1])) for r in sdf.collect()]
+    drows = [(r[0], list(r[1])) for r in duck_rows]
+    assert srows == drows
