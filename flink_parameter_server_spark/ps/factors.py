@@ -1,0 +1,47 @@
+"""Deterministic factor/weight initialization (SURVEY.md §2 B3, A5).
+
+Reference: `matrix/factorization/utils/RangedRandomFactorInitializerDescriptor
+(numFactors, rangeMin, rangeMax)` [C-med] draws per-id pseudo-random
+vectors from a Scala RNG. Cross-engine reproducibility demands a pure
+function of (id, dim, seed) instead: the Knuth multiplicative hash mapped
+into [lo, hi). Both the Spark Column and the DuckDB SQL twin are derived
+from the same constants, so factors match bit-for-bit and every
+downstream dot/score is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import KNUTH, MOD
+
+
+def factor_element(id_col: Column, j: Column, seed: int, lo: float, hi: float) -> Column:
+    """value(id, j) = lo + hash(id, j, seed)/MOD * (hi - lo) — exact int64 math."""
+    h = (
+        (id_col.cast("long") + F.lit(1)) * F.lit(KNUTH)
+        + (j.cast("long") + F.lit(1)) * F.lit(40503)
+        + F.lit(seed * 97)
+    ) % F.lit(MOD)
+    return F.lit(lo) + h.cast("double") / F.lit(float(MOD)) * F.lit(hi - lo)
+
+
+def factor_element_sql(id_expr: str, j_expr: str, seed: int, lo: float, hi: float) -> str:
+    h = (
+        f"(((CAST({id_expr} AS BIGINT) + 1) * {KNUTH} "
+        f"+ (CAST({j_expr} AS BIGINT) + 1) * 40503 + {seed * 97}) % {MOD})"
+    )
+    return f"({lo} + CAST({h} AS DOUBLE) / {float(MOD)} * {hi - lo})"
+
+
+def factor_vector(id_col: Column, k: int, seed: int, lo: float = -0.1, hi: float = 0.1) -> Column:
+    """array<double> of k deterministic factors for an id."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: factor_element(id_col, j, seed, lo, hi),
+    )
+
+
+def factor_vector_sql(id_expr: str, k: int, seed: int, lo: float = -0.1, hi: float = 0.1) -> str:
+    return f"list_transform(range(0, {k}), j -> {factor_element_sql(id_expr, 'j', seed, lo, hi)})"

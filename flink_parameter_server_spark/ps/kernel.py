@@ -1,0 +1,146 @@
+"""Batch parameter-server kernel.
+
+Reference mapping (SURVEY.md §0 citation convention — public repo layout
+`src/main/scala/hu/sztaki/ilab/ps/`):
+
+- `FlinkParameterServer.scala#transform` [C-high]  -> :meth:`BatchParameterServer.iterate`
+  (the cyclic worker<->server dataflow becomes a driver-side epoch loop;
+  each epoch is a pure DataFrame program, so Catalyst/AQE optimizes every
+  step and there is no iteration liveness timeout to tune).
+- `ParameterServerClient#pull` [C-high]            -> :meth:`pull` (equi-join on param_id)
+- `ParameterServerClient#push` [C-high]            -> :meth:`push` (groupBy(param_id).sum fold)
+- `server/SimplePSLogic` (lazy init + fold) [C-med] -> deterministic
+  ``init_fn`` + ``coalesce`` on the outer join (init is a pure function of
+  param_id + seed, so it needs no state and the DuckDB oracle can
+  reproduce it).
+- `FlinkParameterServer.scala#transformWithModelLoad` [C-med] -> :meth:`load`
+- `ParameterServerLogic.close -> output` (model dump) [C-med] -> :attr:`params`
+  (the state *is* a DataFrame; write it with ``.write.parquet``).
+
+Scale design: params are hash-partitioned by param_id exactly like the
+reference's `paramId % psParallelism` partitioner [C-high] — Spark's
+shuffle does this implicitly on every groupBy/join. Pushes are combined
+map-side (the reference's client/server message combiners
+`common/CombinationLogic` [C-med] are subsumed by partial aggregation).
+Per-epoch ``persist`` + periodic ``localCheckpoint`` keeps the lineage
+from growing linearly with epochs — the classic iterative-Spark trap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+InitFn = Callable[[Column], Column]  # param_id -> initial value (deterministic)
+
+
+class BatchParameterServer:
+    """Sharded mutable model state as a DataFrame(param_id BIGINT, value ARRAY<DOUBLE>).
+
+    ``updates`` pushed via :meth:`push` are summed per key (additive fold,
+    the reference's default ``paramUpdate`` [C-med]) and merged into state;
+    unseen keys are lazily initialized with ``init_fn``.
+    """
+
+    def __init__(
+        self,
+        init_fn: InitFn,
+        params: DataFrame | None = None,
+        checkpoint_every: int = 5,
+    ) -> None:
+        self.init_fn = init_fn
+        self.params = params  # None => everything lazily initialized
+        self.checkpoint_every = checkpoint_every
+        self._epoch = 0
+
+    # -- A6: transformWithModelLoad ---------------------------------------
+    @classmethod
+    def load(cls, spark, path: str, init_fn: InitFn) -> "BatchParameterServer":
+        """Seed server state from a previously dumped model."""
+        return cls(init_fn, params=spark.read.parquet(path))
+
+    # -- A2: pull ----------------------------------------------------------
+    def pull(self, keys: DataFrame, key_col: str = "param_id") -> DataFrame:
+        """Resolve current values for ``keys`` (lazy init for misses).
+
+        The request/response round-trip of the reference becomes one
+        equi-join; broadcast if the key side is small, else a shuffle
+        hash/sort-merge join that AQE picks.
+        """
+        out = keys.withColumnRenamed(key_col, "param_id")
+        if self.params is None:
+            return out.withColumn("value", self.init_fn(F.col("param_id")))
+        joined = out.join(self.params, "param_id", "left")
+        return joined.withColumn("value", F.coalesce(F.col("value"), self.init_fn(F.col("param_id"))))
+
+    # -- A3/A4/A5: push + server fold ---------------------------------------
+    def push(self, deltas: DataFrame) -> None:
+        """Fold additive deltas (param_id, delta ARRAY<DOUBLE>) into state.
+
+        groupBy does map-side partial aggregation (the reference's message
+        combiner); the outer join + coalesce implements SimplePSLogic's
+        lazy init + fold.
+        """
+        agg = deltas.groupBy("param_id").agg(_sum_vectors("delta").alias("delta"))
+        base = self.params
+        if base is None:
+            merged = agg.select(
+                "param_id",
+                F.zip_with(self.init_fn(F.col("param_id")), F.col("delta"), lambda a, b: a + b).alias("value"),
+            )
+        else:
+            merged = base.join(agg, "param_id", "full").select(
+                "param_id",
+                F.zip_with(
+                    F.coalesce(F.col("value"), self.init_fn(F.col("param_id"))),
+                    F.coalesce(F.col("delta"), _zeros_like(F.col("value"), self.init_fn(F.col("param_id")))),
+                    lambda a, b: a + b,
+                ).alias("value"),
+            )
+        self._epoch += 1
+        merged = merged.persist()
+        if self._epoch % self.checkpoint_every == 0:
+            merged = merged.localCheckpoint(eager=True)  # cut lineage
+        old = self.params
+        self.params = merged
+        if old is not None:
+            old.unpersist()
+
+    # -- A1: transform (the iteration) --------------------------------------
+    def iterate(
+        self,
+        data: DataFrame,
+        step_fn: Callable[[DataFrame, "BatchParameterServer"], DataFrame],
+        epochs: int,
+    ) -> DataFrame:
+        """Driver-loop replacement for the cyclic dataflow: each epoch the
+        worker logic computes deltas from (data, current params) and pushes
+        them. Returns the final model DataFrame.
+        """
+        for _ in range(epochs):
+            self.push(step_fn(data, self))
+        assert self.params is not None
+        return self.params
+
+
+def _sum_vectors(col: str) -> Column:
+    """Elementwise sum of array<double> values within a group.
+
+    Uses exploded positional aggregation-free fold: Spark has no built-in
+    elementwise array sum aggregate, so sum each dimension after explode
+    would shuffle wide; instead fold with `aggregate` over collect_list,
+    which is fine for the bounded per-key delta counts of one epoch, or
+    rely on callers pre-exploding. For large fan-in, push callers explode
+    to (param_id, dim, v) and sum — see mf.py which does exactly that.
+    """
+    return F.aggregate(
+        F.collect_list(col),
+        F.transform(F.element_at(F.collect_list(col), 1), lambda x: x * F.lit(0.0)),
+        lambda acc, d: F.zip_with(acc, d, lambda a, b: a + b),
+    )
+
+
+def _zeros_like(value: Column, fallback: Column) -> Column:
+    return F.transform(F.coalesce(value, fallback), lambda x: x * F.lit(0.0))

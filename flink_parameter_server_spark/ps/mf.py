@@ -1,0 +1,126 @@
+"""Matrix factorization on the PS kernel (SURVEY.md §2 B1–B7).
+
+Reference: `matrix/factorization/PSOnlineMatrixFactorization.scala#psOnlineMF`
+[C-high] — per-rating sequential SGD with worker-local user vectors,
+pull/push of item vectors, negative sampling, and continuous top-K.
+
+Spark-first re-expression (semantic divergence documented): the
+per-record sequential SGD becomes *mini-batch gradient* epochs — each
+epoch computes every rating's error against the epoch-start factors and
+folds the summed deltas once. Numerically different trajectory,
+comparable convergence; the per-step math (B2) is identical and
+oracle-checked. Ratings are derived deterministically from the fixtures
+(FIXTURES.md): user=o_custkey, item=l_partkey, rating=l_quantity.
+
+Scale: deltas are exploded to (id, dim, delta) triplets and summed with
+map-side combine — the shuffle per epoch carries at most |items| x k
+rows; factor init is a pure function of id so there is no factor table
+to scan or broadcast until training actually updates it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..operators._util import t
+from .factors import factor_vector
+from .kernel import BatchParameterServer
+
+K = 8
+USER_SEED = 11
+ITEM_SEED = 23
+LR = 0.01
+FACTOR_LO, FACTOR_HI = -0.1, 0.1
+
+
+def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rating(user, item, rating) — deterministic fixture derivation."""
+    return (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+            F.col("l_quantity").cast("double").alias("rating"),
+        )
+    )
+
+
+def user_vec(col):
+    return factor_vector(col, K, USER_SEED, FACTOR_LO, FACTOR_HI)
+
+
+def item_vec(col):
+    return factor_vector(col, K, ITEM_SEED, FACTOR_LO, FACTOR_HI)
+
+
+def predict(r: DataFrame) -> DataFrame:
+    """B4: rating ~= dot(userVec, itemVec) from the deterministic init."""
+    return r.withColumn("pred", vectors.dot(user_vec(F.col("user")), item_vec(F.col("item"))))
+
+
+def epoch_item_deltas(r: DataFrame) -> DataFrame:
+    """B2 aggregated over one epoch: (item, dim, delta) with
+    delta = sum over ratings of lr * e * u_dim, e = rating - <u, i>."""
+    withe = r.withColumn(
+        "e", F.col("rating") - vectors.dot(user_vec(F.col("user")), item_vec(F.col("item")))
+    )
+    exploded = withe.select(
+        "item",
+        F.posexplode(user_vec(F.col("user"))).alias("dim", "u_j"),
+        "e",
+    )
+    return exploded.groupBy("item", "dim").agg(
+        F.sum(F.lit(LR) * F.col("e") * F.col("u_j")).alias("delta")
+    )
+
+
+def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
+    """B1/B6 multi-epoch trainer on the PS kernel: item factors live in the
+    server (pull = join, push = summed fold), user factors stay fixed-init
+    worker-side (the reference keeps user vectors worker-local [C-high];
+    updating them too is a second symmetric PS — omitted for clarity).
+    Returns DataFrame(param_id=item, value=array<double> factors).
+    """
+    ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid))
+
+    def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
+        pulled = server.pull(data.select(F.col("item").alias("param_id"), "user", "rating"))
+        withe = pulled.withColumn(
+            "e", F.col("rating") - vectors.dot(user_vec(F.col("user")), F.col("value"))
+        )
+        return withe.select(
+            "param_id",
+            F.transform(
+                user_vec(F.col("user")), lambda u_j: F.lit(LR) * F.col("e") * u_j
+            ).alias("delta"),
+        )
+
+    return ps.iterate(r, step, epochs)
+
+
+def recommend_topk(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_stride: int = 50) -> DataFrame:
+    """B5: factor-scored top-K per (sampled) user over all items.
+
+    Scale path: this is the brute-force scorer; at 100 TB use LEMP-style
+    norm pruning (drop items with ||i||*max||u|| below the current user's
+    k-th best) or an LSH prefilter (see operators/similarity.py) before
+    the window — the reference's topK utils do the former [C-med].
+    """
+    users = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % user_stride == 0)
+        .select(F.col("c_custkey").alias("user"))
+    )
+    items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
+    scored = users.crossJoin(F.broadcast(items)).select(
+        "user",
+        "item",
+        F.round(vectors.dot(user_vec(F.col("user")), item_vec(F.col("item"))), 6).alias("score"),
+    )
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
+    return scored.select("user", "item", "score", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= k_rec
+    )

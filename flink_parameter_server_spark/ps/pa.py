@@ -1,0 +1,203 @@
+"""Passive-Aggressive classification (SURVEY.md §2 B8–B10).
+
+Reference: `passive/aggressive/PassiveAggressiveParameterServer.scala
+#transformBinary/#transformMulticlass` + `algorithm/PassiveAggressive*`
+[C-high]: per instance, pull weights for active features, compute margin,
+update with tau = loss/||x||^2 (PA; PA-I caps at C; PA-II adds 1/2C), push
+tau*y*x.
+
+Spark-first re-expression: instances come from the `embeddings` fixture
+(row_id=vec_id, y = +1 if label<5 else -1, x = 64-dim dense vector —
+FIXTURES.md). One *mini-batch* PA step over the whole batch is pure
+column math and oracle-checked; sequential per-record training becomes a
+driver epoch loop on the PS kernel (rows-only check; divergence from the
+reference's per-record trajectory documented here).
+
+Scale: margins are one map-side pass (no shuffle — weights are a
+deterministic function of feat_id until training starts, then a k=1
+params table joined by feat_id); weight updates shuffle (feat_id) with
+map-side combine — 64 keys here, millions of sparse feature ids at
+100 TB, both fine because the shuffle payload is (feat_id, delta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..operators._util import t
+from .factors import factor_element
+from .kernel import BatchParameterServer
+
+N_FEATURES = 64
+N_CLASSES = 10
+W_SEED = 5
+W_LO, W_HI = -0.05, 0.05
+C = 1.0  # PA-I aggressiveness cap
+
+
+def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.when(F.col("label") < 5, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("y"),
+        F.col("label").cast("long").alias("label"),
+        vectors.as_double(F.col("embedding")).alias("x"),
+    )
+
+
+def w0_array():
+    """array<double> of N_FEATURES initial weights, shared Spark/SQL."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_FEATURES - 1)),
+        lambda f: factor_element(F.lit(0), f, W_SEED, W_LO, W_HI),
+    )
+
+
+def class_w0_array(c):
+    """Initial weight row for class c (multiclass weight matrix)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_FEATURES - 1)),
+        lambda f: factor_element(c, f, W_SEED, W_LO, W_HI),
+    )
+
+
+def with_margin(inst: DataFrame) -> DataFrame:
+    return inst.withColumn("margin", vectors.dot(F.col("x"), w0_array()))
+
+
+def binary_step(inst: DataFrame) -> DataFrame:
+    """B8 one mini-batch PA-I step from the init weights: returns the new
+    weight vector as (feat_id, w) rows.
+
+    tau_i = min(C, max(0, 1 - y_i * m_i) / ||x_i||^2);  w += sum_i tau_i y_i x_i
+    """
+    m = with_margin(inst)
+    stepped = m.select(
+        F.posexplode(F.col("x")).alias("feat_id", "x_f"),
+        (
+            F.least(
+                F.lit(C),
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("margin"))
+                / vectors.norm2(F.col("x")),
+            )
+            * F.col("y")
+        ).alias("coef"),
+    )
+    deltas = stepped.groupBy("feat_id").agg(
+        F.sum((F.col("coef") * F.col("x_f")).cast("decimal(28,15)")).alias("d")
+    )
+    return deltas.select(
+        F.col("feat_id").cast("long").alias("feat_id"),
+        (
+            factor_element(F.lit(0), F.col("feat_id"), W_SEED, W_LO, W_HI)
+            + F.col("d").cast("double")
+        ).alias("w"),
+    )
+
+
+def predict_binary(inst: DataFrame) -> DataFrame:
+    """B10: sign of the margin under the init weights."""
+    return with_margin(inst).select(
+        "row_id",
+        F.col("y").cast("long").alias("y"),
+        F.signum(F.col("margin")).cast("long").alias("y_pred"),
+        F.round(F.col("margin"), 6).alias("margin"),
+    )
+
+
+def multiclass_step(inst: DataFrame) -> DataFrame:
+    """B9 one mini-batch multiclass PA step: for each row, score all
+    classes, find the top violating class v != y; tau = loss/(2||x||^2);
+    push +tau*x to row y and -tau*x to row v. Returns (class_id, feat_id, w).
+    """
+    classes = inst.select(
+        "row_id", "label", "x", F.explode(F.sequence(F.lit(0), F.lit(N_CLASSES - 1))).alias("c")
+    ).withColumn("score", vectors.dot(F.col("x"), class_w0_array(F.col("c"))))
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("row_id").orderBy(F.col("score").desc(), F.col("c"))
+    viol = (
+        classes.where(F.col("c") != F.col("label"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("row_id", F.col("c").alias("v"), F.col("score").alias("s_v"))
+    )
+    true_s = classes.where(F.col("c") == F.col("label")).select(
+        "row_id", "label", "x", F.col("score").alias("s_y")
+    )
+    upd = (
+        true_s.join(viol, "row_id")
+        .withColumn(
+            "tau",
+            F.greatest(F.lit(0.0), F.lit(1.0) - (F.col("s_y") - F.col("s_v")))
+            / (F.lit(2.0) * vectors.norm2(F.col("x"))),
+        )
+    )
+    signed = upd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("label").alias("class_id"), F.col("tau").alias("coef")),
+                F.struct(F.col("v").alias("class_id"), (-F.col("tau")).alias("coef")),
+            )
+        ).alias("s"),
+        "x",
+    ).select(F.col("s.class_id").alias("class_id"), F.col("s.coef").alias("coef"), "x")
+    deltas = (
+        signed.select("class_id", "coef", F.posexplode("x").alias("feat_id", "x_f"))
+        .groupBy("class_id", "feat_id")
+        .agg(F.sum((F.col("coef") * F.col("x_f")).cast("decimal(28,15)")).alias("d"))
+    )
+    # full weight matrix: untouched cells stay at their init value
+    base = (
+        inst.sparkSession.range(N_CLASSES)
+        .select(F.col("id").alias("class_id"))
+        .crossJoin(inst.sparkSession.range(N_FEATURES).select(F.col("id").alias("feat_id")))
+    )
+    return (
+        base.join(deltas, ["class_id", "feat_id"], "left")
+        .select(
+            "class_id",
+            "feat_id",
+            (
+                factor_element(F.col("class_id"), F.col("feat_id"), W_SEED, W_LO, W_HI)
+                + F.coalesce(F.col("d").cast("double"), F.lit(0.0))
+            ).alias("w"),
+        )
+    )
+
+
+def train_binary(spark: SparkSession, inst: DataFrame, epochs: int = 3) -> DataFrame:
+    """B8 full trainer on the PS kernel (k=1 weight vectors keyed by
+    feat_id). Mini-batch epochs — documented divergence from the
+    reference's per-record sequential updates."""
+    ps = BatchParameterServer(
+        init_fn=lambda pid: F.array(factor_element(F.lit(0), pid, W_SEED, W_LO, W_HI))
+    )
+
+    def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
+        tri = data.select("row_id", "y", "x", F.posexplode("x").alias("feat_id", "x_f"))
+        pulled = server.pull(tri.withColumnRenamed("feat_id", "param_id"))
+        margins = pulled.groupBy("row_id").agg(
+            F.sum(F.element_at("value", 1) * F.col("x_f")).alias("margin"),
+            F.first("y").alias("y"),
+            F.first("x").alias("x"),
+        )
+        tau = margins.select(
+            "row_id",
+            (
+                F.least(
+                    F.lit(C),
+                    F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("margin"))
+                    / vectors.norm2(F.col("x")),
+                )
+                * F.col("y")
+            ).alias("coef"),
+            "x",
+        )
+        return tau.select(
+            F.posexplode("x").alias("param_id", "x_f"), "coef"
+        ).select(F.col("param_id").cast("long").alias("param_id"), F.array(F.col("coef") * F.col("x_f")).alias("delta"))
+
+    return ps.iterate(inst, step, epochs)

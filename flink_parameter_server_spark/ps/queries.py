@@ -1,1 +1,500 @@
-"""Placeholder — filled in this round."""
+"""Registered oracle-checked queries for the PS kernel + ML layers
+(SURVEY.md §2 A2–A6, B1–B11). Oracle SQL is generated from the same
+constants/SQL-twins as the Spark expressions, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import int_hash2, int_hash2_sql
+from ..functions.vectors import dot_sql, norm2, norm2_sql
+from ..operators._util import t
+from ..plans.registry import register
+from . import mf, pa
+from .factors import factor_element, factor_element_sql, factor_vector_sql
+
+UVEC_SQL = factor_vector_sql('"user"', mf.K, mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+IVEC_SQL = factor_vector_sql("item", mf.K, mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+RATINGS_SQL = (
+    'SELECT o_custkey AS "user", l_partkey AS item, CAST(l_quantity AS DOUBLE) AS rating '
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+W0_SQL = lambda f_expr: factor_element_sql("0", f_expr, pa.W_SEED, pa.W_LO, pa.W_HI)  # noqa: E731
+W0_ARR_SQL = f"list_transform(range(0, {pa.N_FEATURES}), f -> {W0_SQL('f')})"
+CW0_SQL = lambda c_expr, f_expr: factor_element_sql(c_expr, f_expr, pa.W_SEED, pa.W_LO, pa.W_HI)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# A2/A5 — pull with lazy deterministic init
+# ---------------------------------------------------------------------------
+
+@register(
+    "ps_pull_factors",
+    oracle=f"""
+SELECT DISTINCT l_partkey AS param_id,
+  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f0,
+  round({factor_element_sql('l_partkey', '1', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f1,
+  round({factor_element_sql('l_partkey', '2', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f2,
+  round({factor_element_sql('l_partkey', '3', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f3
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+    tags=("A2", "A5"),
+    doc="PS pull: workers resolve parameter values for the keys they touch; "
+    "the request/response round-trip is an equi-join, lazy init is a pure "
+    "function of param_id (reference: ParameterServerClient#pull [C-high], "
+    "server/SimplePSLogic [C-med]).",
+)
+def ps_pull_factors(spark, sf_dir):
+    from .kernel import BatchParameterServer
+
+    keys = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select(F.col("l_partkey").alias("param_id"))
+        .distinct()
+    )
+    ps = BatchParameterServer(init_fn=lambda pid: mf.item_vec(pid))
+    pulled = ps.pull(keys)
+    return pulled.select(
+        "param_id",
+        *[F.round(F.element_at("value", i + 1), 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
+@register(
+    "ps_push_update",
+    oracle=f"""
+SELECT l_partkey AS param_id,
+  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
+        + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_new
+FROM lineitem GROUP BY l_partkey
+""",
+    tags=("A3", "A4", "A5", "B11"),
+    doc="PS push + server fold + model dump: additive deltas are summed per "
+    "param (map-side combine = the reference's message combiners "
+    "common/CombinationLogic [C-med]) and folded into lazily-initialized "
+    "state (ParameterServerClient#push, ParameterServer#onPushRecv [C-high]).",
+)
+def ps_push_update(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    deltas = li.groupBy(F.col("l_partkey").alias("param_id")).agg(
+        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d")
+    )
+    return deltas.select(
+        "param_id",
+        F.round(
+            factor_element(F.col("param_id"), F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+            + F.lit(0.001) * F.col("d").cast("double"),
+            6,
+        ).alias("value_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 — factor initializer
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_factor_init",
+    oracle=f"""
+SELECT p_partkey AS id, CAST(j AS BIGINT) AS dim,
+  round({factor_element_sql('p_partkey', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS value
+FROM part CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
+WHERE p_partkey % 20 = 0
+""",
+    tags=("B3",),
+    doc="Deterministic ranged factor initializer (reference: "
+    "RangedRandomFactorInitializerDescriptor [C-med]) — hash-based so the "
+    "oracle reproduces it exactly.",
+)
+def mf_factor_init(spark, sf_dir):
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.posexplode(mf.item_vec(F.col("p_partkey"))).alias("dim", "raw"),
+    ).select("id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# B4 — MF predict (dot product scoring)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_predict",
+    oracle=f"""
+WITH r AS ({RATINGS_SQL})
+SELECT "user", item, round(rating, 6) AS rating,
+       round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) AS pred
+FROM r WHERE "user" % 50 = 0
+""",
+    tags=("B4",),
+    doc="MF scoring: rating ~= <userVec, itemVec> (reference: MF worker "
+    "predict + topK utils [C-high]); pure column math, no UDF.",
+)
+def mf_predict(spark, sf_dir):
+    r = mf.ratings(spark, sf_dir).where(F.col("user") % 50 == 0)
+    return mf.predict(r).select(
+        "user", "item", F.round("rating", 6).alias("rating"), F.round("pred", 6).alias("pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2 — SGD per-rating deltas
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_sgd_deltas",
+    oracle=f"""
+WITH r AS ({RATINGS_SQL}),
+we AS (
+  SELECT "user", item, rating - {dot_sql(UVEC_SQL, IVEC_SQL)} AS e
+  FROM r WHERE "user" % 50 = 0
+)
+SELECT "user", item, CAST(j AS BIGINT) AS dim, round(e, 6) AS e,
+  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS item_delta,
+  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('item', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS user_delta
+FROM we CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
+""",
+    tags=("B2",),
+    doc="SGD updater: delta_item = lr*e*u, delta_user = lr*e*i, "
+    "e = rating - <u,i> (reference: matrix/factorization/utils/SGDUpdater "
+    "[C-med]).",
+)
+def mf_sgd_deltas(spark, sf_dir):
+    from ..functions.vectors import dot
+
+    r = mf.ratings(spark, sf_dir).where(F.col("user") % 50 == 0)
+    we = r.withColumn(
+        "e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item")))
+    )
+    ex = we.select("user", "item", "e", F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim"))
+    return ex.select(
+        "user",
+        "item",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("e", 6).alias("e"),
+        F.round(
+            F.lit(mf.LR) * F.col("e")
+            * factor_element(F.col("user"), F.col("dim"), mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI),
+            6,
+        ).alias("item_delta"),
+        F.round(
+            F.lit(mf.LR) * F.col("e")
+            * factor_element(F.col("item"), F.col("dim"), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI),
+            6,
+        ).alias("user_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 — one MF epoch (vectorized mini-batch gradient)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_epoch_item_factors",
+    oracle=f"""
+WITH r AS ({RATINGS_SQL}),
+we AS (
+  SELECT "user", item, rating - {dot_sql(UVEC_SQL, IVEC_SQL)} AS e FROM r
+),
+ex AS (
+  SELECT item, j AS dim,
+         {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} AS u_j, e
+  FROM we CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
+),
+d AS (
+  SELECT item, dim, sum(CAST(CAST({mf.LR} AS DOUBLE) * e * u_j AS DECIMAL(28,15))) AS d
+  FROM ex GROUP BY item, dim
+)
+SELECT item, CAST(dim AS BIGINT) AS dim,
+  round({factor_element_sql('item', 'dim', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} + CAST(d AS DOUBLE), 6) AS value
+FROM d
+""",
+    tags=("B1", "A1"),
+    doc="One MF epoch: every rating's error against epoch-start factors, "
+    "deltas summed per (item, dim) with exact decimal accumulation "
+    "(reference: PSOnlineMatrixFactorization.scala [C-high]; sequential "
+    "per-record SGD re-expressed as a mini-batch epoch — divergence "
+    "documented in ps/mf.py).",
+)
+def mf_epoch_item_factors(spark, sf_dir):
+    from ..functions.vectors import dot
+
+    r = mf.ratings(spark, sf_dir)
+    we = r.withColumn("e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item"))))
+    ex = we.select(
+        "item", "e", "user", F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim")
+    ).withColumn(
+        "u_j", factor_element(F.col("user"), F.col("dim"), mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+    )
+    d = ex.groupBy("item", "dim").agg(
+        F.sum((F.lit(mf.LR) * F.col("e") * F.col("u_j")).cast("decimal(28,15)")).alias("d")
+    )
+    return d.select(
+        "item",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(
+            factor_element(F.col("item"), F.col("dim"), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+            + F.col("d").cast("double"),
+            6,
+        ).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — top-K recommendation from factors
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_recommend_topk",
+    oracle=f"""
+WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
+i AS (SELECT p_partkey AS item FROM part),
+scored AS (
+  SELECT "user", item, round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) AS score
+  FROM u CROSS JOIN i
+)
+SELECT "user", item, score, rk FROM (
+  SELECT "user", item, score,
+         row_number() OVER (PARTITION BY "user" ORDER BY score DESC, item) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+    tags=("B5",),
+    doc="Continuous top-K per user from current factors (reference: "
+    "PSOnlineMatrixFactorizationAndTopKGeneration.scala [C-med]); "
+    "brute-force scorer here, LEMP-style norm pruning / LSH prefilter is "
+    "the 100 TB path (see ps/mf.py docstring).",
+)
+def mf_recommend_topk(spark, sf_dir):
+    return mf.recommend_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# B7 — seeded negative sampling with purchased-item exclusion
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_negative_samples",
+    oracle=f"""
+WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
+cand AS (
+  SELECT u."user" AS "user", p.p_partkey AS item,
+         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
+  FROM u CROSS JOIN part p
+  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
+    AND NOT EXISTS (
+      SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey = u."user" AND l_partkey = p.p_partkey)
+)
+SELECT "user", item AS neg_item, rk FROM (
+  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
+  FROM cand
+) WHERE rk <= 3
+""",
+    tags=("B7",),
+    doc="Negative sampling: seeded pseudo-random unseen items per user, "
+    "excluding everything the user already rated (reference: MF worker "
+    "negative sampling + per-user item memory [C-med]); the hash replaces "
+    "the RNG so the oracle reproduces the sample.",
+)
+def mf_negative_samples(spark, sf_dir):
+    users = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_custkey").alias("user"))
+    )
+    items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
+    cand = (
+        users.crossJoin(F.broadcast(items))
+        .withColumn("h", int_hash2(F.col("user"), F.col("item"), seed=3))
+        .where(F.col("h") % 37 == 0)
+    )
+    purchased = mf.ratings(spark, sf_dir).select("user", "item").distinct()
+    cand = cand.join(purchased, ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy("h", "item")
+    return cand.select("user", F.col("item").alias("neg_item"), F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1/B6 — multi-epoch trainer on the kernel (rows-only; sequential loop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mf_train_2epochs",
+    oracle=None,
+    tags=("B1", "B6", "A1", "A6"),
+    doc="Full MF trainer: 2 driver-loop epochs on BatchParameterServer "
+    "(reference: FlinkParameterServer#transform + "
+    "PSOfflineMatrixFactorization [C-high/med]). Not SQL-expressible "
+    "(iterative state) -> rows-only check; per-step math is covered by "
+    "mf_epoch_item_factors.",
+)
+def mf_train_2epochs(spark, sf_dir):
+    model = mf.train(spark, mf.ratings(spark, sf_dir), epochs=2)
+    return model.select(
+        "param_id", F.posexplode("value").alias("dim", "v")
+    ).select("param_id", "dim", F.round("v", 6).alias("v"))
+
+
+@register(
+    "mf_als_recommend",
+    oracle=None,
+    tags=("B6",),
+    doc="Idiomatic-Spark alternate for offline MF: MLlib ALS with fixed "
+    "seed + recommendForAllUsers (SURVEY.md §2 B1 'idiomatic alternative'). "
+    "Rows-only: MLlib's internal init is not oracle-reproducible.",
+)
+def mf_als_recommend(spark, sf_dir):
+    from pyspark.ml.recommendation import ALS
+
+    r = mf.ratings(spark, sf_dir).withColumn("rating", F.col("rating").cast("float"))
+    als = ALS(
+        rank=8,
+        maxIter=3,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(r)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        "user", F.posexplode("recommendations").alias("rk0", "rec")
+    ).select("user", (F.col("rk0") + 1).alias("rk"), F.col("rec.item").alias("item"))
+
+
+# ---------------------------------------------------------------------------
+# B8 — PA binary step
+# ---------------------------------------------------------------------------
+
+PA_INST_SQL = (
+    "SELECT vec_id AS row_id, CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y, "
+    "embedding AS x FROM embeddings"
+)
+
+
+@register(
+    "pa_binary_step",
+    oracle=f"""
+WITH inst AS ({PA_INST_SQL}),
+m AS (
+  SELECT row_id, y, x, {dot_sql('x', W0_ARR_SQL)} AS margin, {norm2_sql('x')} AS xn
+  FROM inst
+),
+tri AS (
+  SELECT least({pa.C}, greatest(0.0, 1.0 - y * margin) / xn) * y AS coef,
+         unnest(x) AS x_f, generate_subscripts(x, 1) - 1 AS feat_id
+  FROM m
+),
+d AS (
+  SELECT CAST(feat_id AS BIGINT) AS feat_id,
+         sum(CAST(coef * CAST(x_f AS DOUBLE) AS DECIMAL(28,15))) AS d
+  FROM tri GROUP BY 1
+)
+SELECT feat_id, round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) AS w
+FROM d
+""",
+    tags=("B8",),
+    doc="One mini-batch PA-I step: tau = min(C, hinge/||x||^2), "
+    "w += sum tau*y*x (reference: passive/aggressive/algorithm/"
+    "PassiveAggressiveBinaryAlgorithm [C-high]; per-record sequential "
+    "updates re-expressed as one vectorized batch step).",
+)
+def pa_binary_step(spark, sf_dir):
+    out = pa.binary_step(pa.instances(spark, sf_dir))
+    return out.select("feat_id", F.round("w", 6).alias("w"))
+
+
+@register(
+    "pa_predict_binary",
+    oracle=f"""
+WITH inst AS ({PA_INST_SQL})
+SELECT row_id, CAST(y AS BIGINT) AS y,
+       CAST(sign({dot_sql('x', W0_ARR_SQL)}) AS BIGINT) AS y_pred,
+       round({dot_sql('x', W0_ARR_SQL)}, 6) AS margin
+FROM inst
+""",
+    tags=("B10",),
+    doc="PA predict: sign of margin under the (deterministic) weights "
+    "(reference: algorithm predict [C-high]).",
+)
+def pa_predict_binary(spark, sf_dir):
+    return pa.predict_binary(pa.instances(spark, sf_dir))
+
+
+@register(
+    "pa_multiclass_step",
+    oracle=f"""
+WITH inst AS (SELECT vec_id AS row_id, CAST(label AS BIGINT) AS label, embedding AS x FROM embeddings),
+scores AS (
+  SELECT row_id, label, x, c,
+         {dot_sql('x', f"list_transform(range(0, {pa.N_FEATURES}), f -> {CW0_SQL('c', 'f')})")} AS score
+  FROM inst CROSS JOIN (SELECT unnest(range(0, {pa.N_CLASSES})) AS c)
+),
+viol AS (
+  SELECT row_id, c AS v, score AS s_v FROM (
+    SELECT row_id, c, score, row_number() OVER (PARTITION BY row_id ORDER BY score DESC, c) AS rn
+    FROM scores WHERE c <> label
+  ) WHERE rn = 1
+),
+tru AS (SELECT row_id, label, x, score AS s_y FROM scores WHERE c = label),
+upd AS (
+  SELECT t.row_id, t.label, viol.v, t.x,
+         greatest(0.0, 1.0 - (t.s_y - viol.s_v)) / (2.0 * {norm2_sql('t.x')}) AS tau
+  FROM tru t JOIN viol ON t.row_id = viol.row_id
+),
+signed AS (
+  SELECT label AS class_id, tau AS coef, x FROM upd
+  UNION ALL
+  SELECT v AS class_id, -tau AS coef, x FROM upd
+),
+tri AS (
+  SELECT class_id, coef, unnest(x) AS x_f, generate_subscripts(x, 1) - 1 AS feat_id
+  FROM signed
+),
+deltas AS (
+  SELECT CAST(class_id AS BIGINT) AS class_id, CAST(feat_id AS BIGINT) AS feat_id,
+         sum(CAST(coef * CAST(x_f AS DOUBLE) AS DECIMAL(28,15))) AS d
+  FROM tri GROUP BY 1, 2
+),
+base AS (
+  SELECT CAST(c AS BIGINT) AS class_id, CAST(f AS BIGINT) AS feat_id
+  FROM (SELECT unnest(range(0, {pa.N_CLASSES})) AS c)
+  CROSS JOIN (SELECT unnest(range(0, {pa.N_FEATURES})) AS f)
+)
+SELECT base.class_id, base.feat_id,
+       round({CW0_SQL('base.class_id', 'base.feat_id')} + coalesce(CAST(d AS DOUBLE), 0.0), 6) AS w
+FROM base LEFT JOIN deltas USING (class_id, feat_id)
+""",
+    tags=("B9",),
+    doc="One mini-batch multiclass PA step: argmax violator, "
+    "tau = hinge/(2||x||^2), +tau*x to the true row, -tau*x to the "
+    "violator row (reference: PassiveAggressiveParameterServer"
+    "#transformMulticlass [C-high]).",
+)
+def pa_multiclass_step(spark, sf_dir):
+    out = pa.multiclass_step(pa.instances(spark, sf_dir))
+    return out.select(
+        F.col("class_id").cast("long").alias("class_id"),
+        F.col("feat_id").cast("long").alias("feat_id"),
+        F.round("w", 6).alias("w"),
+    )
+
+
+@register(
+    "pa_train_2epochs",
+    oracle=None,
+    tags=("B8", "A1"),
+    doc="Full PA binary trainer: 2 mini-batch epochs on "
+    "BatchParameterServer (weights = k=1 param vectors keyed by feat_id). "
+    "Iterative -> rows-only; per-step math covered by pa_binary_step.",
+)
+def pa_train_2epochs(spark, sf_dir):
+    model = pa.train_binary(spark, pa.instances(spark, sf_dir), epochs=2)
+    return model.select("param_id", F.round(F.element_at("value", 1), 6).alias("w"))
