@@ -1,1 +1,310 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators (SURVEY.md §2 D23/D24 + north-star dedup
+inventory): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+No reference analog (the reference is an ML library); these are the
+LLM-training-data operators the north star requires, built scale-first:
+
+- exact       : hash-groupBy — one shuffle on a 64-hex key.
+- MinHash+LSH : shingle -> k seeded minhashes -> banded bucket join.
+                Candidate generation is an equi-join on band keys (never
+                an all-pairs comparison), verification touches only
+                bucket-mates. This is THE 100 TB near-dup pattern.
+- SimHash     : 16-bit signature; candidate blocking joins on 4-bit
+                chunks (hamming<=3 pairs must share a chunk — pigeonhole).
+- n-gram Jaccard: exact verification metric, blocked by (source,
+                length-band) to bound pair counts.
+
+Every pseudo-random choice is the shared seeded polynomial hash, so the
+DuckDB oracle replays the identical pipeline (FIXTURES.md determinism
+rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, poly_hash, poly_hash_sql
+from ..functions.text import tokens, tokens_sql, word_ngrams, word_ngrams_sql
+from ..plans.registry import register
+from ._util import t
+
+SHINGLE_N = 3
+MINHASH_SEEDS = (11, 13, 17, 19, 23, 29, 31, 37)  # 8 hashes -> 4 bands x 2 rows
+N_BANDS = 4
+JACCARD_T = 0.4
+SIMHASH_BITS = 16
+SIMHASH_SEED = 4242
+HAMMING_T = 3
+
+
+# ---------------------------------------------------------------------------
+# D23 — exact dedup via content hash
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    tags=("D23",),
+    doc="Exact dedup: sha-256 content hash, keep the smallest doc_id per "
+    "hash group. One shuffle on the hash; at 100 TB pre-partition by a "
+    "hash prefix and this is embarrassingly parallel.",
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D24 — MinHash + LSH banding near-dup
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"list_distinct({word_ngrams_sql('text', SHINGLE_N)})"
+
+
+def _minhash_sql(shingles_expr: str) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingles_expr}, s -> {poly_hash_sql('s', seed)}), 'min')"
+        for seed in MINHASH_SEEDS
+    )
+    return f"[{mins}]"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+  WHERE len({_SHINGLES_SQL}) > 0
+),
+mh AS (SELECT doc_id, shingles, {_minhash_sql('shingles')} AS mh FROM sh),
+bands AS (
+  SELECT doc_id, b, mh[2*b + 1] * {MOD} + mh[2*b + 2] AS band_key
+  FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+FROM verified WHERE jac >= {JACCARD_T}
+""",
+    tags=("D24",),
+    doc="MinHash-LSH near-dup: word-3-gram shingles, 8 seeded minhashes, "
+    "4 bands of 2 -> candidate pairs share a band bucket; exact shingle "
+    "Jaccard >= 0.4 verifies. MLlib MinHashLSH is the same pipeline with "
+    "random (non-oracle-reproducible) hash families — see tests.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), SHINGLE_N)).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    def _hasher(seed):
+        # NB: must return a 1-arg lambda — a 2-arg lambda (e.g. seed=seed
+        # default) makes F.transform pass the array INDEX as the 2nd arg.
+        return lambda s: poly_hash(s, seed)
+
+    mh = sh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[F.array_min(F.transform(F.col("shingles"), _hasher(seed))) for seed in MINHASH_SEEDS]
+        ).alias("mh"),
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "b",
+        (
+            F.element_at("mh", F.col("b") * 2 + 1) * F.lit(MOD)
+            + F.element_at("mh", F.col("b") * 2 + 2)
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jac"),
+        )
+    )
+    return verified.where(F.col("jac") >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D24 variant — SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    """16-bit simhash: per-bit majority vote over distinct-token hash bits."""
+    votes = " + ".join(
+        f"(CASE WHEN sum(((h >> {b}) & 1) * 2 - 1) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return votes
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH th AS (
+  SELECT DISTINCT doc_id, {poly_hash_sql('s', SIMHASH_SEED)} AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents)
+),
+sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM th GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS chunk_val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
+""",
+    tags=("D24",),
+    doc="SimHash near-dup: 16-bit signature from per-bit majority votes of "
+    "distinct word-3-gram shingle hashes (token-level votes are degenerate "
+    "on small vocabularies); candidate blocking on 4-bit chunks "
+    "(pigeonhole: hamming<=3 pairs share an exact chunk), verify by XOR "
+    "popcount.",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    th = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), SHINGLE_N))).alias("s"),
+        )
+        .select("doc_id", poly_hash(F.col("s"), SIMHASH_SEED).alias("h"))
+        .distinct()
+    )
+    sig = th.groupBy("doc_id").agg(
+        sum(
+            F.when(
+                F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1) > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ).alias("simhash")
+    )
+    # shiftright needs a literal bit count -> build the 4 chunk values
+    # statically and posexplode (c, chunk_val) together
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.shiftright("simhash", 4 * c).bitwiseAND(F.lit(15)) for c in range(4)]
+            )
+        ).alias("c", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).where(
+        F.col("hamming") <= HAMMING_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within blocks (exact verification metric)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source, n_chars,
+         list_distinct({word_ngrams_sql('text', 2)}) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a JOIN g b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 30
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+""",
+    tags=("D24",),
+    doc="Word-bigram Jaccard near-dup, blocked by (source, length band) — "
+    "the blocking keys bound candidate pairs so the exact metric stays "
+    "feasible at scale (block sizes are data-controlled knobs).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", "n_chars", F.array_distinct(word_ngrams(F.col("text"), 2)).alias("grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+        / F.size(F.array_union("a.grams", "b.grams"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+        )
+        .where(jac >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

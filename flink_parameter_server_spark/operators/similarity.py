@@ -1,1 +1,176 @@
-"""Placeholder — filled in this round."""
+"""Embedding similarity search (SURVEY.md §2 D25 + north-star ANN).
+
+No reference analog; this is the north-star similarity surface over the
+`embeddings` fixture (64-dim float vectors).
+
+- brute-force cosine top-k: the correctness baseline. One broadcast of
+  the query set, cosine as built-in higher-order functions (JVM-side,
+  no UDF), window top-k.
+- random-hyperplane SimHash buckets: the scale path — signatures are
+  literal ±1 hyperplanes (precomputed constants, so the DuckDB oracle
+  replays them exactly), candidates share an 8-bit bucket, exact cosine
+  re-ranks. At 100 TB: bucket join instead of cross join turns O(N*Q)
+  into O(sum over buckets |Q_b|*|N_b|); multi-probe or more planes tune
+  recall. MLlib BucketedRandomProjectionLSH is the built-in equivalent
+  (random, not oracle-reproducible — exercised in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import KNUTH, MOD
+from ..functions.vectors import as_double, cosine, cosine_sql
+from ..plans.registry import register
+from ._util import t
+
+DIM = 64
+N_PLANES = 8
+PLANE_SEED = 6
+
+
+def _plane_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes, precomputed so both engines share them."""
+    return [
+        [
+            1.0 if ((s + 1) * KNUTH + (j + 1) * 40503 + PLANE_SEED * 97) % MOD % 2 == 0 else -1.0
+            for j in range(DIM)
+        ]
+        for s in range(N_PLANES)
+    ]
+
+
+def _plane_sql(signs: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in signs) + "]"
+
+
+def _bucket_col(vec):
+    signs = _plane_signs()
+    from ..functions.vectors import dot
+
+    return sum(
+        F.when(dot(vec, F.array(*[F.lit(x) for x in signs[s]])) > 0, F.lit(1 << s)).otherwise(F.lit(0))
+        for s in range(N_PLANES)
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    from ..functions.vectors import dot_sql
+
+    signs = _plane_signs()
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(vec_expr, _plane_sql(signs[s]))} > 0 THEN {1 << s} ELSE 0 END)"
+        for s in range(N_PLANES)
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({cosine_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+    tags=("D25",),
+    doc="Brute-force cosine top-5 neighbors for sampled query vectors — "
+    "the ANN correctness baseline. Query side broadcasts; cosine is pure "
+    "column math (zip_with+aggregate), fully codegen'd.",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 5
+    )
+
+
+@register(
+    "embedding_simhash_ann",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         round({cosine_sql('q.qv', 's.embedding')}, 6) AS cos_sim
+  FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk = 1
+""",
+    tags=("D25",),
+    doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
+    "signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine "
+    "re-rank, top-1. The equi-join on bucket replaces the cross join — "
+    "this is what survives 100 TB; recall tunes via planes/multi-probe.",
+)
+def embedding_simhash_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
+    q = sig.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    scored = q.join(sig, "bucket").where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.45
+""",
+    tags=("D25", "D24"),
+    doc="Embedding-cosine near-dup pairs within LSH buckets (threshold "
+    "tuned to fixture cosine range, max ~0.51): the embedding analog of "
+    "minhash dedup — bucket join bounds comparisons at scale.",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    cos = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.45)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

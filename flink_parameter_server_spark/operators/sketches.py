@@ -1,1 +1,251 @@
-"""Placeholder — filled in this round."""
+"""Streaming-sketch operators (SURVEY.md §2 C1–C4).
+
+Reference: `sketch/bloom/` and `sketch/tug/of/war/` build Bloom filters
+and AMS (Tug-of-War) sketches as PS applications — workers hash elements,
+servers hold the sketch shards [C-med]; time-aware variants window the
+sketch by event time [C-low].
+
+Spark-first: a sketch IS a groupBy — the reference's shard-by-hash
+routing is the shuffle partitioner, and the server-side merge is the
+aggregate. Explicit seeded-hash formulations are oracle-checkable;
+Spark's built-ins (`df.stat.bloomFilter`, `approx_count_distinct`,
+`hll_sketch_agg`, `count_min_sketch`) are the production path and are
+registered rows-only (approximate answers differ engine-to-engine).
+
+Scale: every sketch here is an algebraic aggregate — partial-aggregated
+map-side, merged on a |keys| x |seeds|-sized shuffle independent of
+input row count. That is exactly why sketches exist at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import int_hash, int_hash_sql, poly_hash, poly_hash_sql
+from ..functions.text import tokens, tokens_sql
+from ..plans.registry import register
+from ._util import t
+
+BLOOM_M = 1024
+BLOOM_SEEDS = (7, 991, 2027)
+BLOOM_PROBE_WORDS = ("key", "table", "spark", "zzzz_not_a_word")
+AMS_SEEDS = tuple(range(1, 9))  # 8 independent +/-1 hash families
+
+
+# ---------------------------------------------------------------------------
+# C1 — distributed Bloom filter (explicit, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def _bloom_bits_sql(tok_expr: str) -> str:
+    return "[" + ", ".join(f"{poly_hash_sql(tok_expr, s)} % {BLOOM_M}" for s in BLOOM_SEEDS) + "]"
+
+
+_PROBE_VALUES = ", ".join(f"('{w}')" for w in BLOOM_PROBE_WORDS)
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT lang, unnest({tokens_sql('text')}) AS tok FROM documents
+),
+bits AS (
+  SELECT DISTINCT lang, unnest({_bloom_bits_sql('tok')}) AS bit FROM toks
+),
+nbits AS (SELECT lang, count(*) AS n_bits_set FROM bits GROUP BY lang),
+pbits AS (
+  SELECT DISTINCT word, unnest({_bloom_bits_sql('word')}) AS bit
+  FROM (VALUES {_PROBE_VALUES}) AS t(word)
+),
+need AS (SELECT word, count(*) AS n_need FROM pbits GROUP BY word),
+hit AS (
+  SELECT l.lang, p.word, count(*) AS n_hit
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN pbits p
+  JOIN bits b ON b.lang = l.lang AND b.bit = p.bit
+  GROUP BY l.lang, p.word
+)
+SELECT g.lang, g.word,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) = need.n_need THEN 1 ELSE 0 END AS BIGINT) AS maybe_present,
+       nbits.n_bits_set
+FROM (SELECT lang, word FROM (SELECT DISTINCT lang FROM documents) CROSS JOIN need) g
+JOIN need ON g.word = need.word
+JOIN nbits ON nbits.lang = g.lang
+LEFT JOIN hit h ON h.lang = g.lang AND h.word = g.word
+""",
+    tags=("C1",),
+    doc="Per-language Bloom filter over document tokens with membership "
+    "probes (reference: sketch/bloom [C-med]); k=3 seeded hashes, m=1024 "
+    "bits; build = distinct bit-set aggregate, probe = hash-join on bits. "
+    "Production path at scale: df.stat.bloomFilter (see sketch_builtins).",
+)
+def bloom_filter_membership(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+
+    def bloom_bits(col):
+        return F.array(*[poly_hash(col, s) % BLOOM_M for s in BLOOM_SEEDS])
+
+    bits = toks.select("lang", F.explode(bloom_bits(F.col("tok"))).alias("bit")).distinct()
+    nbits = bits.groupBy("lang").agg(F.count(F.lit(1)).alias("n_bits_set"))
+    pbits = (
+        spark.createDataFrame([(w,) for w in BLOOM_PROBE_WORDS], ["word"])
+        .select("word", F.explode(bloom_bits(F.col("word"))).alias("bit"))
+        .distinct()
+    )
+    need = pbits.groupBy("word").agg(F.count(F.lit(1)).alias("n_need"))
+    langs = docs.select("lang").distinct()
+    hit = (
+        langs.crossJoin(pbits)
+        .join(bits, ["lang", "bit"])
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = langs.crossJoin(need)
+    return (
+        grid.join(hit, ["lang", "word"], "left")
+        .join(nbits, "lang")
+        .select(
+            "lang",
+            "word",
+            F.when(F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_need"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("maybe_present"),
+            "n_bits_set",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — Tug-of-War (AMS) second-moment sketch
+# ---------------------------------------------------------------------------
+
+def _ams_sign_sql(tok_expr: str, seed: int) -> str:
+    return f"(CASE WHEN {poly_hash_sql(tok_expr, seed)} % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+def _ams_sign(col, seed: int):
+    return F.when(poly_hash(col, seed) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+@register(
+    "ams_sketch_f2",
+    oracle=f"""
+WITH occ AS (SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
+counters AS (
+  SELECT lang,
+         {', '.join(f'sum({_ams_sign_sql("tok", s)}) AS c{s}' for s in AMS_SEEDS)}
+  FROM occ GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM (SELECT lang, tok, count(*) AS f FROM occ GROUP BY lang, tok) GROUP BY lang
+)
+SELECT counters.lang,
+       round(CAST(({' + '.join(f'c{s} * c{s}' for s in AMS_SEEDS)}) AS DOUBLE) / {len(AMS_SEEDS)}, 6) AS f2_estimate,
+       exact.f2_exact
+FROM counters JOIN exact ON counters.lang = exact.lang
+""",
+    tags=("C2",),
+    doc="Tug-of-War / AMS second-moment sketch per language over the word "
+    "frequency vector (reference: sketch/tug/of/war [C-med]): 8 seeded "
+    "+/-1 counters, F2 ~= mean of squared counters; exact F2 alongside. "
+    "All-integer arithmetic -> bit-exact oracle.",
+)
+def ams_sketch_f2(spark, sf_dir):
+    occ = t(spark, sf_dir, "documents").select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    counters = occ.groupBy("lang").agg(
+        *[F.sum(_ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
+    )
+    est = counters.select(
+        "lang",
+        F.round(
+            sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double") / F.lit(len(AMS_SEEDS)),
+            6,
+        ).alias("f2_estimate"),
+    )
+    exact = (
+        occ.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
+    )
+    return est.join(exact, "lang")
+
+
+# ---------------------------------------------------------------------------
+# C3 — time-aware sketch (AMS per event-time window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ams_sketch_daily",
+    oracle=f"""
+WITH occ AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
+),
+counters AS (
+  SELECT day,
+         {', '.join(f'sum(CASE WHEN {int_hash_sql("user_id", j=0, seed=s)} % 2 = 0 THEN 1 ELSE -1 END) AS c{s}' for s in AMS_SEEDS)},
+         count(*) AS n_events
+  FROM occ GROUP BY day
+)
+SELECT day,
+       round(CAST(({' + '.join(f'c{s} * c{s}' for s in AMS_SEEDS)}) AS DOUBLE) / {len(AMS_SEEDS)}, 6) AS f2_estimate,
+       n_events
+FROM counters
+""",
+    tags=("C3",),
+    doc="Time-aware sketch: AMS F2 of the per-day user-activity frequency "
+    "vector (reference: time-aware sketch variants [C-low]); tumbling "
+    "1-day event-time windows — the streaming form adds withWatermark "
+    "over the identical aggregate (streaming/windows.py).",
+)
+def ams_sketch_daily(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    counters = ev.groupBy("day").agg(
+        *[
+            F.sum(
+                F.when(int_hash(F.col("user_id"), j=0, seed=s) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"c{s}")
+            for s in AMS_SEEDS
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return counters.select(
+        "day",
+        F.round(
+            sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double") / F.lit(len(AMS_SEEDS)),
+            6,
+        ).alias("f2_estimate"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — approximate-distinct / built-in sketches (rows-only: approx values
+# are engine-specific by nature)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_builtins",
+    oracle=None,
+    tags=("C4",),
+    doc="Production sketch surface: approx_count_distinct (HLL++), "
+    "hll_sketch_agg/hll_sketch_estimate (Datasketches HLL), "
+    "approx_percentile, plus exact counterparts for reference. "
+    "Rows-only: approximate results are engine-specific (the DuckDB "
+    "oracle could only disagree). df.stat.bloomFilter / countMinSketch "
+    "cover the remaining built-ins (exercised in tests/test_sketches.py).",
+)
+def sketch_builtins(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").cast("long").alias("hll_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+    )
