@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set spans every operator family in SURVEY.md §2: relational
+joins/aggs/windows, as-of join, PS kernel epoch, PA step, sketches,
+dedup, similarity, text stats — the queries whose plans matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_unshipped_orders",
+    "copurchase_recommend_top5",
+    "customer_order_timeline",
+    "events_session_windows",
+    "purchase_last_click_asof",
+    "mf_epoch_item_factors",
+    "mf_recommend_topk",
+    "pa_multiclass_step",
+    "ams_sketch_f2",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "text_quality_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from flink_parameter_server_spark.plans import REGISTRY
+    from flink_parameter_server_spark.session import get_spark
+
+    spark = get_spark("fps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so the numbers measure the queries,
+    # not first-touch classloading
+    REGISTRY["revenue_forecast"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,21 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
+def dot_fixed(a: Column, b: Column, k: int) -> Column:
+    """Dot product statically expanded for a known dimension k.
+
+    Bitwise-identical to :func:`dot` (left-associated addition, and
+    0.0 + p0 == p0 exactly), but a flat scalar expression that stays in
+    whole-stage codegen — use on hot pair loops where the interpreted
+    higher-order-function fold of :func:`dot` costs too much.
+    """
+    terms = [F.element_at(a, j + 1) * F.element_at(b, j + 1) for j in range(k)]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
 def norm2(a: Column) -> Column:
     """Squared L2 norm."""
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)

@@ -67,10 +67,24 @@ def dedup_exact(spark, sf_dir):
 
 _SHINGLES_SQL = f"list_distinct({word_ngrams_sql('text', SHINGLE_N)})"
 
+# Shingle hashing is two-level for speed: each token is char-fold-hashed
+# ONCE (seed 0), then each of the 8 minhash families is an integer affine
+# mix of the combined shingle hash — 8 int ops per shingle instead of 8
+# full char folds. ~10x cheaper, identical in both engines.
+_TOKHASH_SQL = f"list_transform({tokens_sql('text')}, s -> {poly_hash_sql('s', 0)})"
+_SHINGLE_HASH_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOKHASH_SQL}) - {SHINGLE_N - 1} + 1), "
+    f"i -> ((({_TOKHASH_SQL})[i] * 31 + ({_TOKHASH_SQL})[i + 1]) * 31 + ({_TOKHASH_SQL})[i + 2]) % {MOD}))"
+)
 
-def _minhash_sql(shingles_expr: str) -> str:
+
+def _mix_sql(x_expr: str, seed: int) -> str:
+    return f"(({x_expr} * {seed * 1009 + 1} + {seed * 2027 + 3}) % {MOD})"
+
+
+def _minhash_sql(sh_expr: str) -> str:
     mins = ", ".join(
-        f"list_aggregate(list_transform({shingles_expr}, s -> {poly_hash_sql('s', seed)}), 'min')"
+        f"list_aggregate(list_transform({sh_expr}, x -> {_mix_sql('x', seed)}), 'min')"
         for seed in MINHASH_SEEDS
     )
     return f"[{mins}]"
@@ -79,9 +93,12 @@ def _minhash_sql(shingles_expr: str) -> str:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
-  WHERE len({_SHINGLES_SQL}) > 0
+WITH th AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - {SHINGLE_N - 1} + 1),
+           i -> ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % {MOD})) AS shingles
+  FROM th WHERE len(th) >= {SHINGLE_N}
 ),
 mh AS (SELECT doc_id, shingles, {_minhash_sql('shingles')} AS mh FROM sh),
 bands AS (
@@ -102,26 +119,52 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard
 FROM verified WHERE jac >= {JACCARD_T}
 """,
     tags=("D24",),
-    doc="MinHash-LSH near-dup: word-3-gram shingles, 8 seeded minhashes, "
-    "4 bands of 2 -> candidate pairs share a band bucket; exact shingle "
-    "Jaccard >= 0.4 verifies. MLlib MinHashLSH is the same pipeline with "
-    "random (non-oracle-reproducible) hash families — see tests.",
+    doc="MinHash-LSH near-dup: word-3-gram shingles hashed two-level "
+    "(char-fold per token once, integer affine mix per hash family — "
+    "8 int ops per shingle instead of 8 char folds), 4 bands of 2 -> "
+    "candidate pairs share a band bucket; exact hashed-shingle Jaccard "
+    ">= 0.4 verifies. MLlib MinHashLSH is the same pipeline with random "
+    "(non-oracle-reproducible) hash families — see tests.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(word_ngrams(F.col("text"), SHINGLE_N)).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    def _hasher(seed):
-        # NB: must return a 1-arg lambda — a 2-arg lambda (e.g. seed=seed
-        # default) makes F.transform pass the array INDEX as the 2nd arg.
-        return lambda s: poly_hash(s, seed)
+    tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
+    # repartition first: the single-file documents scan is one input split,
+    # and the char-fold hashing is the CPU-heavy step — spread it over all
+    # cores. Shingle combination uses slice+zip_with (NOT element_at in a
+    # positional transform) so Catalyst's projection collapse can only
+    # inline the token-hash expression a constant number of times, keeping
+    # the work O(tokens) per doc.
+    n = F.size("th")
+    s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
+    s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
+    s3 = F.slice(F.col("th"), F.lit(3), n - F.lit(2))
+    shingles = F.zip_with(
+        F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
+    )
+    sh = (
+        docs.repartition(32)
+        .select("doc_id", tokhash.alias("th"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.when(n < SHINGLE_N, F.array().cast("array<bigint>")).otherwise(shingles)
+            ).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .persist()  # reused by the bands build AND both verify branches
+    )
+
+    def _mixer(seed):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would receive the
+        # array INDEX as its 2nd argument from F.transform.
+        return lambda x: (x * (seed * 1009 + 1) + (seed * 2027 + 3)) % MOD
 
     mh = sh.select(
         "doc_id",
         "shingles",
         F.array(
-            *[F.array_min(F.transform(F.col("shingles"), _hasher(seed))) for seed in MINHASH_SEEDS]
+            *[F.array_min(F.transform(F.col("shingles"), _mixer(seed))) for seed in MINHASH_SEEDS]
         ).alias("mh"),
     )
     bands = mh.select(

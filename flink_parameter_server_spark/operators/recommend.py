@@ -22,17 +22,28 @@ from ..plans.registry import register
 from ._util import t
 
 TOP_K = 5
+# candidate-generation cap: keep only the top-M co-occurring items per
+# item before the customer join — bounds the join fan-out to |cust_items|*M
+# regardless of co-occurrence density (the knob that makes this survive
+# 100 TB; without it the score join is |cust_items| x avg-cooc-degree).
+CAND_M = 30
 
 
 @register(
     "copurchase_recommend_top5",
     oracle=f"""
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-cooc AS (
+cooc_full AS (
   SELECT a.l_partkey AS item, b.l_partkey AS rec, count(*) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY 1, 2
+),
+cooc AS (
+  SELECT item, rec, w FROM (
+    SELECT item, rec, w, row_number() OVER (PARTITION BY item ORDER BY w DESC, rec) AS prn
+    FROM cooc_full
+  ) WHERE prn <= {CAND_M}
 ),
 cust_items AS (
   SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
@@ -62,7 +73,7 @@ def copurchase_recommend_top5(spark, sf_dir):
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.alias("a")
     b = baskets.alias("b")
-    cooc = (
+    cooc_full = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -70,6 +81,12 @@ def copurchase_recommend_top5(spark, sf_dir):
         )
         .groupBy(F.col("a.l_partkey").alias("item"), F.col("b.l_partkey").alias("rec"))
         .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wp = Window.partitionBy("item").orderBy(F.col("w").desc(), F.col("rec"))
+    cooc = (
+        cooc_full.withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= CAND_M)
+        .drop("prn")
     )
     cust_items = (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))

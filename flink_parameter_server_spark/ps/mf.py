@@ -109,16 +109,25 @@ def recommend_topk(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_stride
     k-th best) or an LSH prefilter (see operators/similarity.py) before
     the window — the reference's topK utils do the former [C-med].
     """
+    # materialize factor vectors BEFORE the cross join: 16 hash evals per
+    # (user|item) row instead of per scored pair — the pair loop is then a
+    # pure 8-dim dot product
     users = (
         t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % user_stride == 0)
-        .select(F.col("c_custkey").alias("user"))
+        .select(F.col("c_custkey").alias("user"), user_vec(F.col("c_custkey")).alias("uv"))
     )
-    items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
-    scored = users.crossJoin(F.broadcast(items)).select(
+    # repartition: the part table is one parquet split; without this the
+    # whole pair loop runs in a single task
+    items = (
+        t(spark, sf_dir, "part")
+        .repartition(32)
+        .select(F.col("p_partkey").alias("item"), item_vec(F.col("p_partkey")).alias("iv"))
+    )
+    scored = F.broadcast(users).crossJoin(items).select(
         "user",
         "item",
-        F.round(vectors.dot(user_vec(F.col("user")), item_vec(F.col("item"))), 6).alias("score"),
+        F.round(vectors.dot_fixed(F.col("uv"), F.col("iv"), K), 6).alias("score"),
     )
     w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
     return scored.select("user", "item", "score", F.row_number().over(w).alias("rk")).where(
