@@ -1,0 +1,103 @@
+"""Streaming window operators over the events table (D17–D20 streaming
+forms; A7 rate control).
+
+Each builder returns an unstarted streaming DataFrame wired with the
+SAME column expressions as its oracle-checked batch dual in
+operators/windows.py — the tests run them with trigger(availableNow)
+into a memory sink and diff against the batch result, which is exactly
+the semantics Structured Streaming guarantees (incremental execution of
+the same logical plan).
+
+Rate control / backpressure (the reference's pull limiter,
+`WorkerLogic.addPullLimiter` [C-high]): in Spark this is source-side —
+`maxFilesPerTrigger` / `maxOffsetsPerTrigger` bound per-micro-batch
+work; exercised in tests via maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 nanos (nanosAsLong read mode)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """events as a file stream; ts converted ns->timestamp like the batch
+    loader so stream and batch plans share expressions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 streaming: watermarked tumbling 1-day counts per event_type."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18 streaming: 30-min-gap session windows per user (same
+    session_window expression as the oracle-checked batch dual)."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("dur_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "dur_us")
+    )
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19/D20 streaming: watermark + dropDuplicates on (user_id,
+    event_type) — keeps the first arrival per key within the watermark."""
+    ev = stream_events(spark, sf_dir)
+    return ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute with availableNow trigger into a memory sink; return the
+    materialized result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

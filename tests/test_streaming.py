@@ -1,0 +1,106 @@
+"""Streaming forms: each stream must reproduce its batch dual, and the
+online PS must match a sequential reference implementation."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.operators._util import t
+from flink_parameter_server_spark.streaming.windows import (
+    dedup_stream,
+    run_to_memory,
+    session_windows_stream,
+    stream_events,
+    tumbling_daily_stream,
+)
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark):
+    got = run_to_memory(tumbling_daily_stream(spark, SF_SMALL), "t_tumbling")
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(batch)
+
+
+def test_session_stream_matches_batch(spark):
+    got = run_to_memory(session_windows_stream(spark, SF_SMALL), "t_session")
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("dur_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "dur_us")
+    )
+    assert _rows(got) == _rows(batch)
+
+
+def test_dedup_stream_keeps_one_per_key(spark):
+    got = run_to_memory(dedup_stream(spark, SF_SMALL), "t_dedup")
+    batch_keys = t(spark, SF_SMALL, "events").select("user_id", "event_type").distinct()
+    assert got.count() == batch_keys.count()
+    assert got.select("user_id", "event_type").distinct().count() == got.count()
+
+
+def test_rate_limited_stream_processes_everything(spark):
+    # A7 analog: maxFilesPerTrigger bounds per-batch work without data loss
+    ev = stream_events(spark, SF_SMALL, max_files_per_trigger=1)
+    got = run_to_memory(
+        ev.withWatermark("ts", "1 hour").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "t_rate",
+    )
+    batch = t(spark, SF_SMALL, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(got) == _rows(batch)
+
+
+def test_online_mf_matches_sequential_reference(spark):
+    from flink_parameter_server_spark.ps import mf
+    from flink_parameter_server_spark.streaming.online_ps import (
+        K,
+        online_mf_stream,
+        sequential_reference,
+    )
+
+    ratings = (
+        mf.ratings(spark, SF_SMALL)
+        .limit(300)
+        .withColumn("seq", F.monotonically_increasing_id())
+        .select("seq", "user", "item", "rating")
+    )
+    rows = [(r.seq, r.user, r.item, r.rating) for r in ratings.collect()]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        ratings.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ratings.schema).parquet(src)
+        out = online_mf_stream(spark, stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_online_mf")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.item: [r[f"f{j}"] for j in range(K)] for r in spark.table("t_online_mf").collect()}
+
+    want = sequential_reference(rows)
+    assert set(got) == set(want)
+    for item, vec in want.items():
+        for a, b in zip(got[item], vec):
+            assert abs(a - b) < 1e-9, f"item {item}: {got[item]} != {vec}"
