@@ -6,6 +6,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 # Import operator modules for their registration side effects.
 from ..operators import (  # noqa: F401,E402
     relational,
+    relational2,
     recommend,
     windows,
     asof,

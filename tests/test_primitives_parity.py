@@ -67,6 +67,32 @@ def test_dot_and_norm_parity(spark, duck):
         assert sn == dn
 
 
+def test_poly_hash_fuzz_parity(spark, duck):
+    """Seeded-random fuzz over awkward strings (empty, single char, long,
+    repeated, punctuation) — both engines must agree on every one."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-."
+    samples = ["", "a", " ", "  ", "a b", "." * 50]
+    samples += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80))) for _ in range(200)]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+    got = {
+        r.i: (r.h1, r.h2)
+        for r in sdf.select(
+            "i",
+            hashing.poly_hash(F.col("s"), 7).alias("h1"),
+            hashing.poly_hash(F.col("s"), 991).alias("h2"),
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        h1, h2 = duck.execute(
+            f"SELECT {hashing.poly_hash_sql('?', 7)}, {hashing.poly_hash_sql('?', 991)}",
+            [s, s],
+        ).fetchone()
+        assert got[i] == (h1, h2), f"mismatch on {s!r}"
+
+
 def test_ngram_parity(spark, duck):
     register_duck_views(duck, SF_SMALL)
     sdf = (
