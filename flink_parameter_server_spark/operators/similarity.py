@@ -71,7 +71,7 @@ def _bucket_sql(vec_expr: str) -> str:
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round({cosine_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+         round({cosine_sql('q.qv', 'e.embedding')}, 6) + 0.0 AS cos_sim
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim, rk FROM (
@@ -114,7 +114,7 @@ WITH sig AS (
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
-         round({cosine_sql('q.qv', 's.embedding')}, 6) AS cos_sim
+         round({cosine_sql('q.qv', 's.embedding')}, 6) + 0.0 AS cos_sim
   FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim FROM (
@@ -146,6 +146,71 @@ def embedding_simhash_ann(spark, sf_dir):
     )
 
 
+IVF_STRIDE = 64  # every 64th vector is a coarse centroid (deterministic)
+
+
+@register(
+    "embedding_ivf_ann",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round({cosine_sql('q.qv', 'a.embedding')}, 6) + 0.0 AS cos_sim
+  FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk = 1
+""",
+    tags=("D25",),
+    doc="IVF-style ANN (the other scale path): deterministic coarse "
+    "centroids (every 64th vector), vectors assigned to their "
+    "max-cosine cell, queries probe their own cell only, exact re-rank "
+    "inside. At 100 TB: centroids come from sampled k-means "
+    "(MLlib KMeans), cells partition the index, multi-probe tunes recall "
+    "— the cell join shape is identical to this oracle-checked form.",
+)
+def embedding_ivf_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(as_double(F.col("embedding")), as_double(F.col("cv"))).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    )
+    scored = q.join(assign, "cid").where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk")
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
@@ -153,7 +218,7 @@ WITH sig AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos_sim
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.45
 """,

@@ -34,10 +34,10 @@ CW0_SQL = lambda c_expr, f_expr: factor_element_sql(c_expr, f_expr, pa.W_SEED, p
     "ps_pull_factors",
     oracle=f"""
 SELECT DISTINCT l_partkey AS param_id,
-  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f0,
-  round({factor_element_sql('l_partkey', '1', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f1,
-  round({factor_element_sql('l_partkey', '2', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f2,
-  round({factor_element_sql('l_partkey', '3', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS f3
+  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f0,
+  round({factor_element_sql('l_partkey', '1', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f1,
+  round({factor_element_sql('l_partkey', '2', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f2,
+  round({factor_element_sql('l_partkey', '3', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f3
 FROM lineitem WHERE l_orderkey % 100 = 0
 """,
     tags=("A2", "A5"),
@@ -68,7 +68,7 @@ def ps_pull_factors(spark, sf_dir):
     oracle=f"""
 SELECT l_partkey AS param_id,
   round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
-        + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_new
+        + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS value_new
 FROM lineitem GROUP BY l_partkey
 """,
     tags=("A3", "A4", "A5", "B11"),
@@ -100,7 +100,7 @@ def ps_push_update(spark, sf_dir):
     "mf_factor_init",
     oracle=f"""
 SELECT p_partkey AS id, CAST(j AS BIGINT) AS dim,
-  round({factor_element_sql('p_partkey', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS value
+  round({factor_element_sql('p_partkey', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS value
 FROM part CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
 WHERE p_partkey % 20 = 0
 """,
@@ -125,8 +125,8 @@ def mf_factor_init(spark, sf_dir):
     "mf_predict",
     oracle=f"""
 WITH r AS ({RATINGS_SQL})
-SELECT "user", item, round(rating, 6) AS rating,
-       round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) AS pred
+SELECT "user", item, round(rating, 6) + 0.0 AS rating,
+       round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) + 0.0 AS pred
 FROM r WHERE "user" % 50 = 0
 """,
     tags=("B4",),
@@ -152,9 +152,9 @@ we AS (
   SELECT "user", item, rating - {dot_sql(UVEC_SQL, IVEC_SQL)} AS e
   FROM r WHERE "user" % 50 = 0
 )
-SELECT "user", item, CAST(j AS BIGINT) AS dim, round(e, 6) AS e,
-  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS item_delta,
-  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('item', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) AS user_delta
+SELECT "user", item, CAST(j AS BIGINT) AS dim, round(e, 6) + 0.0 AS e,
+  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS item_delta,
+  round(CAST({mf.LR} AS DOUBLE) * e * {factor_element_sql('item', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS user_delta
 FROM we CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
 """,
     tags=("B2",),
@@ -209,7 +209,7 @@ d AS (
   FROM ex GROUP BY item, dim
 )
 SELECT item, CAST(dim AS BIGINT) AS dim,
-  round({factor_element_sql('item', 'dim', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} + CAST(d AS DOUBLE), 6) AS value
+  round({factor_element_sql('item', 'dim', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} + CAST(d AS DOUBLE), 6) + 0.0 AS value
 FROM d
 """,
     tags=("B1", "A1"),
@@ -253,7 +253,7 @@ def mf_epoch_item_factors(spark, sf_dir):
 WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
 i AS (SELECT p_partkey AS item FROM part),
 scored AS (
-  SELECT "user", item, round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) AS score
+  SELECT "user", item, round({dot_sql(UVEC_SQL, IVEC_SQL)}, 6) + 0.0 AS score
   FROM u CROSS JOIN i
 )
 SELECT "user", item, score, rk FROM (
@@ -397,7 +397,7 @@ d AS (
          sum(CAST(coef * CAST(x_f AS DOUBLE) AS DECIMAL(28,15))) AS d
   FROM tri GROUP BY 1
 )
-SELECT feat_id, round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) AS w
+SELECT feat_id, round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) + 0.0 AS w
 FROM d
 """,
     tags=("B8",),
@@ -417,7 +417,7 @@ def pa_binary_step(spark, sf_dir):
 WITH inst AS ({PA_INST_SQL})
 SELECT row_id, CAST(y AS BIGINT) AS y,
        CAST(sign({dot_sql('x', W0_ARR_SQL)}) AS BIGINT) AS y_pred,
-       round({dot_sql('x', W0_ARR_SQL)}, 6) AS margin
+       round({dot_sql('x', W0_ARR_SQL)}, 6) + 0.0 AS margin
 FROM inst
 """,
     tags=("B10",),
@@ -469,7 +469,7 @@ base AS (
   CROSS JOIN (SELECT unnest(range(0, {pa.N_FEATURES})) AS f)
 )
 SELECT base.class_id, base.feat_id,
-       round({CW0_SQL('base.class_id', 'base.feat_id')} + coalesce(CAST(d AS DOUBLE), 0.0), 6) AS w
+       round({CW0_SQL('base.class_id', 'base.feat_id')} + coalesce(CAST(d AS DOUBLE), 0.0), 6) + 0.0 AS w
 FROM base LEFT JOIN deltas USING (class_id, feat_id)
 """,
     tags=("B9",),

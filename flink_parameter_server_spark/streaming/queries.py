@@ -14,8 +14,60 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from ..operators.windows import SESSION_GAP_US
 from ..plans.registry import register
 from ..ps import mf
+
+
+@register(
+    "streaming_tumbling_daily",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    tags=("D17",),
+    doc="D17 executed as a REAL stream (readStream -> watermark -> window "
+    "agg -> sink, availableNow): the materialized sink output is checked "
+    "against the same oracle as the batch dual — Structured Streaming's "
+    "incremental execution must reproduce the batch answer.",
+)
+def streaming_tumbling_daily(spark, sf_dir):
+    from .windows import run_to_memory, tumbling_daily_stream
+
+    name = f"stq_tumb_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(tumbling_daily_stream(spark, sf_dir), name)
+
+
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, us,
+         CASE WHEN prev IS NULL OR us - prev >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+       max(us) - min(us) AS dur_us
+FROM s GROUP BY user_id, sid
+""",
+    tags=("D18",),
+    doc="D18 executed as a REAL stream: session windows on keyed state, "
+    "materialized sink checked against the lag+cumsum island oracle.",
+)
+def streaming_session_windows(spark, sf_dir):
+    from .windows import run_to_memory, session_windows_stream
+
+    name = f"stq_sess_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(session_windows_stream(spark, sf_dir), name)
 
 
 @register(

@@ -93,6 +93,22 @@ def test_poly_hash_fuzz_parity(spark, duck):
         assert got[i] == (h1, h2), f"mismatch on {s!r}"
 
 
+def test_negative_zero_convention(spark, duck):
+    """Spark's round() always returns +0.0; DuckDB's keeps -0.0. Every
+    sign-risky float in oracle SQL must therefore be written
+    `round(x, 6) + 0.0` (see ps/queries.py, similarity.py) — this test
+    pins the engine behaviors that convention depends on."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    srow = spark.range(1).select(F.round(F.lit(-1e-9), 6).alias("r")).collect()[0]
+    assert math.copysign(1, srow.r) == 1.0, "Spark round no longer normalizes -0.0"
+    raw, fixed = duck.execute("SELECT round(-1e-9, 6), round(-1e-9, 6) + 0.0").fetchone()
+    assert math.copysign(1, raw) == -1.0, "DuckDB round now normalizes; convention obsolete"
+    assert math.copysign(1, fixed) == 1.0
+
+
 def test_ngram_parity(spark, duck):
     register_duck_views(duck, SF_SMALL)
     sdf = (
