@@ -1,0 +1,84 @@
+"""ML math against independent numpy references (the reference repo's
+scalatest strategy, SURVEY.md §5.1: update-rule correctness on
+hand-computable examples — here on seeded random batches)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.functions.hashing import KNUTH, MOD
+from flink_parameter_server_spark.ps import pa
+from flink_parameter_server_spark.ps.mf import FACTOR_HI, FACTOR_LO
+
+
+def _factor(idx, j, seed):
+    h = ((idx + 1) * KNUTH + (j + 1) * 40503 + seed * 97) % MOD
+    return FACTOR_LO + h / MOD * (FACTOR_HI - FACTOR_LO)
+
+
+def _w0(f):
+    return pa.W_LO + ((KNUTH + (f + 1) * 40503 + pa.W_SEED * 97) % MOD) / MOD * (pa.W_HI - pa.W_LO)
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, 1.0 if rng.random() < 0.5 else -1.0, [rng.uniform(-1, 1) for _ in range(pa.N_FEATURES)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "row_id long, y double, x array<double>")
+    return rows, df
+
+
+def test_pa_binary_step_matches_numpy(synth):
+    rows, df = synth
+    got = {r.feat_id: r.w for r in pa.binary_step(df).collect()}
+
+    w0 = [_w0(f) for f in range(pa.N_FEATURES)]
+    acc = [0.0] * pa.N_FEATURES
+    for _, y, x in rows:
+        margin = sum(a * b for a, b in zip(x, w0))
+        xn = sum(v * v for v in x)
+        tau = min(pa.C, max(0.0, 1.0 - y * margin) / xn)
+        for f in range(pa.N_FEATURES):
+            acc[f] += tau * y * x[f]
+    for f in range(pa.N_FEATURES):
+        assert got[f] == pytest.approx(w0[f] + acc[f], abs=1e-9), f"feature {f}"
+
+
+def test_pa_predict_sign_matches_numpy(synth):
+    rows, df = synth
+    got = {r.row_id: r.y_pred for r in pa.predict_binary(df.withColumn("label", F.lit(0))).collect()}
+    w0 = [_w0(f) for f in range(pa.N_FEATURES)]
+    for row_id, _, x in rows:
+        margin = sum(a * b for a, b in zip(x, w0))
+        want = (margin > 0) - (margin < 0)
+        assert got[row_id] == want
+
+
+def test_pa_multiclass_step_untouched_cells_keep_init(spark):
+    df = spark.createDataFrame(
+        [(0, 3, [0.1] * pa.N_FEATURES)], "row_id long, label long, x array<double>"
+    )
+    out = pa.multiclass_step(df)
+    assert out.count() == pa.N_CLASSES * pa.N_FEATURES
+    # classes other than the true one and the single violator are untouched
+    touched = (
+        out.withColumn(
+            "init",
+            F.lit(None).cast("double"),
+        )
+        .collect()
+    )
+    by_class = {}
+    for r in touched:
+        init = pa.W_LO + (((r.class_id + 1) * KNUTH + (r.feat_id + 1) * 40503 + pa.W_SEED * 97) % MOD) / MOD * (
+            pa.W_HI - pa.W_LO
+        )
+        by_class.setdefault(r.class_id, []).append(abs(r.w - init) > 1e-12)
+    changed_classes = [c for c, flags in by_class.items() if any(flags)]
+    assert len(changed_classes) == 2 and 3 in changed_classes

@@ -1,0 +1,65 @@
+"""Scale-path utilities: skew salting must preserve aggregation results;
+bucketed layout must eliminate the join shuffle; partitioned writes must
+prune."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.operators._util import t
+from flink_parameter_server_spark.ps.skew import salted_sum
+from flink_parameter_server_spark.sources.sink import write_bucketed, write_partitioned
+from tests.conftest import SF_SMALL
+
+
+def test_salted_sum_preserves_results(spark):
+    li = t(spark, SF_SMALL, "lineitem").select("l_partkey", F.col("l_quantity").alias("delta"))
+    plain = {r.l_partkey: r.s for r in li.groupBy("l_partkey").agg(F.sum("delta").alias("s")).collect()}
+    salted = {
+        r.l_partkey: r.delta
+        for r in salted_sum(li, ["l_partkey"], "delta", n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_sum_has_two_aggregation_stages(spark):
+    li = t(spark, SF_SMALL, "lineitem").select("l_partkey", F.col("l_quantity").alias("delta"))
+    plan = salted_sum(li, ["l_partkey"], "delta")._jdf.queryExecution().executedPlan().toString()
+    # partial+final per stage x two stages
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_partitioned_write_prunes(spark):
+    ev = t(spark, SF_SMALL, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    with tempfile.TemporaryDirectory() as tmp:
+        write_partitioned(ev, f"{tmp}/out", ["day"])
+        back = spark.read.parquet(f"{tmp}/out")
+        one_day = back.where(F.col("day") == "2024-01-05")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        got = one_day.count()
+        want = ev.where(F.col("day") == "2024-01-05").count()
+    assert got == want > 0
+    assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    orders = t(spark, SF_SMALL, "orders")
+    li = t(spark, SF_SMALL, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", n_buckets=8)
+    joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    assert n == li.count()
+    assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
