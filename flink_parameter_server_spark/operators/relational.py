@@ -13,17 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ._util import (
-    dround,
-    dround_sql,
-    exact_sum,
-    exact_sum_sql,
-    mean_of,
-    mean_of_sql,
-    money_sum,
-    money_sum_sql,
-    t,
-)
+from ._util import dround, exact_sum, mean_of, money_sum, t
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ._util import dround, exact_sum, money_sum, t
+from ._util import dround, exact_sum, t
 
 
 @register(
@@ -111,6 +111,41 @@ def lineitem_predicate_surface(spark, sf_dir):
 
 
 @register(
+    "customers_above_nation_avg",
+    oracle="""
+WITH navg AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 4) AS acctbal,
+       round(avg_bal, 4) AS nation_avg
+FROM customer JOIN navg USING (c_nationkey)
+WHERE c_acctbal > avg_bal
+""",
+    tags=("D3", "D9"),
+    doc="Correlated-scalar-subquery shape (customers above their nation's "
+    "average balance), written as the correlated subquery in Spark SQL so "
+    "Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into the "
+    "aggregate+join the oracle states explicitly (SURVEY §4 rewrite "
+    "inventory). The avg is an exact decimal-sum/count so the comparison "
+    "boundary is bit-identical in both engines.",
+)
+def customers_above_nation_avg(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cust_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 4) AS acctbal,
+               round((SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                      FROM cust_cs c2 WHERE c2.c_nationkey = c.c_nationkey), 4) AS nation_avg
+        FROM cust_cs c
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                           FROM cust_cs c2 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
     "udf_surface_demo",
     oracle=None,
     tags=("D22",),
@@ -121,7 +156,6 @@ def lineitem_predicate_surface(spark, sf_dir):
     "operators.",
 )
 def udf_surface_demo(spark, sf_dir):
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf, udf
     from pyspark.sql.functions import udtf
 

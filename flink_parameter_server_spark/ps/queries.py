@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import int_hash2, int_hash2_sql
-from ..functions.vectors import dot_sql, norm2, norm2_sql
+from ..functions.vectors import dot_sql, norm2_sql
 from ..operators._util import t
 from ..plans.registry import register
 from . import mf, pa
