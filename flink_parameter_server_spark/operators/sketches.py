@@ -225,6 +225,108 @@ def ams_sketch_daily(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (explicit, oracle-checkable) — completes the sketch
+# family next to bloom (membership) and AMS (moments): point-frequency
+# estimates with one-sided error.
+# ---------------------------------------------------------------------------
+
+CMS_W = 256
+CMS_SEEDS = (3, 5, 11, 17)
+CMS_PROBE_WORDS = ("key", "table", "spark", "zzzz_not_a_word")
+
+
+@register(
+    "count_min_frequency",
+    oracle=f"""
+WITH occ AS (SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
+cells AS (
+  SELECT lang, s.seed,
+         CASE s.seed {' '.join(f"WHEN {sd} THEN {poly_hash_sql('tok', sd)} % {CMS_W}" for sd in CMS_SEEDS)} END AS col,
+         count(*) AS c
+  FROM occ CROSS JOIN (SELECT unnest({list(CMS_SEEDS)}) AS seed) s
+  GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT w.word, s.seed,
+         CASE s.seed {' '.join(f"WHEN {sd} THEN {poly_hash_sql('w.word', sd)} % {CMS_W}" for sd in CMS_SEEDS)} END AS col
+  FROM (VALUES {', '.join(f"('{w}')" for w in CMS_PROBE_WORDS)}) AS w(word)
+  CROSS JOIN (SELECT unnest({list(CMS_SEEDS)}) AS seed) s
+),
+est AS (
+  SELECT l.lang, p.word, min(coalesce(c.c, 0)) AS cms_estimate
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN probes p
+  LEFT JOIN cells c ON c.lang = l.lang AND c.seed = p.seed AND c.col = p.col
+  GROUP BY l.lang, p.word
+),
+exact AS (
+  SELECT l.lang, w.word, count(o.tok) AS exact_count
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN (VALUES {', '.join(f"('{w}')" for w in CMS_PROBE_WORDS)}) AS w(word)
+  LEFT JOIN occ o ON o.lang = l.lang AND o.tok = w.word
+  GROUP BY l.lang, w.word
+)
+SELECT est.lang, est.word, CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+       exact.exact_count
+FROM est JOIN exact ON est.lang = exact.lang AND est.word = exact.word
+""",
+    tags=("C4",),
+    doc="Explicit Count-Min sketch: 4 seeded hash rows x 256 columns of "
+    "counters per language; point estimate = min over rows of the "
+    "probed cell (one-sided overestimate, verified against exact counts "
+    "in the same result). Spark's count_min_sketch agg is the built-in "
+    "binary-blob form. All-integer -> bit-exact oracle.",
+)
+def count_min_frequency(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    occ = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    seed_cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(sd).alias("seed"), (poly_hash(F.col("tok"), sd) % CMS_W).alias("col"))
+                for sd in CMS_SEEDS
+            ]
+        )
+    ).alias("sc")
+    cells = (
+        occ.select("lang", seed_cols)
+        .groupBy("lang", F.col("sc.seed").alias("seed"), F.col("sc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = spark.createDataFrame([(w,) for w in CMS_PROBE_WORDS], ["word"])
+    probes = words.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(sd).alias("seed"), (poly_hash(F.col("word"), sd) % CMS_W).alias("col"))
+                    for sd in CMS_SEEDS
+                ]
+            )
+        ).alias("sc"),
+    ).select("word", F.col("sc.seed").alias("seed"), F.col("sc.col").alias("col"))
+    langs = docs.select("lang").distinct()
+    est = (
+        langs.crossJoin(probes)
+        .join(cells, ["lang", "seed", "col"], "left")
+        .groupBy("lang", "word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
+    # count a right-side marker, not the USING key (which Spark coalesces
+    # to non-null even for unmatched left rows)
+    occ_hits = occ.withColumnRenamed("tok", "word").withColumn("_hit", F.lit(1))
+    exact = (
+        langs.crossJoin(words)
+        .join(occ_hits, ["lang", "word"], "left")
+        .groupBy("lang", "word")
+        .agg(F.count(F.col("_hit")).alias("exact_count"))
+    )
+    return est.join(exact, ["lang", "word"]).select(
+        "lang", "word", F.col("cms_estimate").cast("long").alias("cms_estimate"), "exact_count"
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4 — approximate-distinct / built-in sketches (rows-only: approx values
 # are engine-specific by nature)
 # ---------------------------------------------------------------------------

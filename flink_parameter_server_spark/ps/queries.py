@@ -243,6 +243,89 @@ def mf_epoch_item_factors(spark, sf_dir):
     )
 
 
+@register(
+    "mf_two_epoch_factors",
+    oracle=f"""
+WITH r AS ({RATINGS_SQL}),
+we1 AS (
+  SELECT "user", item, rating - {dot_sql(UVEC_SQL, IVEC_SQL)} AS e FROM r
+),
+d1 AS (
+  SELECT item, j AS dim,
+         sum(CAST(CAST({mf.LR} AS DOUBLE) * e
+                  * {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
+             AS DECIMAL(28,15))) AS d
+  FROM we1 CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j) GROUP BY item, j
+),
+i1 AS (
+  SELECT item, dim,
+         {factor_element_sql('item', 'dim', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
+         + CAST(d AS DOUBLE) AS v
+  FROM d1
+),
+i1arr AS (SELECT item, list(v ORDER BY dim) AS iv FROM i1 GROUP BY item),
+we2 AS (
+  SELECT r."user", r.item, r.rating - {dot_sql(UVEC_SQL, 'a.iv')} AS e
+  FROM r JOIN i1arr a ON r.item = a.item
+),
+d2 AS (
+  SELECT item, j AS dim,
+         sum(CAST(CAST({mf.LR} AS DOUBLE) * e
+                  * {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
+             AS DECIMAL(28,15))) AS d
+  FROM we2 CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j) GROUP BY item, j
+)
+SELECT i1.item, CAST(i1.dim AS BIGINT) AS dim,
+       round(i1.v + CAST(d2.d AS DOUBLE), 6) + 0.0 AS value
+FROM i1 JOIN d2 ON i1.item = d2.item AND i1.dim = d2.dim
+""",
+    tags=("B1", "B6", "A1"),
+    doc="TWO full MF epochs, oracle-checked end-to-end: epoch-2 errors are "
+    "computed against the epoch-1-updated item factors, proving the "
+    "iteration semantics (not just one step) match across engines. The "
+    "kernel trainer (mf_train_2epochs) computes the same shape with "
+    "non-deterministic float fold order, hence its weaker rows-only check.",
+)
+def mf_two_epoch_factors(spark, sf_dir):
+    from ..functions.vectors import dot
+
+    r = mf.ratings(spark, sf_dir)
+    dims = F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim")
+
+    def epoch_deltas(with_e):
+        ex = with_e.select("item", "e", "user", dims).withColumn(
+            "u_j", factor_element(F.col("user"), F.col("dim"), mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+        )
+        return ex.groupBy("item", "dim").agg(
+            F.sum((F.lit(mf.LR) * F.col("e") * F.col("u_j")).cast("decimal(28,15)")).alias("d")
+        )
+
+    we1 = r.withColumn("e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item"))))
+    i1 = epoch_deltas(we1).select(
+        "item",
+        "dim",
+        (
+            factor_element(F.col("item"), F.col("dim"), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+            + F.col("d").cast("double")
+        ).alias("v"),
+    )
+    i1arr = i1.groupBy("item").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]).alias("iv")
+    )
+    we2 = r.join(i1arr, "item").withColumn(
+        "e", F.col("rating") - dot(mf.user_vec(F.col("user")), F.col("iv"))
+    )
+    d2 = epoch_deltas(we2)
+    return (
+        i1.join(d2, ["item", "dim"])
+        .select(
+            "item",
+            F.col("dim").cast("long").alias("dim"),
+            (F.round(F.col("v") + F.col("d").cast("double"), 6)).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # B5 — top-K recommendation from factors
 # ---------------------------------------------------------------------------
