@@ -30,8 +30,12 @@ HEADLINE = [
     "mf_recommend_topk",
     "pa_multiclass_step",
     "ams_sketch_f2",
+    "count_min_frequency",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_cosine_topk",
+    "embedding_simhash_ann",
+    "mf_two_epoch_factors",
     "text_quality_stats",
 ]
 

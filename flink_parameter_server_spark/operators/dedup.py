@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MOD, poly_hash, poly_hash_sql
-from ..functions.text import tokens, tokens_sql, word_ngrams, word_ngrams_sql
+from ..functions.text import tokens, tokens_sql
 from ..plans.registry import register
 from ._util import t
 
@@ -65,21 +65,69 @@ def dedup_exact(spark, sf_dir):
 # D24 — MinHash + LSH banding near-dup
 # ---------------------------------------------------------------------------
 
-_SHINGLES_SQL = f"list_distinct({word_ngrams_sql('text', SHINGLE_N)})"
 
 # Shingle hashing is two-level for speed: each token is char-fold-hashed
 # ONCE (seed 0), then each of the 8 minhash families is an integer affine
 # mix of the combined shingle hash — 8 int ops per shingle instead of 8
 # full char folds. ~10x cheaper, identical in both engines.
 _TOKHASH_SQL = f"list_transform({tokens_sql('text')}, s -> {poly_hash_sql('s', 0)})"
-_SHINGLE_HASH_SQL = (
-    f"list_distinct(list_transform(range(1, len({_TOKHASH_SQL}) - {SHINGLE_N - 1} + 1), "
-    f"i -> ((({_TOKHASH_SQL})[i] * 31 + ({_TOKHASH_SQL})[i + 1]) * 31 + ({_TOKHASH_SQL})[i + 2]) % {MOD}))"
-)
 
 
 def _mix_sql(x_expr: str, seed: int) -> str:
     return f"(({x_expr} * {seed * 1009 + 1} + {seed * 2027 + 3}) % {MOD})"
+
+
+# Shared CTE prefix: token char-fold hashes -> integer shingle hashes,
+# MATERIALIZED so DuckDB evaluates each stage once (CTE inlining would
+# re-run the char fold per subscript — O(tokens^2)).
+_SH_CTES_SQL = f"""th AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - {SHINGLE_N - 1} + 1),
+           i -> ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % {MOD})) AS shingles
+  FROM th WHERE len(th) >= {SHINGLE_N}
+)"""
+
+
+def hashed_shingles(spark, sf_dir):
+    """Persisted (doc_id, shingles array<bigint>) — the shared first stage
+    of minhash and simhash dedup.
+
+    repartition first: the single-file documents scan is one input split,
+    and the char-fold hashing is the CPU-heavy step — spread it over all
+    cores. Shingle combination uses slice+zip_with (NOT element_at in a
+    positional transform) so Catalyst's projection collapse can only
+    inline the token-hash expression a constant number of times, keeping
+    the work O(tokens) per doc.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
+    n = F.size("th")
+    s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
+    s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
+    s3 = F.slice(F.col("th"), F.lit(3), n - F.lit(2))
+    shingles = F.zip_with(
+        F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
+    )
+    return (
+        docs.repartition(32)
+        .select("doc_id", tokhash.alias("th"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                # guard: Spark sequence(1, 0) would be DESCENDING, not empty
+                F.when(n < SHINGLE_N, F.array().cast("array<bigint>")).otherwise(shingles)
+            ).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
+
+
+def _mixer(seed):
+    # NB: must be a 1-arg lambda — a 2-arg lambda would receive the
+    # array INDEX as its 2nd argument from F.transform.
+    return lambda x: (x * (seed * 1009 + 1) + (seed * 2027 + 3)) % MOD
 
 
 def _minhash_sql(sh_expr: str) -> str:
@@ -93,13 +141,7 @@ def _minhash_sql(sh_expr: str) -> str:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-WITH th AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
-sh AS MATERIALIZED (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(th) - {SHINGLE_N - 1} + 1),
-           i -> ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % {MOD})) AS shingles
-  FROM th WHERE len(th) >= {SHINGLE_N}
-),
+WITH {_SH_CTES_SQL},
 mh AS (SELECT doc_id, shingles, {_minhash_sql('shingles')} AS mh FROM sh),
 bands AS (
   SELECT doc_id, b, mh[2*b + 1] * {MOD} + mh[2*b + 2] AS band_key
@@ -127,39 +169,7 @@ FROM verified WHERE jac >= {JACCARD_T}
     "(non-oracle-reproducible) hash families — see tests.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
-    # repartition first: the single-file documents scan is one input split,
-    # and the char-fold hashing is the CPU-heavy step — spread it over all
-    # cores. Shingle combination uses slice+zip_with (NOT element_at in a
-    # positional transform) so Catalyst's projection collapse can only
-    # inline the token-hash expression a constant number of times, keeping
-    # the work O(tokens) per doc.
-    n = F.size("th")
-    s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
-    s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
-    s3 = F.slice(F.col("th"), F.lit(3), n - F.lit(2))
-    shingles = F.zip_with(
-        F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
-    )
-    sh = (
-        docs.repartition(32)
-        .select("doc_id", tokhash.alias("th"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.when(n < SHINGLE_N, F.array().cast("array<bigint>")).otherwise(shingles)
-            ).alias("shingles"),
-        )
-        .where(F.size("shingles") > 0)
-        .persist()  # reused by the bands build AND both verify branches
-    )
-
-    def _mixer(seed):
-        # NB: must be a 1-arg lambda — a 2-arg lambda would receive the
-        # array INDEX as its 2nd argument from F.transform.
-        return lambda x: (x * (seed * 1009 + 1) + (seed * 2027 + 3)) % MOD
-
+    sh = hashed_shingles(spark, sf_dir)  # persisted: bands + both verify branches reuse it
     mh = sh.select(
         "doc_id",
         "shingles",
@@ -225,11 +235,12 @@ def _simhash_sql() -> str:
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH th AS (
-  SELECT DISTINCT doc_id, {poly_hash_sql('s', SIMHASH_SEED)} AS h
-  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents)
+WITH {_SH_CTES_SQL},
+hs AS (
+  SELECT doc_id, {_mix_sql('x', SIMHASH_SEED)} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS x FROM sh)
 ),
-sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM hs GROUP BY doc_id),
 chunks AS (
   SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS chunk_val
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
@@ -246,21 +257,18 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
     tags=("D24",),
     doc="SimHash near-dup: 16-bit signature from per-bit majority votes of "
     "distinct word-3-gram shingle hashes (token-level votes are degenerate "
-    "on small vocabularies); candidate blocking on 4-bit chunks "
-    "(pigeonhole: hamming<=3 pairs share an exact chunk), verify by XOR "
-    "popcount.",
+    "on small vocabularies); shares the integer hashed-shingle stage with "
+    "minhash (affine seed-mix, the shingle hash map is bijective mod the "
+    "prime so distinctness is preserved); candidate blocking on 4-bit "
+    "chunks (pigeonhole: hamming<=3 pairs share an exact chunk), verify "
+    "by XOR popcount.",
 )
 def dedup_simhash(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    th = (
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(word_ngrams(F.col("text"), SHINGLE_N))).alias("s"),
-        )
-        .select("doc_id", poly_hash(F.col("s"), SIMHASH_SEED).alias("h"))
-        .distinct()
+    sh = hashed_shingles(spark, sf_dir)
+    hs = sh.select("doc_id", F.explode("shingles").alias("x")).select(
+        "doc_id", _mixer(SIMHASH_SEED)(F.col("x")).alias("h")
     )
-    sig = th.groupBy("doc_id").agg(
+    sig = hs.groupBy("doc_id").agg(
         sum(
             F.when(
                 F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1) > 0, F.lit(1 << b)
@@ -308,10 +316,14 @@ def dedup_simhash(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH g AS (
+WITH th AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, {_TOKHASH_SQL} AS th FROM documents
+),
+g AS MATERIALIZED (
   SELECT doc_id, source, n_chars,
-         list_distinct({word_ngrams_sql('text', 2)}) AS grams
-  FROM documents
+         list_distinct(list_transform(range(1, len(th)),
+           i -> (th[i] * 31 + th[i + 1]) % {MOD})) AS grams
+  FROM th WHERE len(th) >= 2
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -323,14 +335,32 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
 """,
     tags=("D24",),
-    doc="Word-bigram Jaccard near-dup, blocked by (source, length band) — "
-    "the blocking keys bound candidate pairs so the exact metric stays "
-    "feasible at scale (block sizes are data-controlled knobs).",
+    doc="Word-bigram Jaccard near-dup over hashed bigrams, blocked by "
+    "(source, length band) — blocking bounds candidate pairs so the exact "
+    "metric stays feasible at scale (block sizes are data-controlled "
+    "knobs); integer gram hashes make the set ops cheap in both engines.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", "source", "n_chars", F.array_distinct(word_ngrams(F.col("text"), 2)).alias("grams")
+    tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
+    n = F.size("th")
+    b1 = F.slice(F.col("th"), F.lit(1), n - F.lit(1))
+    b2 = F.slice(F.col("th"), F.lit(2), n - F.lit(1))
+    g = (
+        docs.repartition(32)
+        .select("doc_id", "source", "n_chars", tokhash.alias("th"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.array_distinct(
+                F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
+                    F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
+                )
+            ).alias("grams"),
+        )
+        .where(F.size("grams") > 0)
+        .persist()
     )
     a, b = g.alias("a"), g.alias("b")
     jac = (
