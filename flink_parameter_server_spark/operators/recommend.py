@@ -70,7 +70,8 @@ def copurchase_recommend_top5(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
 
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the pair self-join consumes baskets twice (a and b side)
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
     a = baskets.alias("a")
     b = baskets.alias("b")
     cooc_full = (
@@ -88,10 +89,13 @@ def copurchase_recommend_top5(spark, sf_dir):
         .where(F.col("prn") <= CAND_M)
         .drop("prn")
     )
+    # persisted: consumed by both the scoring join and the already-bought
+    # anti join
     cust_items = (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
         .distinct()
+        .persist()
     )
     already = cust_items.select("custkey", F.col("item").alias("rec"))
     scores = (
