@@ -67,6 +67,65 @@ def test_rate_limited_stream_processes_everything(spark):
     assert _rows(got) == _rows(batch)
 
 
+def test_online_mf_state_survives_restart(spark):
+    """A1/D21: keyed state persists across query restarts — two availableNow
+    runs over incrementally arriving files must equal one sequential pass
+    over all records (the PS server state is durable, per the reference's
+    long-running server operators)."""
+    from flink_parameter_server_spark.ps import mf
+    from flink_parameter_server_spark.streaming.online_ps import (
+        K,
+        online_mf_stream,
+        sequential_reference,
+    )
+
+    ratings = (
+        mf.ratings(spark, SF_SMALL)
+        .limit(200)
+        .withColumn("seq", F.monotonically_increasing_id())
+        .select("seq", "user", "item", "rating")
+    )
+    rows = sorted((r.seq, r.user, r.item, r.rating) for r in ratings.collect())
+    # split strictly by seq so "batch 1 then batch 2" equals the global order
+    first, second = rows[:120], rows[120:]
+    schema = ratings.schema
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, out = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/out"
+        spark.createDataFrame(first, schema).coalesce(1).write.parquet(src)
+
+        def run_batch():
+            # foreachBatch sink: supports update-mode output AND checkpoint
+            # recovery (memory sinks recover from neither)
+            def sink(batch_df, batch_id):
+                batch_df.withColumn("run_seq", F.lit(batch_id)).write.mode("append").parquet(out)
+
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                online_mf_stream(spark, stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_batch()
+        spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src)
+        run_batch()
+        # last emitted update per item (highest run_seq) = final state
+        got = {}
+        for r in spark.read.parquet(out).orderBy("run_seq").collect():
+            got[r.item] = [r[f"f{j}"] for j in range(K)]
+
+    want = sequential_reference(rows)
+    assert set(got) == set(want)
+    for item, vec in want.items():
+        for a, b in zip(got[item], vec):
+            assert abs(a - b) < 1e-9, f"item {item} diverged after restart"
+
+
 def test_online_mf_matches_sequential_reference(spark):
     from flink_parameter_server_spark.ps import mf
     from flink_parameter_server_spark.streaming.online_ps import (
