@@ -101,6 +101,50 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
     return ps.iterate(r, step, epochs)
 
 
+def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
+    """B1 full fidelity: BOTH factor sides update, each living in its own
+    parameter server (the reference holds user vectors worker-local and
+    item vectors server-side, both mutated per record [C-high]; here each
+    side is a PS shard keyed by its id, epochs are synchronous — both
+    deltas computed against epoch-start values, then folded).
+
+    Returns a union: (side, id, dim, value) for side in {user, item}.
+    """
+    user_ps = BatchParameterServer(init_fn=lambda pid: user_vec(pid))
+    item_ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid))
+
+    for _ in range(epochs):
+        pulled_items = item_ps.pull(r.select(F.col("item").alias("param_id"), "user", "rating"))
+        pulled_items = pulled_items.withColumnRenamed("param_id", "item").withColumnRenamed(
+            "value", "ivec"
+        )
+        both = user_ps.pull(
+            pulled_items.select(F.col("user").alias("param_id"), "item", "rating", "ivec")
+        ).withColumnRenamed("param_id", "user").withColumnRenamed("value", "uvec")
+        both = both.withColumn(
+            "e", F.col("rating") - vectors.dot(F.col("uvec"), F.col("ivec"))
+        ).persist()
+        item_deltas = both.select(
+            F.col("item").alias("param_id"),
+            F.transform(F.col("uvec"), lambda u_j: F.lit(LR) * F.col("e") * u_j).alias("delta"),
+        )
+        user_deltas = both.select(
+            F.col("user").alias("param_id"),
+            F.transform(F.col("ivec"), lambda i_j: F.lit(LR) * F.col("e") * i_j).alias("delta"),
+        )
+        item_ps.push(item_deltas)
+        user_ps.push(user_deltas)
+        both.unpersist()
+
+    users = user_ps.params.select(
+        F.lit("user").alias("side"), F.col("param_id").alias("id"), F.posexplode("value").alias("dim", "v")
+    )
+    items = item_ps.params.select(
+        F.lit("item").alias("side"), F.col("param_id").alias("id"), F.posexplode("value").alias("dim", "v")
+    )
+    return users.unionByName(items).select("side", "id", "dim", F.round("v", 6).alias("v"))
+
+
 def recommend_topk(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_stride: int = 50) -> DataFrame:
     """B5: factor-scored top-K per (sampled) user over all items.
 

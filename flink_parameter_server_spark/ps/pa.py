@@ -168,6 +168,78 @@ def multiclass_step(inst: DataFrame) -> DataFrame:
     )
 
 
+def train_multiclass(spark: SparkSession, inst: DataFrame, epochs: int = 2) -> DataFrame:
+    """B9 full trainer: the weight MATRIX lives in one PS keyed by the
+    flattened cell id class*N_FEATURES + feat (the reference shards the
+    per-class weight vectors across servers the same way [C-high]).
+    Mini-batch epochs; per epoch: score all classes from current weights,
+    find each row's violator, push +tau*x / -tau*x to the true/violator
+    rows. Returns (class_id, feat_id, w).
+    """
+    from pyspark.sql import Window
+
+    ps = BatchParameterServer(
+        init_fn=lambda pid: F.array(
+            factor_element(
+                F.floor(pid / N_FEATURES), pid % N_FEATURES, W_SEED, W_LO, W_HI
+            )
+        )
+    )
+
+    tri = inst.select("row_id", "label", "x", F.posexplode("x").alias("feat_id", "x_f"))
+    cells = tri.crossJoin(
+        spark.range(N_CLASSES).select(F.col("id").alias("c"))
+    ).select(
+        "row_id", "label", "x", "c", "x_f",
+        (F.col("c") * N_FEATURES + F.col("feat_id")).alias("param_id"),
+    )
+
+    for _ in range(epochs):
+        pulled = ps.pull(cells)
+        scores = pulled.groupBy("row_id", "c").agg(
+            F.sum(F.element_at("value", 1) * F.col("x_f")).alias("score"),
+            F.first("label").alias("label"),
+            F.first("x").alias("x"),
+        )
+        wv = Window.partitionBy("row_id").orderBy(F.col("score").desc(), F.col("c"))
+        viol = (
+            scores.where(F.col("c") != F.col("label"))
+            .withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("row_id", F.col("c").alias("v"), F.col("score").alias("s_v"))
+        )
+        tru = scores.where(F.col("c") == F.col("label")).select(
+            "row_id", "label", "x", F.col("score").alias("s_y")
+        )
+        upd = tru.join(viol, "row_id").withColumn(
+            "tau",
+            F.greatest(F.lit(0.0), F.lit(1.0) - (F.col("s_y") - F.col("s_v")))
+            / (F.lit(2.0) * vectors.norm2(F.col("x"))),
+        )
+        signed = upd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("label").cast("long").alias("class_id"), F.col("tau").alias("coef")),
+                    F.struct(F.col("v").cast("long").alias("class_id"), (-F.col("tau")).alias("coef")),
+                )
+            ).alias("s"),
+            "x",
+        ).select(F.col("s.class_id").alias("class_id"), F.col("s.coef").alias("coef"), "x")
+        deltas = signed.select(
+            "class_id", "coef", F.posexplode("x").alias("feat_id", "x_f")
+        ).select(
+            (F.col("class_id") * N_FEATURES + F.col("feat_id")).alias("param_id"),
+            F.array(F.col("coef") * F.col("x_f")).alias("delta"),
+        )
+        ps.push(deltas)
+
+    return ps.params.select(
+        F.floor(F.col("param_id") / N_FEATURES).cast("long").alias("class_id"),
+        (F.col("param_id") % N_FEATURES).cast("long").alias("feat_id"),
+        F.round(F.element_at("value", 1), 6).alias("w"),
+    )
+
+
 def train_binary(spark: SparkSession, inst: DataFrame, epochs: int = 3) -> DataFrame:
     """B8 full trainer on the PS kernel (k=1 weight vectors keyed by
     feat_id). Mini-batch epochs — documented divergence from the

@@ -425,6 +425,35 @@ def mf_train_2epochs(spark, sf_dir):
 
 
 @register(
+    "mf_train_bidirectional",
+    oracle=None,
+    tags=("B1", "B6", "A1"),
+    doc="Full-fidelity MF trainer: BOTH factor sides update, each in its "
+    "own parameter server (reference: worker-local user vectors + "
+    "server-side item vectors, PSOnlineMatrixFactorization [C-high]); "
+    "synchronous mini-batch epochs. Iterative + double-fold order -> "
+    "rows-only; the per-step math is oracle-checked by "
+    "mf_epoch_item_factors / mf_two_epoch_factors.",
+)
+def mf_train_bidirectional(spark, sf_dir):
+    return mf.train_bidirectional(spark, mf.ratings(spark, sf_dir), epochs=2)
+
+
+@register(
+    "pa_multiclass_train_2epochs",
+    oracle=None,
+    tags=("B9", "A1"),
+    doc="Full multiclass PA trainer on the kernel: the weight matrix is "
+    "one PS keyed by class*n_features+feat; 2 mini-batch epochs of "
+    "violator updates (reference: PassiveAggressiveParameterServer"
+    "#transformMulticlass [C-high]). Rows-only; per-step math covered by "
+    "pa_multiclass_step.",
+)
+def pa_multiclass_train_2epochs(spark, sf_dir):
+    return pa.train_multiclass(spark, pa.instances(spark, sf_dir), epochs=2)
+
+
+@register(
     "mf_als_recommend",
     oracle=None,
     tags=("B6",),

@@ -60,6 +60,40 @@ def test_pa_predict_sign_matches_numpy(synth):
         assert got[row_id] == want
 
 
+def test_mf_bidirectional_training_reduces_rmse(spark):
+    """Convergence sanity (the reference's integration-test strategy,
+    SURVEY §5.1): two bidirectional epochs must reduce training RMSE
+    versus the deterministic init."""
+    from flink_parameter_server_spark.ps import mf
+    from tests.conftest import SF_SMALL
+
+    r = mf.ratings(spark, SF_SMALL)
+    rows = [(x.user, x.item, x.rating) for x in r.collect()]
+    trained = mf.train_bidirectional(spark, r, epochs=2)
+    vecs = {"user": {}, "item": {}}
+    for x in trained.collect():
+        vecs[x.side].setdefault(x.id, [0.0] * mf.K)[x.dim] = x.v
+
+    def rmse(user_f, item_f):
+        se = 0.0
+        for u, i, rating in rows:
+            uv = user_f(u)
+            iv = item_f(i)
+            e = rating - sum(a * b for a, b in zip(uv, iv))
+            se += e * e
+        return (se / len(rows)) ** 0.5
+
+    def init_u(u):
+        return [_factor(u, j, mf.USER_SEED) for j in range(mf.K)]
+
+    def init_i(i):
+        return [_factor(i, j, mf.ITEM_SEED) for j in range(mf.K)]
+
+    before = rmse(init_u, init_i)
+    after = rmse(lambda u: vecs["user"][u], lambda i: vecs["item"][i])
+    assert after < before, f"rmse {before} -> {after} did not improve"
+
+
 def test_pa_multiclass_step_untouched_cells_keep_init(spark):
     df = spark.createDataFrame(
         [(0, 3, [0.1] * pa.N_FEATURES)], "row_id long, label long, x array<double>"
