@@ -1,0 +1,59 @@
+"""Edge-case behavior of the generic operator APIs: empty sides, tolerance
+bounds, empty pushes — the inputs a 100 TB pipeline will eventually feed
+them."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.operators.asof import asof_join
+from flink_parameter_server_spark.ps.kernel import BatchParameterServer
+
+
+def _events(spark, rows):
+    rows = [(e, u, datetime.fromisoformat(ts)) for e, u, ts in rows]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_asof_join_empty_right_side(spark):
+    left = _events(spark, [(1, 10, "2024-01-01 12:00:00"), (2, 10, "2024-01-01 13:00:00")])
+    right = _events(spark, []).where(F.lit(False))
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", right_payload=["event_id"])
+    rows = out.orderBy("event_id").collect()
+    assert len(rows) == 2
+    assert all(r.asof_event_id is None and r.asof_ts_us is None for r in rows)
+
+
+def test_asof_join_tolerance_drops_stale_matches(spark):
+    left = _events(spark, [(1, 10, "2024-01-01 12:00:00")])
+    right = _events(spark, [(100, 10, "2024-01-01 09:00:00")])  # 3h earlier
+    close = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id"], tolerance_us=4 * 3600 * 1_000_000,
+    ).first()
+    stale = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id"], tolerance_us=1 * 3600 * 1_000_000,
+    ).first()
+    assert close.asof_event_id == 100
+    assert stale.asof_event_id is None
+
+
+def test_asof_join_inclusive_same_timestamp(spark):
+    ts = "2024-01-01 12:00:00"
+    left = _events(spark, [(1, 10, ts)])
+    right = _events(spark, [(100, 10, ts)])
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", right_payload=["event_id"]).first()
+    assert out.asof_event_id == 100  # <= semantics, like DuckDB ASOF
+
+
+def test_ps_push_empty_deltas_is_noop(spark):
+    ps = BatchParameterServer(init_fn=lambda pid: F.array(pid.cast("double")))
+    ps.push(spark.createDataFrame([(1, [2.0])], "param_id long, delta array<double>"))
+    before = {r.param_id: r.value for r in ps.params.collect()}
+    empty = spark.createDataFrame([], "param_id long, delta array<double>")
+    ps.push(empty)
+    after = {r.param_id: r.value for r in ps.params.collect()}
+    assert before == after
