@@ -71,6 +71,28 @@ def streaming_session_windows(spark, sf_dir):
 
 
 @register(
+    "streaming_purchase_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+    tags=("D17", "D21"),
+    doc="Stream-stream interval join executed as a REAL two-stream job "
+    "(both sides watermarked, state bounded by interval+delay), checked "
+    "against the batch interval-join oracle.",
+)
+def streaming_purchase_attribution(spark, sf_dir):
+    from .joins import purchase_click_attribution_stream
+    from .windows import run_to_memory
+
+    name = f"stq_attr_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(purchase_click_attribution_stream(spark, sf_dir), name)
+
+
+@register(
     "online_mf_sequential",
     oracle=None,
     tags=("A1", "B1", "D21", "A7"),

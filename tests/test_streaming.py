@@ -67,6 +67,47 @@ def test_rate_limited_stream_processes_everything(spark):
     assert _rows(got) == _rows(batch)
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from flink_parameter_server_spark.streaming.joins import (
+        purchase_click_attribution_stream,
+    )
+
+    got = run_to_memory(purchase_click_attribution_stream(spark, SF_SMALL), "t_ssjoin")
+    ev = t(spark, SF_SMALL, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    ).select(
+        "purchase_id", "click_id", "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    assert _rows(got) == _rows(batch)
+    assert batch.count() > 0
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """D20's dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay collapse to one row."""
+    ev = stream_events(spark, SF_SMALL)
+    doubled = ev.select("user_id", "event_type", "ts").union(
+        ev.select("user_id", "event_type", "ts")
+    )
+    dedup = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    got = run_to_memory(dedup, "t_ddww")
+    want = t(spark, SF_SMALL, "events").select("user_id", "event_type", "ts").distinct()
+    assert got.count() == want.count()
+
+
 def test_online_mf_state_survives_restart(spark):
     """A1/D21: keyed state persists across query restarts — two availableNow
     runs over incrementally arriving files must equal one sequential pass
