@@ -47,10 +47,13 @@ def asof_join(
         if c not in (on, left_ts):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.select(*lcols, "__side", "__payload").unionByName(r.select(*lcols, "__side", "__payload"))
-    # right rows sort before left rows at equal ts => inclusive (<=) match
+    # right rows sort before left rows at equal ts => inclusive (<=) match;
+    # __payload as the final sort key makes the pick deterministic when
+    # several right rows share the same (key, ts) — struct compare falls
+    # through ts to the payload columns, so F.last always grabs the same row.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts), F.col("__side"))
+        .orderBy(F.col(left_ts), F.col("__side"), F.col("__payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w)).where(

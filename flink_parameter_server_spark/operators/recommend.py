@@ -50,7 +50,7 @@ cust_items AS (
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 scores AS (
-  SELECT ci.custkey, c.rec, sum(c.w) AS score
+  SELECT ci.custkey, c.rec, CAST(sum(c.w) AS BIGINT) AS score
   FROM cust_items ci JOIN cooc c ON ci.item = c.item
   WHERE NOT EXISTS (SELECT 1 FROM cust_items o
                     WHERE o.custkey = ci.custkey AND o.item = c.rec)
@@ -98,8 +98,13 @@ def copurchase_recommend_top5(spark, sf_dir):
         .persist()
     )
     already = cust_items.select("custkey", F.col("item").alias("rec"))
+    # cooc is capped at |items| x CAND_M rows by construction, so it is the
+    # broadcast-able side: map-side joining it into cust_items deletes the
+    # shuffle of the (much larger) customer-item table on `item`. At
+    # extreme item cardinality swap to a shuffle join by dropping the hint
+    # — AQE picks SMJ automatically if the estimate exceeds the threshold.
     scores = (
-        cust_items.join(cooc, "item")
+        cust_items.join(F.broadcast(cooc), "item")
         .join(already, ["custkey", "rec"], "left_anti")
         .groupBy("custkey", "rec")
         .agg(F.sum("w").alias("score"))

@@ -371,20 +371,30 @@ SELECT (SELECT count(*) FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)) AS
     tags=("D10", "D14"),
 )
 def customer_cohort_sets(spark, sf_dir):
-    """INTERSECT / EXCEPT / UNION-distinct cohort arithmetic."""
+    """INTERSECT / EXCEPT / UNION-distinct cohort arithmetic as ONE lazy
+    DataFrame program: the three set-op branches are tagged, unioned, and
+    counted in a single conditional aggregation — one job, no driver-side
+    .count() actions, so the query composes lazily like everything else.
+    Cohorts are persisted because each feeds all three branches."""
     o = t(spark, sf_dir, "orders")
 
     def cohort(year: int):
         return o.where(
             (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey").distinct()
+        ).select("o_custkey").distinct().persist()
 
     c95, c96 = cohort(1995), cohort(1996)
-    n_both = c95.intersect(c96).count()
-    n_95_only = c95.exceptAll(c96).count()
-    n_union = c95.union(c96).distinct().count()
-    return spark.createDataFrame([(n_both, n_95_only, n_union)], "n_both bigint, n_95_only bigint, n_union bigint")
+    tagged = (
+        c95.intersect(c96).select(F.lit("both").alias("tag"))
+        .unionAll(c95.exceptAll(c96).select(F.lit("only95").alias("tag")))
+        .unionAll(c95.union(c96).distinct().select(F.lit("union").alias("tag")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("tag") == "both", 1)).alias("n_both"),
+        F.count(F.when(F.col("tag") == "only95", 1)).alias("n_95_only"),
+        F.count(F.when(F.col("tag") == "union", 1)).alias("n_union"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -161,7 +161,7 @@ WITH pos AS (
 ),
 chunks AS (
   SELECT doc_id, p // {FP_WINDOW} AS chunk,
-         sum({poly_hash_sql('tok', 97)} * CAST(power(31, p % {FP_WINDOW}) AS BIGINT)) % {MOD} AS chunk_hash
+         CAST(sum({poly_hash_sql('tok', 97)} * CAST(power(31, p % {FP_WINDOW}) AS BIGINT)) % {MOD} AS BIGINT) AS chunk_hash
   FROM pos GROUP BY doc_id, p // {FP_WINDOW}
 ),
 fp AS (SELECT doc_id, min(chunk_hash) AS fingerprint FROM chunks GROUP BY doc_id)

@@ -83,7 +83,7 @@ class BatchParameterServer:
         combiner); the outer join + coalesce implements SimplePSLogic's
         lazy init + fold.
         """
-        agg = deltas.groupBy("param_id").agg(_sum_vectors("delta").alias("delta"))
+        agg = _fold_deltas(deltas)
         base = self.params
         if base is None:
             merged = agg.select(
@@ -125,20 +125,23 @@ class BatchParameterServer:
         return self.params
 
 
-def _sum_vectors(col: str) -> Column:
-    """Elementwise sum of array<double> values within a group.
+def _fold_deltas(deltas: DataFrame) -> DataFrame:
+    """Elementwise sum of (param_id, delta ARRAY<DOUBLE>) rows per key.
 
-    Uses exploded positional aggregation-free fold: Spark has no built-in
-    elementwise array sum aggregate, so sum each dimension after explode
-    would shuffle wide; instead fold with `aggregate` over collect_list,
-    which is fine for the bounded per-key delta counts of one epoch, or
-    rely on callers pre-exploding. For large fan-in, push callers explode
-    to (param_id, dim, v) and sum — see mf.py which does exactly that.
+    Spark has no elementwise array-sum aggregate, so explode to
+    (param_id, dim, v) triplets and `sum` per (param_id, dim): the fold
+    gets map-side partial aggregation and per-key state is O(1) per
+    dimension — never O(fan-in x k), which matters when fan-in is
+    instances-per-feature (the PA trainers at 100 TB). The final
+    re-assembly groups exactly k rows per key (k = vector length), so its
+    collect_list is bounded by the model dimensionality, not the data.
     """
-    return F.aggregate(
-        F.collect_list(col),
-        F.transform(F.element_at(F.collect_list(col), 1), lambda x: x * F.lit(0.0)),
-        lambda acc, d: F.zip_with(acc, d, lambda a, b: a + b),
+    exploded = deltas.select("param_id", F.posexplode("delta").alias("dim", "v"))
+    summed = exploded.groupBy("param_id", "dim").agg(F.sum("v").alias("v"))
+    return (
+        summed.groupBy("param_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("__pairs"))
+        .select("param_id", F.transform(F.col("__pairs"), lambda p: p["v"]).alias("delta"))
     )
 
 

@@ -72,10 +72,17 @@ def _online_mf_update(key, pdf_iter, state: GroupState):
     item = key[0]
     v = list(state.get[0]) if state.exists else _item_vec(item)
     n = 0
-    for pdf in pdf_iter:
-        for _, row in pdf.sort_values("seq").iterrows():
-            u = _user_vec(int(row["user"]))
-            e = float(row["rating"]) - sum(a * b for a, b in zip(u, v))
+    # Materialize the whole micro-batch for this key before sorting: a key
+    # whose rows span multiple Arrow batches (> arrow.maxRecordsPerBatch)
+    # must still process records in global seq order, not per-chunk order.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+        users = pdf["user"].to_numpy()
+        ratings = pdf["rating"].to_numpy()
+        for user, rating in zip(users, ratings):
+            u = _user_vec(int(user))
+            e = float(rating) - sum(a * b for a, b in zip(u, v))
             v = [vi + LR * e * ui for vi, ui in zip(v, u)]
             n += 1
     state.update(([float(x) for x in v],))  # plain floats: numpy scalars break state pickling

@@ -113,6 +113,10 @@ def online_mf_sequential(spark, sf_dir):
         .withColumn("seq", F.monotonically_increasing_id())
         .select("seq", "user", "item", "rating")
     )
+    # NOTE: no shuffle-partition clamp here — the per-record Python SGD
+    # loop is CPU-bound per key, so it wants the full task parallelism
+    # (unlike the pure-JVM stateful windows, where extra state stores are
+    # overhead at test scale).
     tmp = tempfile.mkdtemp(prefix="fps_online_mf_")
     name = f"online_mf_{uuid.uuid4().hex[:8]}"
     ratings.coalesce(1).write.parquet(f"{tmp}/src")

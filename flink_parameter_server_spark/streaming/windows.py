@@ -16,6 +16,8 @@ work; exercised in tests via maxFilesPerTrigger=1.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -77,26 +79,46 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D19/D20 streaming: watermark + dropDuplicates on (user_id,
-    event_type) — keeps the first arrival per key within the watermark."""
+    """D19/D20 streaming: watermark + dropDuplicatesWithinWatermark on
+    (user_id, event_type) — keeps the first arrival per key, and the
+    watermark EVICTS per-key state once event time passes it, so state
+    stays bounded (plain dropDuplicates without the event-time column in
+    the key set would keep every key forever)."""
     ev = stream_events(spark, sf_dir)
-    return ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"]).select(
-        "user_id", "event_type", "event_id", "value"
-    )
+    return ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily clamp shuffle partitions for a finite test/driver
+    stream run. Stateful streaming ops allocate one state store per
+    shuffle partition with AQE disabled, so at tiny scale 32 stores are
+    pure per-batch overhead; a production deployment sizes this to the
+    cluster (it is baked into the checkpoint at first start)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute with availableNow trigger into a memory sink; return the
     materialized result table."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if _has_aggregate(stream_df) else "append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if _has_aggregate(stream_df) else "append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def _has_aggregate(df: DataFrame) -> bool:

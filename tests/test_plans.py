@@ -58,3 +58,29 @@ def test_asof_join_is_single_window_not_pair_join(spark):
 def test_topk_uses_takeordered(spark):
     plan = _plan(spark, "top_unshipped_orders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ps_push_fold_is_exploded_sum_not_collect_list(spark):
+    """The kernel's push fold must aggregate exploded (param_id, dim, v)
+    triplets with a partial-agg sum — never collect_list over the raw
+    delta arrays, whose per-key state is O(fan-in x k) and OOMs when
+    fan-in = instances-per-feature (VERDICT r1 #5). The only collect_list
+    allowed is the k-row re-assembly after the dim-level sum."""
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.ps.kernel import BatchParameterServer
+
+    deltas = spark.range(100).select(
+        (F.col("id") % 5).alias("param_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("delta"),
+    )
+    ps = BatchParameterServer(lambda pid: F.array(F.lit(0.0), F.lit(0.0)))
+    ps.push(deltas)
+    plan = ps.params._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list(delta" not in plan
+    # dim-level sum fold with map-side partial aggregation
+    assert "posexplode" in plan.lower() or "Generate" in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    # and the fold is numerically the elementwise sum
+    rows = {r["param_id"]: r["value"] for r in ps.params.collect()}
+    assert rows[0] == [20.0, 40.0]

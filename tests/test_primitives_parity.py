@@ -122,3 +122,26 @@ def test_ngram_parity(spark, duck):
     srows = [(r[0], list(r[1])) for r in sdf.collect()]
     drows = [(r[0], list(r[1])) for r in duck_rows]
     assert srows == drows
+
+
+def test_type_check_flags_hugeint(spark, duck):
+    """The compare() type gate must fail an uncast DuckDB HUGEINT sum even
+    when every value matches — the driver's hash is type-sensitive and
+    this exact mismatch was round 1's only red row (VERDICT r1)."""
+    from tests.oracle import compare
+
+    sdf = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("s"))
+    ok, msg = compare(sdf, duck, "SELECT id, sum(v) AS s FROM (VALUES (0,0),(1,2),(2,4)) t(id,v) GROUP BY id")
+    assert not ok and "int width" in msg
+    ok, msg = compare(sdf, duck, "SELECT id, CAST(sum(v) AS BIGINT) AS s FROM (VALUES (0,0),(1,2),(2,4)) t(id,v) GROUP BY id")
+    assert ok, msg
+
+
+def test_type_check_accepts_narrow_int_vs_bigint(spark, duck):
+    """int32 (Spark row_number) vs BIGINT (DuckDB row_number) hashed equal
+    in the r01 driver run — the gate must not flag widths <= 64."""
+    from tests.oracle import compare
+
+    sdf = spark.range(3).select(F.col("id"), F.lit(1).alias("rk"))
+    ok, msg = compare(sdf, duck, "SELECT range AS id, CAST(1 AS BIGINT) AS rk FROM range(3)")
+    assert ok, msg
