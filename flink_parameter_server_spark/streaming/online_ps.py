@@ -101,6 +101,107 @@ def online_mf_stream(spark: SparkSession, ratings_stream: DataFrame) -> DataFram
     )
 
 
+PA_STATE_SCHEMA = StructType([StructField("w", ArrayType(DoubleType())), StructField("n", LongType())])
+PA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("model_id", LongType()),
+        StructField("n_updates", LongType()),
+        StructField("feat_id", LongType()),
+        StructField("w", DoubleType()),
+    ]
+)
+
+
+def _pa_w0(n_features: int) -> list[float]:
+    """Scalar mirror of pa.w0_array (factor_element(0, f, W_SEED) per f)."""
+    from ..ps.pa import W_HI, W_LO, W_SEED
+
+    return [
+        W_LO + (((0 + 1) * KNUTH + (j + 1) * 40503 + W_SEED * 97) % MOD) / MOD * (W_HI - W_LO)
+        for j in range(n_features)
+    ]
+
+
+def _online_pa_update(key, pdf_iter, state: GroupState):
+    """Per-model-key sequential PA-I: pull = state.get, per record compute
+    margin/tau against the CURRENT weights, push = state.update.
+
+    tau_t = min(C, max(0, 1 - y_t * <w_t, x_t>) / ||x_t||^2);
+    w_{t+1} = w_t + tau_t * y_t * x_t — the reference's per-record
+    trajectory (PassiveAggressiveParameterServer#transformBinary
+    [C-high]), which the batch trainers intentionally approximate with
+    mini-batch steps.
+    """
+    import numpy as np
+
+    from ..ps.pa import C, N_FEATURES
+
+    model_id = key[0]
+    if state.exists:
+        w = np.asarray(state.get[0], dtype=np.float64)
+        n = int(state.get[1])
+    else:
+        w = np.asarray(_pa_w0(N_FEATURES), dtype=np.float64)
+        n = 0
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        xs = np.stack(pdf["x"].to_numpy())
+        for y, x in zip(ys, xs):
+            margin = float(w @ x)
+            loss = max(0.0, 1.0 - y * margin)
+            tau = min(C, loss / float(x @ x))
+            w = w + tau * y * x
+            n += 1
+    state.update(([float(v) for v in w], n))
+    yield pd.DataFrame(
+        {
+            "model_id": model_id,
+            "n_updates": n,
+            "feat_id": range(len(w)),
+            "w": [float(v) for v in w],
+        }
+    )
+
+
+def online_pa_stream(spark: SparkSession, inst_stream: DataFrame) -> DataFrame:
+    """inst_stream: streaming DF (seq, model_id, y, x) -> full weight
+    vector as (feat_id, w) rows after each micro-batch (Update mode).
+
+    The reference shards weights by `paramId % psParallelism` and updates
+    them ASYNCHRONOUSLY from concurrent workers — no defined global
+    record order [C-high]. Any deterministic per-record trajectory needs
+    a total order over records, and every record touches every (dense)
+    feature, so the faithful deterministic form is the psParallelism=1
+    trajectory: one logical model key, state co-located with the worker
+    loop. Sparse-feature workloads shard naturally (key = feature block,
+    records routed to the blocks their active features hit); rate control
+    (A7) bounds per-batch work either way.
+    """
+    return inst_stream.groupBy("model_id").applyInPandasWithState(
+        _online_pa_update,
+        outputStructType=PA_OUTPUT_SCHEMA,
+        stateStructType=PA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pa_sequential_reference(insts: list[tuple[int, float, list[float]]]) -> list[float]:
+    """Driver-side reference (plain Python) for tests: insts as
+    (seq, y, x) processed in seq order against one weight vector."""
+    from ..ps.pa import C, N_FEATURES
+
+    w = _pa_w0(N_FEATURES)
+    for _seq, y, x in sorted(insts, key=lambda r: r[0]):
+        margin = sum(a * b for a, b in zip(w, x))
+        loss = max(0.0, 1.0 - y * margin)
+        tau = min(C, loss / sum(v * v for v in x))
+        w = [wi + tau * y * xi for wi, xi in zip(w, x)]
+    return w
+
+
 def sequential_reference(ratings: list[tuple[int, int, int, float]]) -> dict[int, list[float]]:
     """Driver-side reference implementation (same math, plain Python) for
     tests: ratings as (seq, user, item, rating), processed in seq order

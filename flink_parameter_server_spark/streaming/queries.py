@@ -92,6 +92,62 @@ def streaming_purchase_attribution(spark, sf_dir):
     return run_to_memory(purchase_click_attribution_stream(spark, sf_dir), name)
 
 
+def _run_instance_stream(spark, src_df, build_stream, prefix: str, out_cols):
+    """Write src_df as a single-file parquet source, stream it through
+    build_stream with an availableNow trigger into a memory sink, return
+    the materialized table projected to out_cols."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    src_df.coalesce(1).write.parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(src_df.schema).parquet(f"{tmp}/src")
+    q = (
+        build_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(*out_cols)
+
+
+@register(
+    "pa_online_sequential",
+    oracle=None,
+    tags=("A1", "B8", "D21", "A7"),
+    doc="Online PA-I binary training on keyed streaming state "
+    "(applyInPandasWithState): instances in seq order, per-record "
+    "margin/tau/update against the CURRENT weights — the reference's "
+    "per-record trajectory (PassiveAggressiveParameterServer"
+    "#transformBinary [C-high]) that the batch trainers approximate "
+    "with mini-batch epochs. Deterministic order forces the "
+    "psParallelism=1 trajectory (see online_ps.online_pa_stream "
+    "docstring). Not SQL-expressible -> rows-only; numerics verified "
+    "against pa_sequential_reference in tests/test_streaming.py.",
+)
+def pa_online_sequential(spark, sf_dir):
+    from ..ps import pa
+    from .online_ps import online_pa_stream
+
+    inst = (
+        pa.instances(spark, sf_dir)
+        .where(F.col("row_id") % 4 == 0)
+        .select(
+            F.col("row_id").alias("seq"),
+            F.lit(0).cast("long").alias("model_id"),
+            "y",
+            "x",
+        )
+    )
+    out = _run_instance_stream(
+        spark, inst, lambda s: online_pa_stream(spark, s), "fps_online_pa_",
+        ["model_id", "n_updates", "feat_id", "w"],
+    )
+    return out.select("model_id", "n_updates", "feat_id", F.round(F.col("w"), 6).alias("w"))
+
+
 @register(
     "online_mf_sequential",
     oracle=None,
