@@ -93,6 +93,67 @@ def ps_push_update(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A6 — transformWithModelLoad: dump -> load -> pull under loaded state
+# ---------------------------------------------------------------------------
+
+_INIT0_SQL = lambda id_expr: factor_element_sql(id_expr, "0", mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)  # noqa: E731
+
+
+@register(
+    "ps_model_load_pull",
+    oracle=f"""
+WITH dumped AS (
+  SELECT l_partkey AS param_id,
+         {_INIT0_SQL('l_partkey')}
+         + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS w
+  FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY l_partkey
+)
+SELECT p_partkey AS param_id,
+       round(coalesce(d.w, {_INIT0_SQL('p_partkey')}), 6) + 0.0 AS w
+FROM part LEFT JOIN dumped d ON d.param_id = p_partkey
+WHERE p_partkey % 20 = 0
+""",
+    tags=("A6", "B11", "A2", "A5"),
+    doc="transformWithModelLoad (reference: FlinkParameterServer"
+    "#transformWithModelLoad [C-med]): push one fold of deltas, DUMP the "
+    "params DataFrame to parquet (B11 — the state IS the model dump), "
+    "load it into a fresh server, and pull a key set that mixes dumped "
+    "keys with never-trained ones — the oracle replays dump content for "
+    "hits and the lazy init for misses, so load+pull semantics are "
+    "value-checked end to end.",
+)
+def ps_model_load_pull(spark, sf_dir):
+    import tempfile
+
+    from .kernel import BatchParameterServer
+
+    init_fn = lambda pid: F.array(  # noqa: E731
+        factor_element(pid, F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    deltas = (
+        li.where(F.col("l_partkey") % 3 == 0)
+        .groupBy(F.col("l_partkey").alias("param_id"))
+        .agg(F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d"))
+        .select("param_id", F.array(F.lit(0.001) * F.col("d").cast("double")).alias("delta"))
+    )
+    trained = BatchParameterServer(init_fn=init_fn)
+    trained.push(deltas)
+    tmp = tempfile.mkdtemp(prefix="fps_model_dump_")
+    trained.params.write.mode("overwrite").parquet(f"{tmp}/model")
+
+    loaded = BatchParameterServer.load(spark, f"{tmp}/model", init_fn=init_fn)
+    keys = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 20 == 0)
+        .select(F.col("p_partkey").alias("param_id"))
+    )
+    return loaded.pull(keys).select(
+        "param_id", F.round(F.element_at("value", 1), 6).alias("w")
+    )
+
+
+# ---------------------------------------------------------------------------
 # B3 — factor initializer
 # ---------------------------------------------------------------------------
 
@@ -401,6 +462,78 @@ def mf_negative_samples(spark, sf_dir):
     return cand.select("user", F.col("item").alias("neg_item"), F.row_number().over(w).alias("rk")).where(
         F.col("rk") <= 3
     )
+
+
+RING_R = 8  # reference's per-user recent-item memory capacity
+
+
+@register(
+    "mf_negative_samples_recent",
+    oracle=f"""
+WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
+last AS (
+  SELECT o_custkey AS "user", l_partkey AS item, max(o_orderdate) AS last_dt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+recent AS (
+  SELECT "user", item FROM (
+    SELECT "user", item,
+           row_number() OVER (PARTITION BY "user" ORDER BY last_dt DESC, item) AS rn
+    FROM last
+  ) WHERE rn <= {RING_R}
+),
+cand AS (
+  SELECT u."user" AS "user", p.p_partkey AS item,
+         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
+  FROM u CROSS JOIN part p
+  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
+    AND NOT EXISTS (
+      SELECT 1 FROM recent r WHERE r."user" = u."user" AND r.item = p.p_partkey)
+)
+SELECT "user", item AS neg_item, rk FROM (
+  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
+  FROM cand
+) WHERE rk <= 3
+""",
+    tags=("B7",),
+    doc="Negative sampling with the reference's BOUNDED user memory: the "
+    "exclusion set is a per-user ring buffer of the RING_R most recently "
+    "purchased items (reference: MF worker negative sampling excludes a "
+    "bounded recent-item buffer, not the full history [C-med]) — an item "
+    "bought long ago CAN be re-sampled as a negative. Recency = max "
+    "order date per (user, item), deterministic (date desc, item) "
+    "eviction order so the oracle replays the buffer exactly.",
+)
+def mf_negative_samples_recent(spark, sf_dir):
+    users = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_custkey").alias("user"))
+    )
+    items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
+    last = (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
+        .agg(F.max("o_orderdate").alias("last_dt"))
+    )
+    wr = Window.partitionBy("user").orderBy(F.col("last_dt").desc(), F.col("item"))
+    recent = (
+        last.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= RING_R)
+        .select("user", "item")
+    )
+    cand = (
+        users.crossJoin(F.broadcast(items))
+        .withColumn("h", int_hash2(F.col("user"), F.col("item"), seed=3))
+        .where(F.col("h") % 37 == 0)
+        .join(recent, ["user", "item"], "left_anti")
+    )
+    w = Window.partitionBy("user").orderBy("h", "item")
+    return cand.select(
+        "user", F.col("item").alias("neg_item"), F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 3)
 
 
 # ---------------------------------------------------------------------------
