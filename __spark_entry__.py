@@ -24,10 +24,23 @@ from flink_parameter_server_spark.plans import REGISTRY  # noqa: E402
 SF_SMALL = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+def _tune(spark: SparkSession) -> None:
+    """Runtime configs the engine needs on ANY session (the driver
+    supplies its own vanilla one): nanos-parquet compatibility, oracle
+    timezone parity, and local-scale shuffle sizing — a vanilla session's
+    200 shuffle partitions mean 200 state stores per stateful streaming
+    query and 6x task overhead on a local[32] box (AQE coalesces batch
+    exchanges but not the initial streaming state layout)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _tune(spark)
     return REGISTRY["copurchase_recommend_top5"].fn(spark, SF_SMALL)
 
 
@@ -36,8 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _tune(spark)
             return spec.fn(spark, sf_dir)
 
         run.__doc__ = spec.doc

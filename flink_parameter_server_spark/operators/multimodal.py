@@ -92,6 +92,74 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=_OUT_SCHEMA)
 
 
+FRAME_BYTES = 64  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, byte_off bigint, frame_bytes bigint, checksum bigint"
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: treat the binary payload as a fake video
+    whose frames are fixed FRAME_BYTES windows; emit every FRAME_STRIDE-th
+    frame as its own row (one input row -> many output rows — the exact
+    batch shape a real video frame sampler produces from mapInPandas).
+    The per-frame "decode" is the same declared byte-math stub as
+    :func:`_fake_decode`; swap in ffmpeg frame extraction in production.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "byte_off": [], "frame_bytes": [], "checksum": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n = len(content)
+                nframes = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, nframes, FRAME_STRIDE):
+                    chunk = content[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["byte_off"].append(f * FRAME_BYTES)
+                    rows["frame_bytes"].append(len(chunk))
+                    rows["checksum"].append(sum(chunk) % 1_000_003)
+            yield pd.DataFrame(rows, dtype="int64") if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype="int64") for k in rows}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS cs
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, cs,
+         unnest(range(0, CAST(ceil(len(cs) / {float(FRAME_BYTES)}) AS BIGINT))) AS f
+  FROM codes
+)
+SELECT doc_id, f AS frame_idx, f * {FRAME_BYTES} AS byte_off,
+       CAST(least({FRAME_BYTES}, len(cs) - f * {FRAME_BYTES}) AS BIGINT) AS frame_bytes,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                cs[f * {FRAME_BYTES} + 1 : (f + 1) * {FRAME_BYTES}]),
+                   (a, x) -> a + x) % 1000003 AS checksum
+FROM fr WHERE f % {FRAME_STRIDE} = 0
+""",
+    tags=("north-star", "D22"),
+    doc="Multimodal frame sampling: binary payload as fixed-size frame "
+    "windows, every FRAME_STRIDE-th frame emitted as its own row via "
+    "Arrow-batched mapInPandas (1 row in -> N frame rows out, the real "
+    "video-sampler batch shape). Frame decode is the declared byte-math "
+    "stub; the oracle replays frame offsets/checksums from the source "
+    "text with list slicing.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    return frame_sample(media_table(spark, sf_dir))
+
+
 @register(
     "multimodal_decode_features",
     oracle="""

@@ -58,18 +58,18 @@ def item_vec(col):
 
 def predict(r: DataFrame) -> DataFrame:
     """B4: rating ~= dot(userVec, itemVec) from the deterministic init."""
-    return r.withColumn("pred", vectors.dot(user_vec(F.col("user")), item_vec(F.col("item"))))
+    return r.withColumn("pred", vectors.dot(user_vec("user"), item_vec("item")))
 
 
 def epoch_item_deltas(r: DataFrame) -> DataFrame:
     """B2 aggregated over one epoch: (item, dim, delta) with
     delta = sum over ratings of lr * e * u_dim, e = rating - <u, i>."""
     withe = r.withColumn(
-        "e", F.col("rating") - vectors.dot(user_vec(F.col("user")), item_vec(F.col("item")))
+        "e", F.col("rating") - vectors.dot(user_vec("user"), item_vec("item"))
     )
     exploded = withe.select(
         "item",
-        F.posexplode(user_vec(F.col("user"))).alias("dim", "u_j"),
+        F.posexplode(user_vec("user")).alias("dim", "u_j"),
         "e",
     )
     return exploded.groupBy("item", "dim").agg(
@@ -89,12 +89,12 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
     def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
         pulled = server.pull(data.select(F.col("item").alias("param_id"), "user", "rating"))
         withe = pulled.withColumn(
-            "e", F.col("rating") - vectors.dot(user_vec(F.col("user")), F.col("value"))
+            "e", F.col("rating") - vectors.dot(user_vec("user"), F.col("value"))
         )
         return withe.select(
             "param_id",
             F.transform(
-                user_vec(F.col("user")), lambda u_j: F.lit(LR) * F.col("e") * u_j
+                user_vec("user"), lambda u_j: F.lit(LR) * F.col("e") * u_j
             ).alias("delta"),
         )
 
@@ -102,47 +102,59 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
 
 
 def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
-    """B1 full fidelity: BOTH factor sides update, each living in its own
-    parameter server (the reference holds user vectors worker-local and
-    item vectors server-side, both mutated per record [C-high]; here each
-    side is a PS shard keyed by its id, epochs are synchronous — both
-    deltas computed against epoch-start values, then folded).
+    """B1 full fidelity: BOTH factor sides update (the reference holds
+    user vectors worker-local and item vectors server-side, both mutated
+    per record [C-high]); epochs are synchronous — both deltas computed
+    against epoch-start values, then folded.
+
+    Both sides live in ONE parameter server keyed by ``2*id + side``
+    (side 0 = user, 1 = item): per-key fold math is identical to two
+    separate servers, but each epoch runs ONE delta fold + ONE merge
+    join instead of two of each — half the shuffles, half the cached
+    plans, and the same sharding a real deployment would use (the
+    reference likewise shards all parameters across the same PS pool by
+    ``paramId % psParallelism`` [C-high]).
 
     Returns a union: (side, id, dim, value) for side in {user, item}.
     """
-    user_ps = BatchParameterServer(init_fn=lambda pid: user_vec(pid))
-    item_ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid))
+    ps = BatchParameterServer(
+        init_fn=lambda pid: F.when(
+            pid % 2 == F.lit(0), user_vec(F.floor(pid / 2))
+        ).otherwise(item_vec(F.floor(pid / 2)))
+    )
 
     for _ in range(epochs):
-        pulled_items = item_ps.pull(r.select(F.col("item").alias("param_id"), "user", "rating"))
-        pulled_items = pulled_items.withColumnRenamed("param_id", "item").withColumnRenamed(
-            "value", "ivec"
+        pulled_items = ps.pull(
+            r.select((F.col("item") * 2 + 1).alias("param_id"), "user", "item", "rating")
+        ).withColumnRenamed("value", "ivec").drop("param_id")
+        both = (
+            ps.pull(
+                pulled_items.select(
+                    (F.col("user") * 2).alias("param_id"), "user", "item", "rating", "ivec"
+                )
+            )
+            .withColumnRenamed("value", "uvec")
+            .drop("param_id")
         )
-        both = user_ps.pull(
-            pulled_items.select(F.col("user").alias("param_id"), "item", "rating", "ivec")
-        ).withColumnRenamed("param_id", "user").withColumnRenamed("value", "uvec")
         both = both.withColumn(
             "e", F.col("rating") - vectors.dot(F.col("uvec"), F.col("ivec"))
         ).persist()
         item_deltas = both.select(
-            F.col("item").alias("param_id"),
+            (F.col("item") * 2 + 1).alias("param_id"),
             F.transform(F.col("uvec"), lambda u_j: F.lit(LR) * F.col("e") * u_j).alias("delta"),
         )
         user_deltas = both.select(
-            F.col("user").alias("param_id"),
+            (F.col("user") * 2).alias("param_id"),
             F.transform(F.col("ivec"), lambda i_j: F.lit(LR) * F.col("e") * i_j).alias("delta"),
         )
-        item_ps.push(item_deltas)
-        user_ps.push(user_deltas)
+        ps.push(item_deltas.unionByName(user_deltas))
         both.unpersist()
 
-    users = user_ps.params.select(
-        F.lit("user").alias("side"), F.col("param_id").alias("id"), F.posexplode("value").alias("dim", "v")
-    )
-    items = item_ps.params.select(
-        F.lit("item").alias("side"), F.col("param_id").alias("id"), F.posexplode("value").alias("dim", "v")
-    )
-    return users.unionByName(items).select("side", "id", "dim", F.round("v", 6).alias("v"))
+    return ps.params.select(
+        F.when(F.col("param_id") % 2 == 0, F.lit("user")).otherwise(F.lit("item")).alias("side"),
+        F.floor(F.col("param_id") / 2).cast("long").alias("id"),
+        F.posexplode("value").alias("dim", "v"),
+    ).select("side", "id", "dim", F.round("v", 6).alias("v"))
 
 
 SEED_M = 256  # LEMP seed-prefix size (items scored to establish theta)
@@ -184,7 +196,7 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     users = (
         t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % user_stride == 0)
-        .select(F.col("c_custkey").alias("user"), user_vec(F.col("c_custkey")).alias("uv"))
+        .select(F.col("c_custkey").alias("user"), user_vec("c_custkey").alias("uv"))
         .withColumn("unorm", F.sqrt(vectors.dot_fixed(F.col("uv"), F.col("uv"), K)))
     )
     # repartition: the part table is one parquet split; without this the
@@ -192,7 +204,7 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     items = (
         t(spark, sf_dir, "part")
         .repartition(32)
-        .select(F.col("p_partkey").alias("item"), item_vec(F.col("p_partkey")).alias("iv"))
+        .select(F.col("p_partkey").alias("item"), item_vec("p_partkey").alias("iv"))
         .withColumn("inorm", F.sqrt(vectors.dot_fixed(F.col("iv"), F.col("iv"), K)))
     )
     prefix = items.orderBy(F.col("inorm").desc(), F.col("item")).limit(SEED_M)

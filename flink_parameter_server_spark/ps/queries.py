@@ -174,7 +174,7 @@ def mf_factor_init(spark, sf_dir):
     p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
     return p.select(
         F.col("p_partkey").alias("id"),
-        F.posexplode(mf.item_vec(F.col("p_partkey"))).alias("dim", "raw"),
+        F.posexplode(mf.item_vec("p_partkey")).alias("dim", "raw"),
     ).select("id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("value"))
 
 
@@ -228,7 +228,7 @@ def mf_sgd_deltas(spark, sf_dir):
 
     r = mf.ratings(spark, sf_dir).where(F.col("user") % 50 == 0)
     we = r.withColumn(
-        "e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item")))
+        "e", F.col("rating") - dot(mf.user_vec("user"), mf.item_vec("item"))
     )
     ex = we.select("user", "item", "e", F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim"))
     return ex.select(
@@ -284,7 +284,7 @@ def mf_epoch_item_factors(spark, sf_dir):
     from ..functions.vectors import dot
 
     r = mf.ratings(spark, sf_dir)
-    we = r.withColumn("e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item"))))
+    we = r.withColumn("e", F.col("rating") - dot(mf.user_vec("user"), mf.item_vec("item")))
     ex = we.select(
         "item", "e", "user", F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim")
     ).withColumn(
@@ -361,7 +361,7 @@ def mf_two_epoch_factors(spark, sf_dir):
             F.sum((F.lit(mf.LR) * F.col("e") * F.col("u_j")).cast("decimal(28,15)")).alias("d")
         )
 
-    we1 = r.withColumn("e", F.col("rating") - dot(mf.user_vec(F.col("user")), mf.item_vec(F.col("item"))))
+    we1 = r.withColumn("e", F.col("rating") - dot(mf.user_vec("user"), mf.item_vec("item")))
     i1 = epoch_deltas(we1).select(
         "item",
         "dim",
@@ -374,7 +374,7 @@ def mf_two_epoch_factors(spark, sf_dir):
         F.transform(F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]).alias("iv")
     )
     we2 = r.join(i1arr, "item").withColumn(
-        "e", F.col("rating") - dot(mf.user_vec(F.col("user")), F.col("iv"))
+        "e", F.col("rating") - dot(mf.user_vec("user"), F.col("iv"))
     )
     d2 = epoch_deltas(we2)
     return (
