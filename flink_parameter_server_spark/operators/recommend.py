@@ -98,14 +98,22 @@ def copurchase_recommend_top5(spark, sf_dir):
         .persist()
     )
     already = cust_items.select("custkey", F.col("item").alias("rec"))
-    # cooc is capped at |items| x CAND_M rows by construction, so it is the
-    # broadcast-able side: map-side joining it into cust_items deletes the
-    # shuffle of the (much larger) customer-item table on `item`. At
-    # extreme item cardinality swap to a shuffle join by dropping the hint
-    # — AQE picks SMJ automatically if the estimate exceeds the threshold.
+    # Shuffle layout: the scored candidate set (|cust_items| x CAND_M,
+    # ~15.5M rows at sf0.1) is the expensive thing to move, so move it
+    # ONCE. Both small sides broadcast (cooc is capped at |items| x
+    # CAND_M by construction; `already` is one (custkey, item) pair set),
+    # then a single repartition on custkey feeds BOTH the aggregation and
+    # the window: hash(custkey) satisfies the clustering requirement of
+    # groupBy(custkey, rec) and of the custkey window, so neither inserts
+    # another exchange — one wide shuffle total, vs agg-on-(custkey,rec)
+    # + window-on-custkey re-shuffles of the same 15.5M rows.
+    # At 100 TB neither side broadcasts: drop both hints and the same
+    # program runs as co-partitioned SMJs (AQE picks them); the
+    # one-exchange agg+window reuse still holds.
     scores = (
         cust_items.join(F.broadcast(cooc), "item")
-        .join(already, ["custkey", "rec"], "left_anti")
+        .join(F.broadcast(already), ["custkey", "rec"], "left_anti")
+        .repartition("custkey")
         .groupBy("custkey", "rec")
         .agg(F.sum("w").alias("score"))
     )
