@@ -17,6 +17,7 @@ from ..operators import (  # noqa: F401,E402
     multimodal,
 )
 from ..ps import queries as ps_queries  # noqa: F401,E402
+from ..sources import formats as source_formats  # noqa: F401,E402
 from ..streaming import queries as streaming_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,62 @@
+"""Source-format breadth (SURVEY.md §2 D1/D2): CSV and JSON sources and
+sinks alongside parquet.
+
+The harness fixtures are parquet-only, so format support is proven by a
+round trip: write a fixture table out as CSV and as JSON (sinks), read
+both back with an explicit schema (sources), and check the two reads
+agree with each other and with the parquet original — the oracle is
+plain SQL over the parquet table, so any encode/decode drift in either
+format fails the value hash.
+
+Scale notes: CSV/JSON scans split by line just like parquet splits by
+row group (maxPartitionBytes governs both); schemas are always supplied
+explicitly — schema inference is a full extra pass over 100 TB and is
+never acceptable in production paths.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators._util import t
+from ..plans.registry import register
+
+
+@register(
+    "source_format_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    tags=("D1", "D2"),
+    doc="CSV + JSON source/sink round trip: nation written as headered "
+    "CSV and as JSON lines, both read back under the explicit schema, "
+    "inner-joined on the key with a value-equality predicate on every "
+    "column — output matches the parquet original exactly, so both "
+    "formats' encode/decode paths are value-checked.",
+)
+def source_format_roundtrip(spark, sf_dir):
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="fps_formats_")
+    n.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
+    n.write.mode("overwrite").json(f"{tmp}/json")
+    c = spark.read.schema(n.schema).option("header", True).csv(f"{tmp}/csv")
+    j = (
+        spark.read.schema(n.schema)
+        .json(f"{tmp}/json")
+        .select(
+            F.col("n_nationkey").alias("jk"),
+            F.col("n_name").alias("jn"),
+            F.col("n_regionkey").alias("jr"),
+        )
+    )
+    return (
+        c.join(
+            j,
+            (F.col("n_nationkey") == F.col("jk"))
+            & (F.col("n_name") == F.col("jn"))
+            & (F.col("n_regionkey") == F.col("jr")),
+        )
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -40,3 +40,32 @@ def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
     ).select("purchase_id", "click_id", "user_id", (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"))
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension, then aggregated per (segment, event_type).
+
+    The static side needs no watermark and holds no state — Spark
+    re-resolves it each micro-batch and (being dimension-sized)
+    broadcasts it into the stream; at 100 TB the dimension shuffles
+    instead and the same program runs as a co-partitioned join. The
+    aggregate runs in complete mode downstream (no event-time key), so
+    its state is bounded by |segments| x |event types|.
+    """
+    from ..operators._util import t
+
+    ev = stream_events(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.join(cust, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )

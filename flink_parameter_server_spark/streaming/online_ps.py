@@ -77,14 +77,25 @@ def _online_mf_update(key, pdf_iter, state: GroupState):
     # must still process records in global seq order, not per-chunk order.
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
     if chunks:
+        import numpy as np
+
         pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
-        users = pdf["user"].to_numpy()
-        ratings = pdf["rating"].to_numpy()
-        for user, rating in zip(users, ratings):
-            u = _user_vec(int(user))
-            e = float(rating) - sum(a * b for a, b in zip(u, v))
-            v = [vi + LR * e * ui for vi, ui in zip(v, u)]
-            n += 1
+        users = pdf["user"].to_numpy(dtype=np.int64)
+        ratings = pdf["rating"].to_numpy(dtype=np.float64)
+        # vectorized batch precompute of all user vectors (the hash init
+        # is pure arithmetic); the SGD recurrence itself is inherently
+        # sequential (v_{t+1} depends on v_t), so only the inner K-dim
+        # ops are vectorized — semantics identical to the scalar loop.
+        js = np.arange(K, dtype=np.int64)
+        hs = ((users[:, None] + 1) * KNUTH + (js[None, :] + 1) * 40503 + USER_SEED * 97) % MOD
+        U = FACTOR_LO + hs / MOD * (FACTOR_HI - FACTOR_LO)
+        vv = np.asarray(v, dtype=np.float64)
+        for t in range(len(users)):
+            u = U[t]
+            e = ratings[t] - float(u @ vv)
+            vv = vv + LR * e * u
+        v = [float(x) for x in vv]
+        n += len(users)
     state.update(([float(x) for x in v],))  # plain floats: numpy scalars break state pickling
     yield pd.DataFrame([{"item": item, "n_updates": n, **{f"f{j}": v[j] for j in range(K)}}])
 

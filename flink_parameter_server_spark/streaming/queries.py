@@ -114,6 +114,28 @@ def _run_instance_stream(spark, src_df, build_stream, prefix: str, out_cols):
 
 
 @register(
+    "streaming_static_enrich",
+    oracle="""
+SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+    tags=("D17", "D4"),
+    doc="Stream-static join executed as a REAL stream: event stream "
+    "enriched with the static customer dimension (broadcast per "
+    "micro-batch, no join state), complete-mode aggregate per "
+    "(segment, event_type) checked against the batch-join oracle.",
+)
+def streaming_static_enrich(spark, sf_dir):
+    from .joins import stream_static_enrich
+    from .windows import run_to_memory
+
+    name = f"stq_enrich_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(stream_static_enrich(spark, sf_dir), name)
+
+
+@register(
     "pa_online_sequential",
     oracle=None,
     tags=("A1", "B8", "D21", "A7"),
