@@ -7,6 +7,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 from ..operators import (  # noqa: F401,E402
     relational,
     relational2,
+    relational3,
     recommend,
     windows,
     asof,
