@@ -1,0 +1,203 @@
+"""Text retrieval operators (LLM-data-pipeline surface, SURVEY.md §2 D26
+adjacency): TF-IDF term weighting, BM25 ranked search, and an inverted
+(posting-list) index build.
+
+All three are pure built-in-function programs over the whitespace token
+array — explode/groupBy/window, no UDFs — so the hot path is whole-stage
+codegen. The shapes are the 100 TB ones: one shuffle on (doc, term) for
+term frequencies, one on term for document frequencies; global scalars
+(N, avgdl) are 1-row aggregates broadcast into the scoring join, never
+driver-side constants.
+
+Float discipline: idf/score use ln() on identical double inputs in both
+engines and are rounded to 6dp before any ordering decision, so the
+tie-breaks (term asc, doc_id asc) see identical keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+from ..plans.registry import register
+from ._util import t
+
+# BM25 parameters (standard Robertson/Lucene defaults).
+K1 = 1.2
+B = 0.75
+BM25_TERMS = ("spark", "join", "stream")
+TOP_TERMS = 3
+TOP_DOCS = 10
+
+
+def _tf_sql() -> str:
+    """DuckDB CTE: (doc_id, tok, tf) term frequencies."""
+    return f"""
+tk AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2)
+"""
+
+
+def _tf(spark, sf_dir):
+    """(doc_id, tok, tf) term frequencies — one shuffle on (doc_id, tok)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {_tf_sql()},
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS weight
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, weight, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, tok) AS rk
+  FROM w
+) WHERE rk <= {TOP_TERMS}
+""",
+    tags=("D26", "D12"),
+    doc="TF-IDF top terms per document: tf from one (doc,term) shuffle, "
+    "df from one term shuffle over the tf relation (already distinct "
+    "doc x term, so count(*) — no second distinct), idf = ln(N/df) with "
+    "N a broadcast 1-row aggregate, per-doc top-3 via row_number. At "
+    "100 TB both shuffles are the minimum possible for this computation "
+    "and df (|vocab| rows) broadcasts into the scoring join.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    tf = _tf(spark, sf_dir)
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("weight"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("tok"))
+    return (
+        w.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= TOP_TERMS)
+        .select("doc_id", "tok", "tf", "df", "weight", "rk")
+    )
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH {_tf_sql()},
+dl AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl.dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN {BM25_TERMS!r}),
+df AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+scored AS (
+  SELECT q.doc_id,
+         sum(CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (q.tf * {K1 + 1.0})
+             / (q.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), 6)
+             AS DECIMAL(18,6))) AS score,
+         count(*) AS n_terms_hit
+  FROM qtf q
+  JOIN df d USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.doc_id
+)
+SELECT doc_id, round(CAST(score AS DOUBLE), 6) AS score, n_terms_hit
+FROM scored
+ORDER BY round(CAST(score AS DOUBLE), 6) DESC, doc_id
+LIMIT {TOP_DOCS}
+""",
+    tags=("D26", "D13"),
+    doc="BM25 ranked search for a fixed query-term set (k1=1.2, b=0.75, "
+    "Lucene idf): term frequencies filtered to the query terms BEFORE "
+    "any shuffle (predicate pushdown on the exploded stream), document "
+    "length and corpus stats (N, avgdl) as broadcast 1-row aggregates, "
+    "top-10 via TakeOrdered (sort+limit), fully deterministic order by "
+    "(rounded score, doc_id). The per-term sum is a float fold over <= "
+    "|query| values per doc — order-independent at this fan-in since "
+    "every addend is computed identically in both engines and the "
+    "result is rounded before ranking.",
+)
+def bm25_search(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tf = _tf(spark, sf_dir).where(F.col("tok").isin(*BM25_TERMS))
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (1.0 - B + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            # per-term round -> exact decimal sum: fold-order independent
+            F.sum(F.round(contrib, 6).cast("decimal(18,6)")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+            "n_terms_hit",
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_DOCS)
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH {_tf_sql()}
+SELECT tok,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS n_occ,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY tok
+""",
+    tags=("D26", "D16"),
+    doc="Inverted-index build: term -> document-frequency, total "
+    "occurrences, and the sorted posting list (comma-joined doc ids). "
+    "One shuffle on (doc,term) for tf, one on term to assemble postings "
+    "— sort_array(collect_list(...)) keeps the list deterministic "
+    "without a global sort. At 100 TB posting lists for stop-like terms "
+    "are the skew risk: shard hot terms by doc_id range (salting) and "
+    "concatenate shards, exactly like the salted_sum utility in "
+    "ps/skew.py.",
+)
+def inverted_index(spark, sf_dir):
+    tf = _tf(spark, sf_dir)
+    return tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("n_occ"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("postings"),
+    )

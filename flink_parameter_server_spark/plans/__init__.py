@@ -9,6 +9,7 @@ from ..operators import (  # noqa: F401,E402
     relational2,
     relational3,
     recommend,
+    retrieval,
     windows,
     asof,
     dedup,
