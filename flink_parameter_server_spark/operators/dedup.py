@@ -381,3 +381,105 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D23/D24 — near-dup clustering: connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 15
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=None,  # set below: composes the registered minhash-pair oracle
+    tags=("D23", "D24"),
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph (min-label propagation to fixpoint), canonical doc per "
+    "cluster = min doc_id, singletons map to themselves. The Spark loop "
+    "is the standard iterative CC: per round one join + one groupBy-min, "
+    "labels persisted and localCheckpoint'ed to keep lineage flat; "
+    "converges in <= diameter rounds (asserted bounded). At 100 TB use "
+    "the same loop with alternating small-star/large-star moves "
+    "(Kiveris et al.) to cut rounds to ~log n; per-round cost is one "
+    "shuffle on doc_id either way. Oracle: DuckDB WITH RECURSIVE "
+    "transitive closure over the identical (seeded, replayable) pair "
+    "set — min reachable doc_id per node.",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = (
+        t(spark, sf_dir, "documents").select("doc_id", F.col("doc_id").alias("cluster"))
+    ).persist()
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage across rounds
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster",
+        (F.col("doc_id") == F.col("cluster")).cast("int").alias("is_canonical"),
+    )
+
+
+def _install_cc_oracle() -> None:
+    """Compose the CC oracle from the registered minhash-pair oracle:
+    DuckDB WITH RECURSIVE transitive closure, min reachable id per node.
+    Installed post-registration because it embeds dedup_minhash_lsh's
+    oracle text verbatim (single source of truth for the pair set)."""
+    import dataclasses
+
+    from ..plans.registry import REGISTRY
+
+    mh = REGISTRY["dedup_minhash_lsh"].oracle
+    cc = f"""
+WITH RECURSIVE
+pairs AS ({mh}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster,
+       CAST(src = min(dst) AS INT) AS is_canonical
+FROM reach GROUP BY src
+"""
+    spec = REGISTRY["dedup_cluster_canonical"]
+    REGISTRY["dedup_cluster_canonical"] = dataclasses.replace(spec, oracle=cc)
+
+
+_install_cc_oracle()
