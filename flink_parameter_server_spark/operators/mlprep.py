@@ -1,0 +1,124 @@
+"""ML-pipeline data-prep operators (LLM-data-pipeline surface):
+deterministic stratified train/valid/test split and embedding
+L2-normalization + symmetric int8 quantization.
+
+Both are single-pass built-in-function programs — the split is one
+window over (stratum, pseudo-random order), the quantizer is pure
+per-row array math — so they stay in whole-stage codegen and scale
+linearly: no shuffle at all for the quantizer, one window shuffle on
+the stratum key for the split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import int_hash, int_hash_sql
+from ..functions.vectors import as_double, norm2, norm2_sql
+from ..plans.registry import register
+from ._util import t
+
+SPLIT_SEED = 77
+N_TILES = 10  # 8/1/1 -> train/valid/test
+Q_BITS = 127.0
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CASE WHEN tile <= 8 THEN 'train'
+            WHEN tile = 9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         ntile({N_TILES}) OVER (
+           PARTITION BY lang, source
+           ORDER BY {int_hash_sql('doc_id', 0, 77)}, doc_id) AS tile
+  FROM documents
+) t
+""",
+    tags=("D12", "D26"),
+    doc="Stratified train/valid/test split: within each (lang, source) "
+    "stratum, rows are ordered by a seeded integer hash (deterministic "
+    "pseudo-random permutation, replayed exactly by the oracle) and "
+    "ntile(10) assigns 80/10/10 — exact per-stratum proportions, unlike "
+    "a plain hash-mod split whose per-stratum fractions drift. One "
+    "window shuffle on the stratum key; at 100 TB strata are large and "
+    "contiguous so the sort is the only cost, and a sampled-quantile "
+    "assignment (approx ntile) drops the sort if needed.",
+)
+def train_test_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    win = Window.partitionBy("lang", "source").orderBy(
+        int_hash(F.col("doc_id"), 0, 77), F.col("doc_id")
+    )
+    tile = F.ntile(N_TILES).over(win)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(tile <= 8, F.lit("train"))
+        .when(tile == 9, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH nv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2_sql('embedding')})) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM nv
+)
+SELECT vec_id, label,
+       round(scale, 6) AS scale,
+       round(sqrt({norm2_sql('v')}), 6) AS norm_check,
+       array_to_string(list_transform(v, x -> CAST(CAST(round(x / scale * {Q_BITS}, 0) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+FROM sc
+""",
+    tags=("D25", "D16"),
+    doc="Embedding L2-normalize + symmetric int8 quantization: unit "
+    "vector, per-vector scale = max |component|, q = round(v/scale*127) "
+    "in [-127, 127] emitted as a csv string (exact integers, "
+    "hash-stable). Map-only — zero shuffles at any scale; norm_check "
+    "re-derives ||v|| = 1 through the same sequential fold both engines "
+    "use, guarding the normalization path.",
+)
+def embedding_quantize(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: x / F.sqrt(norm2(as_double(F.col("embedding")))),
+    )
+    nv = e.select("vec_id", "label", v.alias("v"))
+    sc = nv.select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("scale"),
+    )
+    q = F.concat_ws(
+        ",",
+        F.transform(
+            "v",
+            lambda x: F.round(x / F.col("scale") * Q_BITS, 0)
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    return sc.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.sqrt(norm2(F.col("v"))), 6).alias("norm_check"),
+        q.alias("q_csv"),
+    )

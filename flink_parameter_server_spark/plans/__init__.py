@@ -17,6 +17,7 @@ from ..operators import (  # noqa: F401,E402
     sketches,
     textstats,
     multimodal,
+    mlprep,
 )
 from ..ps import queries as ps_queries  # noqa: F401,E402
 from ..sources import formats as source_formats  # noqa: F401,E402
