@@ -125,3 +125,77 @@ def events_dedup_keep_first(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", F.round(F.col("value"), 4).alias("value"))
     )
+
+
+@register(
+    "events_multires_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS tv
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT date_trunc('day', h) AS d, event_type,
+         CAST(sum(n) AS BIGINT) AS n, sum(tv) AS tv
+  FROM hourly GROUP BY 1, 2
+),
+monthly AS (
+  SELECT date_trunc('month', d) AS m, event_type,
+         CAST(sum(n) AS BIGINT) AS n, sum(tv) AS tv
+  FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, strftime(h, '%Y-%m-%d %H:00') AS bucket, event_type,
+       n, round(CAST(tv AS DOUBLE), 4) AS total_value FROM hourly
+UNION ALL
+SELECT 'day', strftime(d, '%Y-%m-%d'), event_type, n,
+       round(CAST(tv AS DOUBLE), 4) FROM daily
+UNION ALL
+SELECT 'month', strftime(m, '%Y-%m'), event_type, n,
+       round(CAST(tv AS DOUBLE), 4) FROM monthly
+""",
+    tags=("D17", "D11"),
+    doc="Multi-resolution rollup (hypertable continuous-aggregate "
+    "pattern): hourly aggregate computed once from raw events, daily "
+    "derived by re-aggregating hourly, monthly from daily — each level "
+    "reads the previous level's output, never rescans raw data. Sums "
+    "stay DECIMAL through the cascade (exact, re-aggregation-safe) and "
+    "round only at output. At 100 TB this is the materialized-rollup "
+    "shape: the raw scan happens exactly once and each further level "
+    "shuffles |previous level| rows (~1000x smaller).",
+)
+def events_multires_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+        )
+        .persist()  # hourly feeds daily AND output; daily feeds monthly AND output
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("tv").alias("tv"))
+        .persist()
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("d")).alias("m"), "event_type"
+    ).agg(F.sum("n").cast("long").alias("n"), F.sum("tv").alias("tv"))
+
+    def lvl(df, grain, col, fmt):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format(F.col(col), fmt).alias("bucket"),
+            "event_type",
+            "n",
+            F.round(F.col("tv").cast("double"), 4).alias("total_value"),
+        )
+
+    return (
+        lvl(hourly, "hour", "h", "yyyy-MM-dd HH:00")
+        .unionAll(lvl(daily, "day", "d", "yyyy-MM-dd"))
+        .unionAll(lvl(monthly, "month", "m", "yyyy-MM"))
+    )
