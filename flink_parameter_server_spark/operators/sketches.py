@@ -154,9 +154,21 @@ FROM counters JOIN exact ON counters.lang = exact.lang
     "All-integer arithmetic -> bit-exact oracle.",
 )
 def ams_sketch_f2(spark, sf_dir):
-    occ = t(spark, sf_dir, "documents").select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
-    counters = occ.groupBy("lang").agg(
-        *[F.sum(_ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
+    # Aggregate occurrences to (lang, tok, f) FIRST, then evaluate the
+    # interpreted char-fold hash once per DISTINCT (lang, token) and
+    # weight its +/-1 sign by f: sum over occurrences of sign(tok) ==
+    # sum over distinct toks of f * sign(tok). Cuts hash work from
+    # O(occurrences x seeds) to O(|vocab| x seeds) and feeds both the
+    # counters and the exact-F2 branch from the same persisted freq
+    # relation (one scan, one shuffle).
+    occ = (
+        t(spark, sf_dir, "documents")
+        .repartition(32)  # single-file scan: spread the explode
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    freq = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
+    counters = freq.groupBy("lang").agg(
+        *[F.sum(F.col("f") * _ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
     )
     est = counters.select(
         "lang",
@@ -165,12 +177,7 @@ def ams_sketch_f2(spark, sf_dir):
             6,
         ).alias("f2_estimate"),
     )
-    exact = (
-        occ.groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .groupBy("lang")
-        .agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
-    )
+    exact = freq.groupBy("lang").agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
     return est.join(exact, "lang")
 
 
@@ -278,8 +285,14 @@ FROM est JOIN exact ON est.lang = exact.lang AND est.word = exact.word
     "binary-blob form. All-integer -> bit-exact oracle.",
 )
 def count_min_frequency(spark, sf_dir):
+    # Same restructure as ams_sketch_f2: pre-aggregate to (lang, tok, f)
+    # so the 4 char-fold row hashes run once per DISTINCT token, with
+    # cell counts as sum(f) instead of count(occurrences).
     docs = t(spark, sf_dir, "documents")
-    occ = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    occ = docs.repartition(32).select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
     seed_cols = F.explode(
         F.array(
             *[
@@ -289,9 +302,9 @@ def count_min_frequency(spark, sf_dir):
         )
     ).alias("sc")
     cells = (
-        occ.select("lang", seed_cols)
+        freq.select("lang", "f", seed_cols)
         .groupBy("lang", F.col("sc.seed").alias("seed"), F.col("sc.col").alias("col"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("f").alias("c"))
     )
     words = spark.createDataFrame([(w,) for w in CMS_PROBE_WORDS], ["word"])
     probes = words.select(
@@ -312,14 +325,10 @@ def count_min_frequency(spark, sf_dir):
         .groupBy("lang", "word")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
-    # count a right-side marker, not the USING key (which Spark coalesces
-    # to non-null even for unmatched left rows)
-    occ_hits = occ.withColumnRenamed("tok", "word").withColumn("_hit", F.lit(1))
     exact = (
         langs.crossJoin(words)
-        .join(occ_hits, ["lang", "word"], "left")
-        .groupBy("lang", "word")
-        .agg(F.count(F.col("_hit")).alias("exact_count"))
+        .join(freq.withColumnRenamed("tok", "word"), ["lang", "word"], "left")
+        .select("lang", "word", F.coalesce("f", F.lit(0)).alias("exact_count"))
     )
     return est.join(exact, ["lang", "word"]).select(
         "lang", "word", F.col("cms_estimate").cast("long").alias("cms_estimate"), "exact_count"
