@@ -1,0 +1,133 @@
+"""Round-2 operator tests: plan shapes and semantic properties for the
+reshaping / retrieval / clustering / ML-prep additions.
+
+Plan assertions follow test_plans.py's contract (broadcasts present,
+no cartesians, expected exchange counts); property tests check the
+invariants the oracle can't see (cluster validity, split proportions,
+quantization round-trip error bound)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.plans import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+def test_unpivot_is_map_only_expand(spark):
+    plan = _plan(spark, "lineitem_unpivot")
+    assert "Expand" in plan  # unpivot lowers to Expand, not a 4-way union
+    assert "Exchange" not in plan  # no shuffle for a melt
+    assert plan.count("Scan parquet") == 1  # one scan, vs oracle's four
+
+
+def test_pivot_is_single_aggregation_pass(spark):
+    plan = _plan(spark, "orders_pivot")
+    # explicit value list => no extra distinct-scan job: exactly one scan
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_gap_fill_grid_broadcasts(spark):
+    plan = _plan(spark, "events_hourly_gap_fill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_broadcasts_stats_no_cartesian(spark):
+    for name in ("tfidf_top_terms", "bm25_search"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_bm25_filters_terms_before_aggregation(spark):
+    # the query-term filter must sit below the first aggregate so the
+    # (doc, term) shuffle carries |query| terms per doc, not the vocab
+    plan = _plan(spark, "bm25_search")
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos > 0
+    assert "tok" in plan  # term filter visible in the plan at all
+
+
+def test_shingle_hash_runs_on_distinct_tokens(spark):
+    # hashed_shingles hashes the vocab dimension then joins back: the
+    # plan must contain the broadcast join, proving folds don't run
+    # per occurrence
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# semantic properties
+# ---------------------------------------------------------------------------
+
+def test_cluster_labels_consistent_across_edges(spark):
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMALL).select("doc_a", "doc_b")
+    labels = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
+    a = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca"))
+    b = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert joined.where(F.col("ca") != F.col("cb")).count() == 0
+    # canonical == min member of its cluster
+    mins = labels.groupBy("cluster").agg(F.min("doc_id").alias("mn"))
+    assert mins.where(F.col("cluster") != F.col("mn")).count() == 0
+
+
+def test_stratified_split_proportions_exact(spark):
+    rows = REGISTRY["train_test_split"].fn(spark, SF_SMALL).collect()
+    per_stratum = Counter()
+    per_split = Counter()
+    for r in rows:
+        per_stratum[(r.lang, r.source)] += 1
+        per_split[(r.lang, r.source, r.split)] += 1
+    for (lang, source), n in per_stratum.items():
+        tr = per_split[(lang, source, "train")]
+        # ntile(10): train tiles 1..8 -> between floor(0.8n) and ceil(0.8n)+eps
+        assert abs(tr - 0.8 * n) <= 8, (lang, source, tr, n)
+
+
+def test_quantization_roundtrip_error_bounded(spark):
+    out = REGISTRY["embedding_quantize"].fn(spark, SF_SMALL).limit(50).collect()
+    for r in out:
+        q = [int(x) for x in r.q_csv.split(",")]
+        assert max(abs(v) for v in q) == 127  # scale anchors the max component
+        assert abs(r.norm_check - 1.0) <= 1e-6  # unit vector
+        # dequantized vector stays close to unit norm
+        scale = r.scale
+        dq = [v * scale / 127.0 for v in q]
+        norm = sum(x * x for x in dq) ** 0.5
+        assert abs(norm - 1.0) < 0.05
+
+
+def test_multires_rollup_levels_consistent(spark):
+    df = REGISTRY["events_multires_rollup"].fn(spark, SF_SMALL)
+    per_grain = {
+        r.grain: (r.n, round(r.tv, 2))
+        for r in df.groupBy("grain")
+        .agg(F.sum("n").alias("n"), F.sum("total_value").alias("tv"))
+        .collect()
+    }
+    # every grain re-aggregates the same event set: counts identical
+    assert per_grain["hour"][0] == per_grain["day"][0] == per_grain["month"][0]
+    assert abs(per_grain["hour"][1] - per_grain["day"][1]) < 0.05
+
+
+def test_gap_fill_zero_rows_present(spark):
+    df = REGISTRY["events_hourly_gap_fill"].fn(spark, "/root/testdata/sf0.01")
+    assert df.where(F.col("n") == 0).count() > 0  # fill is exercised
+    # grid is dense: |types| x |hours|
+    n_types = df.select("event_type").distinct().count()
+    n_hours = df.select("h").distinct().count()
+    assert df.count() == n_types * n_hours
