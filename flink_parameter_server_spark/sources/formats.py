@@ -60,3 +60,41 @@ def source_format_roundtrip(spark, sf_dir):
         )
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "source_format_orc_avro",
+    oracle="""
+SELECT r_regionkey, r_name, count(*) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey, r_name
+""",
+    tags=("D1", "D2"),
+    doc="ORC source/sink round trip (plus Avro when the spark-avro "
+    "package is on the classpath — probed, not assumed): region and "
+    "nation written as ORC, read back, joined and aggregated. The "
+    "oracle runs on the parquet originals, so any ORC encode/decode "
+    "drift fails the value hash. ORC ships in Spark core (native "
+    "reader, predicate pushdown + column pruning like parquet); Avro "
+    "is an external package, exercised only if importable.",
+)
+def source_format_orc_avro(spark, sf_dir):
+    import tempfile
+
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="fps_orc_")
+    region.write.mode("overwrite").orc(f"{tmp}/region")
+    nation.write.mode("overwrite").orc(f"{tmp}/nation")
+    r = spark.read.orc(f"{tmp}/region")
+    n = spark.read.orc(f"{tmp}/nation")
+    try:  # Avro needs the spark-avro jar; exercise when present
+        nation.write.mode("overwrite").format("avro").save(f"{tmp}/nation_avro")
+        n = spark.read.format("avro").load(f"{tmp}/nation_avro")
+    except Exception:
+        pass  # jar absent in this container: ORC-only round trip
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
