@@ -71,46 +71,60 @@ def train_test_split(spark, sf_dir):
     oracle=f"""
 WITH nv AS (
   SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
          list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2_sql('embedding')})) AS v
   FROM embeddings
+  WHERE {norm2_sql('embedding')} > 0
 ),
 sc AS (
-  SELECT vec_id, label, v,
+  SELECT vec_id, label, v, xd,
+         list_max(list_transform(xd, x -> abs(x))) AS maxabs,
          list_max(list_transform(v, x -> abs(x))) AS scale
   FROM nv
 )
 SELECT vec_id, label,
        round(scale, 6) AS scale,
        round(sqrt({norm2_sql('v')}), 6) AS norm_check,
-       array_to_string(list_transform(v, x -> CAST(CAST(round(x / scale * {Q_BITS}, 0) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+       array_to_string(list_transform(xd, x -> CAST(CAST(round(round(x / maxabs * {Q_BITS}, 6), 0) AS BIGINT) AS VARCHAR)), ',') AS q_csv
 FROM sc
 """,
     tags=("D25", "D16"),
     doc="Embedding L2-normalize + symmetric int8 quantization: unit "
     "vector, per-vector scale = max |component|, q = round(v/scale*127) "
     "in [-127, 127] emitted as a csv string (exact integers, "
-    "hash-stable). Map-only — zero shuffles at any scale; norm_check "
-    "re-derives ||v|| = 1 through the same sequential fold both engines "
-    "use, guarding the normalization path.",
+    "hash-stable). Determinism: q is derived from the RAW components — "
+    "v_i/scale == x_i/max|x_j| exactly in real arithmetic, so the "
+    "quantize path uses x_i/maxabs directly, where both inputs are "
+    "bit-identical across engines (float32->double cast is exact, max "
+    "is fold-order-independent), unlike the normalize fold whose "
+    "last-ulp drift once flipped a half-tie component (-56 vs -57); a "
+    "6dp pre-round before the integer round guards the residual exact "
+    "n.5 ties, which both engines round away from zero. Zero vectors "
+    "(norm2 = 0) are filtered in both engines rather than emitting NaN "
+    "rows. Map-only — zero shuffles at any scale; norm_check re-derives "
+    "||v|| = 1 through the same sequential fold both engines use, "
+    "guarding the normalization path.",
 )
 def embedding_quantize(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    v = F.transform(
-        as_double(F.col("embedding")),
-        lambda x: x / F.sqrt(norm2(as_double(F.col("embedding")))),
+    xd = as_double(F.col("embedding"))
+    v = F.transform(xd, lambda x: x / F.sqrt(norm2(xd)))
+    nv = e.where(norm2(xd) > 0).select(
+        "vec_id", "label", xd.alias("xd"), v.alias("v")
     )
-    nv = e.select("vec_id", "label", v.alias("v"))
     sc = nv.select(
         "vec_id",
         "label",
         "v",
+        "xd",
+        F.array_max(F.transform("xd", lambda x: F.abs(x))).alias("maxabs"),
         F.array_max(F.transform("v", lambda x: F.abs(x))).alias("scale"),
     )
     q = F.concat_ws(
         ",",
         F.transform(
-            "v",
-            lambda x: F.round(x / F.col("scale") * Q_BITS, 0)
+            "xd",
+            lambda x: F.round(F.round(x / F.col("maxabs") * Q_BITS, 6), 0)
             .cast("long")
             .cast("string"),
         ),
