@@ -71,6 +71,76 @@ def streaming_session_windows(spark, sf_dir):
 
 
 @register(
+    "streaming_session_timeout",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, us,
+         CASE WHEN prev IS NULL OR us - prev >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, sid, min(us) AS session_start_us, count(*) AS n_events,
+         max(us) - min(us) AS dur_us, max(us) AS last_us,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM s GROUP BY user_id, sid
+), mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+SELECT user_id, session_start_us, n_events, dur_us,
+       CASE WHEN sid < max_sid THEN 'data'
+            ELSE 'timeout' END AS close_reason
+FROM sess, mx
+WHERE sid < max_sid
+   OR last_us // 1000 + {SESSION_GAP_US // 1000} < max_us // 1000 - 3600000
+""",
+    tags=("D18", "D21", "D2"),
+    doc="D21's state-timeout facet as a REAL stream: custom sessionization "
+    "on applyInPandasWithState with GroupStateTimeout.EventTimeTimeout — "
+    "sessions close either when a same-user event arrives past the 30-min "
+    "gap ('data') or when the watermark passes last+gap in the trailing "
+    "no-data micro-batch ('timeout'); final sessions the watermark never "
+    "reaches stay open and are unreported. Oracle = the lag/cumsum island "
+    "SQL, non-final islands tagged 'data', final islands tagged 'timeout' "
+    "only when last+gap < max_ts - 1h (the final watermark, ms-truncated "
+    "exactly as Spark tracks it).",
+)
+def streaming_session_timeout(spark, sf_dir):
+    from .sinks import session_timeout_stream
+    from .windows import run_to_memory
+
+    name = f"stq_sesstmo_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(session_timeout_stream(spark, sf_dir), name)
+
+
+@register(
+    "streaming_upsert_sink",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY 1
+""",
+    tags=("D2", "D17"),
+    doc="D2 exactly-once file sink as a REAL stream: update-mode aggregate "
+    "-> foreachBatch writes each micro-batch's updated rows to a "
+    "directory keyed by batch id (a replayed batch overwrites the same "
+    "directory, so retries are idempotent), and readers resolve "
+    "last-write-wins per key by max batch id — the production upsert "
+    "pattern for non-transactional warehouse tables. Oracle = the plain "
+    "batch aggregate: the latest update per key must equal the full-data "
+    "answer regardless of how the stream was micro-batched.",
+)
+def streaming_upsert_sink(spark, sf_dir):
+    from .sinks import foreachbatch_upsert
+
+    return foreachbatch_upsert(spark, sf_dir)
+
+
+@register(
     "streaming_purchase_attribution",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,

@@ -92,10 +92,20 @@ def _session_timeout_fn(key, pdf_iter, state: GroupState):
             start = last = u
             n = 1
         else:
-            last = u
+            # Out-of-order continuation (an event from a later micro-batch
+            # that is EARLIER in event time, still within the watermark):
+            # extend the session bounds, never shrink them.
+            last = max(last, u)
+            start = min(start, u)
             n += 1
     state.update((start, last, n))
-    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_MS)
+    # A key whose events arrive in a later micro-batch can have
+    # last + gap already behind the current watermark; an un-clamped
+    # timeout timestamp would make the state store throw. Clamp to
+    # watermark + 1 so the session times out on the next watermark
+    # advance instead of crashing the query.
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last // 1000 + SESSION_GAP_MS, wm + 1))
     if closed:
         yield pd.DataFrame(closed)
 

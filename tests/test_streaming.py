@@ -108,6 +108,165 @@ def test_drop_duplicates_within_watermark(spark):
     assert got.count() == want.count()
 
 
+def test_session_timeout_multibatch_late_data(spark):
+    """ADVICE r2: a key whose events arrive in a later micro-batch behind
+    the watermark must not crash the query (timeout clamp to wm+1) and
+    must EXTEND the session bounds, never shrink them (max/min merge).
+
+    Late rows are NOT auto-filtered for applyInPandasWithState, so the
+    un-clamped setTimeoutTimestamp(last+gap) would be behind the
+    watermark here and throw IllegalArgumentException."""
+    import pandas as pd
+
+    from flink_parameter_server_spark.streaming.sinks import (
+        SESS_OUT,
+        SESS_STATE,
+        _session_timeout_fn,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("us", LongType())]
+    )
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    # batch 0: user 1 at t0 and t0+5m; watermark driver at t0+10h
+    rows0 = [(1, base), (1, base + 5 * m), (99, base + 600 * m)]
+    # batch 1: user 1 event at t0+10m — 8.8h BEHIND the batch-0 watermark,
+    # still within user 1's 30-min gap; plus a fresh user 2 event
+    rows1 = [(1, base + 10 * m), (2, base + 601 * m)]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(f"{tmp}/src/f0")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{tmp}/src/f1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+            .withColumn("ts", F.timestamp_micros(F.col("us")))
+        )
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_timeout_fn,
+                SESS_OUT,
+                SESS_STATE,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_sess_mb")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.user_id: r for r in spark.table("t_sess_mb").collect()}
+
+    # user 1's session absorbed the late batch-1 event (n=3, dur=10m) and
+    # closed by timeout once the watermark passed the clamped timestamp;
+    # users 2/99 stay open (watermark never reaches last+gap) -> unreported
+    assert set(got) == {1}
+    s = got[1]
+    assert (s.session_start_us, s.n_events, s.dur_us, s.close_reason) == (
+        base,
+        3,
+        10 * m,
+        "timeout",
+    )
+
+
+def test_session_timeout_fn_out_of_order_extends_bounds():
+    """Unit-level: continuation events earlier in event time than state's
+    last must min/max-merge the bounds (ADVICE r2 low)."""
+    import pandas as pd
+
+    from flink_parameter_server_spark.streaming.sinks import _session_timeout_fn
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return 10**15  # far ahead: forces the clamp branch too
+
+        def remove(self):
+            self._t = None
+
+    m = 60_000_000
+    st = FakeState((1000 * m, 1010 * m, 3))
+    # one out-of-order event 5 min BEFORE the session start, within gap
+    list(_session_timeout_fn((7,), iter([pd.DataFrame({"us": [995 * m]})]), st))
+    start, last, n = st.updated
+    assert (start, last, n) == (995 * m, 1010 * m, 4)
+    assert st.timeout == 10**15 + 1  # clamped to watermark + 1
+
+
+def test_foreachbatch_upsert_multibatch_last_write_wins(spark):
+    """D2 sink: with the source split across micro-batches, the max-bid
+    resolution must still equal the full-data aggregate."""
+    from flink_parameter_server_spark.operators._util import money_sum
+    from pyspark.sql import Window
+
+    ev = t(spark, SF_SMALL, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        # three source files -> three micro-batches with maxFilesPerTrigger=1
+        ev.repartition(3).write.parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{tmp}/out/bid={batch_id}")
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        upd = spark.read.parquet(f"{tmp}/out")
+        assert upd.select("bid").distinct().count() > 1, "expected multiple batches"
+        w = Window.partitionBy("event_type").orderBy(F.desc("bid"))
+        got = (
+            upd.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("event_type", "n", "total_value")
+        )
+        batch = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        assert _rows(got) == _rows(batch)
+
+
 def test_online_mf_state_survives_restart(spark):
     """A1/D21: keyed state persists across query restarts — two availableNow
     runs over incrementally arriving files must equal one sequential pass
