@@ -27,155 +27,126 @@ CW0_SQL = lambda c_expr, f_expr: factor_element_sql(c_expr, f_expr, pa.W_SEED, p
 
 
 # ---------------------------------------------------------------------------
-# A2/A5 — pull with lazy deterministic init
-# ---------------------------------------------------------------------------
-
-@register(
-    "ps_pull_factors",
-    oracle=f"""
-SELECT DISTINCT l_partkey AS param_id,
-  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f0,
-  round({factor_element_sql('l_partkey', '1', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f1,
-  round({factor_element_sql('l_partkey', '2', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f2,
-  round({factor_element_sql('l_partkey', '3', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS f3
-FROM lineitem WHERE l_orderkey % 100 = 0
-""",
-    tags=("A2", "A5"),
-    doc="PS pull: workers resolve parameter values for the keys they touch; "
-    "the request/response round-trip is an equi-join, lazy init is a pure "
-    "function of param_id (reference: ParameterServerClient#pull [C-high], "
-    "server/SimplePSLogic [C-med]).",
-)
-def ps_pull_factors(spark, sf_dir):
-    from .kernel import BatchParameterServer
-
-    keys = (
-        t(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 100 == 0)
-        .select(F.col("l_partkey").alias("param_id"))
-        .distinct()
-    )
-    ps = BatchParameterServer(init_fn=lambda pid: mf.item_vec(pid))
-    pulled = ps.pull(keys)
-    return pulled.select(
-        "param_id",
-        *[F.round(F.element_at("value", i + 1), 6).alias(f"f{i}") for i in range(4)],
-    )
-
-
-@register(
-    "ps_push_update",
-    oracle=f"""
-SELECT l_partkey AS param_id,
-  round({factor_element_sql('l_partkey', '0', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}
-        + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS value_new
-FROM lineitem GROUP BY l_partkey
-""",
-    tags=("A3", "A4", "A5", "B11"),
-    doc="PS push + server fold + model dump: additive deltas are summed per "
-    "param (map-side combine = the reference's message combiners "
-    "common/CombinationLogic [C-med]) and folded into lazily-initialized "
-    "state (ParameterServerClient#push, ParameterServer#onPushRecv [C-high]).",
-)
-def ps_push_update(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    deltas = li.groupBy(F.col("l_partkey").alias("param_id")).agg(
-        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d")
-    )
-    return deltas.select(
-        "param_id",
-        F.round(
-            factor_element(F.col("param_id"), F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
-            + F.lit(0.001) * F.col("d").cast("double"),
-            6,
-        ).alias("value_new"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A6 — transformWithModelLoad: dump -> load -> pull under loaded state
+# A2-A6/B11 — the PS kernel surface as ONE query (pull, push-fold,
+# dump->load->pull), discriminated by `op` (registry consolidation, r3)
 # ---------------------------------------------------------------------------
 
 _INIT0_SQL = lambda id_expr: factor_element_sql(id_expr, "0", mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)  # noqa: E731
 
 
 @register(
-    "ps_model_load_pull",
+    "ps_kernel_ops",
     oracle=f"""
-WITH dumped AS (
+WITH pull_keys AS (
+  SELECT DISTINCT l_partkey AS param_id FROM lineitem WHERE l_orderkey % 100 = 0
+),
+push_folded AS (
+  SELECT l_partkey AS param_id,
+         {_INIT0_SQL('l_partkey')}
+         + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS w
+  FROM lineitem GROUP BY l_partkey
+),
+dumped AS (
   SELECT l_partkey AS param_id,
          {_INIT0_SQL('l_partkey')}
          + 0.001 * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS w
   FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY l_partkey
 )
-SELECT p_partkey AS param_id,
+SELECT 'pull' AS op, param_id, CAST(j AS BIGINT) AS dim,
+       round({factor_element_sql('param_id', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS w
+FROM pull_keys CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
+UNION ALL
+SELECT 'push' AS op, param_id, 0 AS dim, round(w, 6) + 0.0 AS w FROM push_folded
+UNION ALL
+SELECT 'load_pull' AS op, p_partkey AS param_id, 0 AS dim,
        round(coalesce(d.w, {_INIT0_SQL('p_partkey')}), 6) + 0.0 AS w
 FROM part LEFT JOIN dumped d ON d.param_id = p_partkey
 WHERE p_partkey % 20 = 0
 """,
-    tags=("A6", "B11", "A2", "A5"),
-    doc="transformWithModelLoad (reference: FlinkParameterServer"
-    "#transformWithModelLoad [C-med]): push one fold of deltas, DUMP the "
-    "params DataFrame to parquet (B11 — the state IS the model dump), "
-    "load it into a fresh server, and pull a key set that mixes dumped "
-    "keys with never-trained ones — the oracle replays dump content for "
-    "hits and the lazy init for misses, so load+pull semantics are "
-    "value-checked end to end.",
+    tags=("A2", "A3", "A4", "A5", "A6", "B11"),
+    doc="The PS kernel surface in one query, discriminated by `op` "
+    "(consolidated from ps_pull_factors / ps_push_update / "
+    "ps_model_load_pull so the driver verifies every op). "
+    "'pull': workers resolve parameter values via equi-join with lazy "
+    "deterministic init (ParameterServerClient#pull [C-high], "
+    "server/SimplePSLogic [C-med]). 'push': additive deltas summed per "
+    "param (map-side combine = common/CombinationLogic [C-med]) and "
+    "folded into lazily-initialized state (ParameterServer#onPushRecv "
+    "[C-high]). 'load_pull': transformWithModelLoad "
+    "(FlinkParameterServer#transformWithModelLoad [C-med]) — push one "
+    "fold, DUMP the params DataFrame to parquet (B11), load into a fresh "
+    "server, pull a key set mixing dumped keys with never-trained ones; "
+    "the oracle replays dump content for hits and lazy init for misses.",
 )
-def ps_model_load_pull(spark, sf_dir):
+def ps_kernel_ops(spark, sf_dir):
     import tempfile
 
     from .kernel import BatchParameterServer
 
+    li = t(spark, sf_dir, "lineitem")
+
+    # --- pull over lazily-initialized K=4 item vectors
+    keys = (
+        li.where(F.col("l_orderkey") % 100 == 0)
+        .select(F.col("l_partkey").alias("param_id"))
+        .distinct()
+    )
+    pulled = BatchParameterServer(init_fn=lambda pid: mf.item_vec(pid)).pull(keys)
+    pull_part = pulled.select(
+        F.lit("pull").alias("op"),
+        "param_id",
+        F.posexplode("value").alias("dim", "raw"),
+    ).select("op", "param_id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("w"))
+
+    # --- push: fold one round of summed deltas into init state
+    deltas = li.groupBy(F.col("l_partkey").alias("param_id")).agg(
+        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d")
+    )
+    push_part = deltas.select(
+        F.lit("push").alias("op"),
+        "param_id",
+        F.lit(0).cast("long").alias("dim"),
+        F.round(
+            factor_element(F.col("param_id"), F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+            + F.lit(0.001) * F.col("d").cast("double"),
+            6,
+        ).alias("w"),
+    )
+
+    # --- dump -> load -> pull (A6/B11)
     init_fn = lambda pid: F.array(  # noqa: E731
         factor_element(pid, F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
     )
-    li = t(spark, sf_dir, "lineitem")
-    deltas = (
+    load_deltas = (
         li.where(F.col("l_partkey") % 3 == 0)
         .groupBy(F.col("l_partkey").alias("param_id"))
         .agg(F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d"))
         .select("param_id", F.array(F.lit(0.001) * F.col("d").cast("double")).alias("delta"))
     )
     trained = BatchParameterServer(init_fn=init_fn)
-    trained.push(deltas)
+    trained.push(load_deltas)
     tmp = tempfile.mkdtemp(prefix="fps_model_dump_")
     trained.params.write.mode("overwrite").parquet(f"{tmp}/model")
-
     loaded = BatchParameterServer.load(spark, f"{tmp}/model", init_fn=init_fn)
-    keys = (
+    load_keys = (
         t(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 20 == 0)
         .select(F.col("p_partkey").alias("param_id"))
     )
-    return loaded.pull(keys).select(
-        "param_id", F.round(F.element_at("value", 1), 6).alias("w")
+    load_part = loaded.pull(load_keys).select(
+        F.lit("load_pull").alias("op"),
+        "param_id",
+        F.lit(0).cast("long").alias("dim"),
+        F.round(F.element_at("value", 1), 6).alias("w"),
     )
 
+    return pull_part.unionByName(push_part).unionByName(load_part)
+
 
 # ---------------------------------------------------------------------------
-# B3 — factor initializer
+# B3 + B1/B6 — factor initializer and epoch-1/epoch-2 item factors as ONE
+# query, discriminated by `epoch` (0 = init; registry consolidation, r3)
 # ---------------------------------------------------------------------------
-
-@register(
-    "mf_factor_init",
-    oracle=f"""
-SELECT p_partkey AS id, CAST(j AS BIGINT) AS dim,
-  round({factor_element_sql('p_partkey', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS value
-FROM part CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
-WHERE p_partkey % 20 = 0
-""",
-    tags=("B3",),
-    doc="Deterministic ranged factor initializer (reference: "
-    "RangedRandomFactorInitializerDescriptor [C-med]) — hash-based so the "
-    "oracle reproduces it exactly.",
-)
-def mf_factor_init(spark, sf_dir):
-    p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
-    return p.select(
-        F.col("p_partkey").alias("id"),
-        F.posexplode(mf.item_vec("p_partkey")).alias("dim", "raw"),
-    ).select("id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -249,63 +220,8 @@ def mf_sgd_deltas(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# B1 — one MF epoch (vectorized mini-batch gradient)
-# ---------------------------------------------------------------------------
-
 @register(
-    "mf_epoch_item_factors",
-    oracle=f"""
-WITH r AS ({RATINGS_SQL}),
-we AS (
-  SELECT "user", item, rating - {dot_sql(UVEC_SQL, IVEC_SQL)} AS e FROM r
-),
-ex AS (
-  SELECT item, j AS dim,
-         {factor_element_sql('"user"', 'j', mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} AS u_j, e
-  FROM we CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
-),
-d AS (
-  SELECT item, dim, sum(CAST(CAST({mf.LR} AS DOUBLE) * e * u_j AS DECIMAL(28,15))) AS d
-  FROM ex GROUP BY item, dim
-)
-SELECT item, CAST(dim AS BIGINT) AS dim,
-  round({factor_element_sql('item', 'dim', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)} + CAST(d AS DOUBLE), 6) + 0.0 AS value
-FROM d
-""",
-    tags=("B1", "A1"),
-    doc="One MF epoch: every rating's error against epoch-start factors, "
-    "deltas summed per (item, dim) with exact decimal accumulation "
-    "(reference: PSOnlineMatrixFactorization.scala [C-high]; sequential "
-    "per-record SGD re-expressed as a mini-batch epoch — divergence "
-    "documented in ps/mf.py).",
-)
-def mf_epoch_item_factors(spark, sf_dir):
-    from ..functions.vectors import dot
-
-    r = mf.ratings(spark, sf_dir)
-    we = r.withColumn("e", F.col("rating") - dot(mf.user_vec("user"), mf.item_vec("item")))
-    ex = we.select(
-        "item", "e", "user", F.explode(F.sequence(F.lit(0), F.lit(mf.K - 1))).alias("dim")
-    ).withColumn(
-        "u_j", factor_element(F.col("user"), F.col("dim"), mf.USER_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
-    )
-    d = ex.groupBy("item", "dim").agg(
-        F.sum((F.lit(mf.LR) * F.col("e") * F.col("u_j")).cast("decimal(28,15)")).alias("d")
-    )
-    return d.select(
-        "item",
-        F.col("dim").cast("long").alias("dim"),
-        F.round(
-            factor_element(F.col("item"), F.col("dim"), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
-            + F.col("d").cast("double"),
-            6,
-        ).alias("value"),
-    )
-
-
-@register(
-    "mf_two_epoch_factors",
+    "mf_epoch_factors",
     oracle=f"""
 WITH r AS ({RATINGS_SQL}),
 we1 AS (
@@ -336,18 +252,35 @@ d2 AS (
              AS DECIMAL(28,15))) AS d
   FROM we2 CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j) GROUP BY item, j
 )
-SELECT i1.item, CAST(i1.dim AS BIGINT) AS dim,
+SELECT 0 AS epoch, p_partkey AS id, CAST(j AS BIGINT) AS dim,
+       round({factor_element_sql('p_partkey', 'j', mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)}, 6) + 0.0 AS value
+FROM part CROSS JOIN (SELECT unnest(range(0, {mf.K})) AS j)
+WHERE p_partkey % 20 = 0
+UNION ALL
+SELECT 1 AS epoch, item AS id, CAST(dim AS BIGINT) AS dim,
+       round(v, 6) + 0.0 AS value
+FROM i1
+UNION ALL
+SELECT 2 AS epoch, i1.item AS id, CAST(i1.dim AS BIGINT) AS dim,
        round(i1.v + CAST(d2.d AS DOUBLE), 6) + 0.0 AS value
 FROM i1 JOIN d2 ON i1.item = d2.item AND i1.dim = d2.dim
 """,
-    tags=("B1", "B6", "A1"),
-    doc="TWO full MF epochs, oracle-checked end-to-end: epoch-2 errors are "
-    "computed against the epoch-1-updated item factors, proving the "
-    "iteration semantics (not just one step) match across engines. The "
-    "kernel trainer (mf_train_2epochs) computes the same shape with "
+    tags=("B3", "B1", "B6", "A1"),
+    doc="MF factor trajectory in one query, discriminated by `epoch` "
+    "(consolidated from mf_factor_init / mf_epoch_item_factors / "
+    "mf_two_epoch_factors). epoch 0: the deterministic ranged initializer "
+    "(reference: RangedRandomFactorInitializerDescriptor [C-med]) — "
+    "hash-based so the oracle reproduces it. epoch 1: every rating's "
+    "error against epoch-start factors, deltas summed per (item, dim) "
+    "with exact decimal accumulation (PSOnlineMatrixFactorization.scala "
+    "[C-high]; per-record SGD re-expressed as a mini-batch epoch — "
+    "divergence documented in ps/mf.py). epoch 2: epoch-2 errors computed "
+    "against the epoch-1-updated item factors, proving the ITERATION "
+    "semantics (not just one step) match across engines. The kernel "
+    "trainer (ps_train_epochs) computes the same shape with "
     "non-deterministic float fold order, hence its weaker rows-only check.",
 )
-def mf_two_epoch_factors(spark, sf_dir):
+def mf_epoch_factors(spark, sf_dir):
     from ..functions.vectors import dot
 
     r = mf.ratings(spark, sf_dir)
@@ -361,6 +294,17 @@ def mf_two_epoch_factors(spark, sf_dir):
             F.sum((F.lit(mf.LR) * F.col("e") * F.col("u_j")).cast("decimal(28,15)")).alias("d")
         )
 
+    init_part = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 20 == 0)
+        .select(
+            F.lit(0).alias("epoch"),
+            F.col("p_partkey").alias("id"),
+            F.posexplode(mf.item_vec("p_partkey")).alias("dim", "raw"),
+        )
+        .select("epoch", "id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("value"))
+    )
+
     we1 = r.withColumn("e", F.col("rating") - dot(mf.user_vec("user"), mf.item_vec("item")))
     i1 = epoch_deltas(we1).select(
         "item",
@@ -370,21 +314,28 @@ def mf_two_epoch_factors(spark, sf_dir):
             + F.col("d").cast("double")
         ).alias("v"),
     )
+    epoch1 = i1.select(
+        F.lit(1).alias("epoch"),
+        F.col("item").alias("id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round("v", 6).alias("value"),
+    )
     i1arr = i1.groupBy("item").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]).alias("iv")
     )
     we2 = r.join(i1arr, "item").withColumn(
         "e", F.col("rating") - dot(mf.user_vec("user"), F.col("iv"))
     )
-    d2 = epoch_deltas(we2)
-    return (
-        i1.join(d2, ["item", "dim"])
+    epoch2 = (
+        i1.join(epoch_deltas(we2), ["item", "dim"])
         .select(
-            "item",
+            F.lit(2).alias("epoch"),
+            F.col("item").alias("id"),
             F.col("dim").cast("long").alias("dim"),
-            (F.round(F.col("v") + F.col("d").cast("double"), 6)).alias("value"),
+            F.round(F.col("v") + F.col("d").cast("double"), 6).alias("value"),
         )
     )
+    return init_part.unionByName(epoch1).unionByName(epoch2)
 
 
 # ---------------------------------------------------------------------------
@@ -420,29 +371,63 @@ def mf_recommend_topk(spark, sf_dir):
 # B7 — seeded negative sampling with purchased-item exclusion
 # ---------------------------------------------------------------------------
 
+RING_R = 8  # reference's per-user recent-item memory capacity
+
+_NEG_CAND_SQL = f"""
+  SELECT u."user" AS "user", p.p_partkey AS item,
+         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
+  FROM (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0) u
+  CROSS JOIN part p
+  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
+"""
+
+
 @register(
     "mf_negative_samples",
     oracle=f"""
-WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
-cand AS (
-  SELECT u."user" AS "user", p.p_partkey AS item,
-         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
-  FROM u CROSS JOIN part p
-  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
-    AND NOT EXISTS (
-      SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE o_custkey = u."user" AND l_partkey = p.p_partkey)
+WITH last AS (
+  SELECT o_custkey AS "user", l_partkey AS item, max(o_orderdate) AS last_dt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+recent AS (
+  SELECT "user", item FROM (
+    SELECT "user", item,
+           row_number() OVER (PARTITION BY "user" ORDER BY last_dt DESC, item) AS rn
+    FROM last
+  ) WHERE rn <= {RING_R}
+),
+cand_full AS (
+  SELECT * FROM ({_NEG_CAND_SQL}) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM last WHERE last."user" = c."user" AND last.item = c.item)
+),
+cand_recent AS (
+  SELECT * FROM ({_NEG_CAND_SQL}) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM recent r WHERE r."user" = c."user" AND r.item = c.item)
 )
-SELECT "user", item AS neg_item, rk FROM (
+SELECT 'full' AS memory, "user", item AS neg_item, rk FROM (
   SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
-  FROM cand
+  FROM cand_full
+) WHERE rk <= 3
+UNION ALL
+SELECT 'recent' AS memory, "user", item AS neg_item, rk FROM (
+  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
+  FROM cand_recent
 ) WHERE rk <= 3
 """,
     tags=("B7",),
-    doc="Negative sampling: seeded pseudo-random unseen items per user, "
-    "excluding everything the user already rated (reference: MF worker "
-    "negative sampling + per-user item memory [C-med]); the hash replaces "
-    "the RNG so the oracle reproduces the sample.",
+    doc="Negative sampling, BOTH exclusion-memory forms in one query "
+    "discriminated by `memory` (consolidated from mf_negative_samples / "
+    "mf_negative_samples_recent). 'full': seeded pseudo-random unseen "
+    "items per user excluding the user's entire purchase history; "
+    "'recent': the reference's BOUNDED user memory — exclusion is a "
+    "per-user ring buffer of the RING_R most recently purchased items "
+    "(MF worker negative sampling [C-med]), so an item bought long ago "
+    "CAN be re-sampled. The hash replaces the RNG and recency is max "
+    "order date with deterministic (date desc, item) eviction order, so "
+    "the oracle replays both samples exactly.",
 )
 def mf_negative_samples(spark, sf_dir):
     users = (
@@ -456,62 +441,6 @@ def mf_negative_samples(spark, sf_dir):
         .withColumn("h", int_hash2(F.col("user"), F.col("item"), seed=3))
         .where(F.col("h") % 37 == 0)
     )
-    purchased = mf.ratings(spark, sf_dir).select("user", "item").distinct()
-    cand = cand.join(purchased, ["user", "item"], "left_anti")
-    w = Window.partitionBy("user").orderBy("h", "item")
-    return cand.select("user", F.col("item").alias("neg_item"), F.row_number().over(w).alias("rk")).where(
-        F.col("rk") <= 3
-    )
-
-
-RING_R = 8  # reference's per-user recent-item memory capacity
-
-
-@register(
-    "mf_negative_samples_recent",
-    oracle=f"""
-WITH u AS (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0),
-last AS (
-  SELECT o_custkey AS "user", l_partkey AS item, max(o_orderdate) AS last_dt
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-  GROUP BY 1, 2
-),
-recent AS (
-  SELECT "user", item FROM (
-    SELECT "user", item,
-           row_number() OVER (PARTITION BY "user" ORDER BY last_dt DESC, item) AS rn
-    FROM last
-  ) WHERE rn <= {RING_R}
-),
-cand AS (
-  SELECT u."user" AS "user", p.p_partkey AS item,
-         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
-  FROM u CROSS JOIN part p
-  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
-    AND NOT EXISTS (
-      SELECT 1 FROM recent r WHERE r."user" = u."user" AND r.item = p.p_partkey)
-)
-SELECT "user", item AS neg_item, rk FROM (
-  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
-  FROM cand
-) WHERE rk <= 3
-""",
-    tags=("B7",),
-    doc="Negative sampling with the reference's BOUNDED user memory: the "
-    "exclusion set is a per-user ring buffer of the RING_R most recently "
-    "purchased items (reference: MF worker negative sampling excludes a "
-    "bounded recent-item buffer, not the full history [C-med]) — an item "
-    "bought long ago CAN be re-sampled as a negative. Recency = max "
-    "order date per (user, item), deterministic (date desc, item) "
-    "eviction order so the oracle replays the buffer exactly.",
-)
-def mf_negative_samples_recent(spark, sf_dir):
-    users = (
-        t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") % 50 == 0)
-        .select(F.col("c_custkey").alias("user"))
-    )
-    items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
     last = (
         t(spark, sf_dir, "orders")
         .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
@@ -524,94 +453,84 @@ def mf_negative_samples_recent(spark, sf_dir):
         .where(F.col("rn") <= RING_R)
         .select("user", "item")
     )
-    cand = (
-        users.crossJoin(F.broadcast(items))
-        .withColumn("h", int_hash2(F.col("user"), F.col("item"), seed=3))
-        .where(F.col("h") % 37 == 0)
-        .join(recent, ["user", "item"], "left_anti")
-    )
     w = Window.partitionBy("user").orderBy("h", "item")
-    return cand.select(
-        "user", F.col("item").alias("neg_item"), F.row_number().over(w).alias("rk")
-    ).where(F.col("rk") <= 3)
+
+    def topk(excluded, label):
+        return (
+            cand.join(excluded, ["user", "item"], "left_anti")
+            .select(
+                F.lit(label).alias("memory"),
+                "user",
+                F.col("item").alias("neg_item"),
+                F.row_number().over(w).alias("rk"),
+            )
+            .where(F.col("rk") <= 3)
+        )
+
+    return topk(last.select("user", "item"), "full").unionByName(topk(recent, "recent"))
 
 
 # ---------------------------------------------------------------------------
-# B1/B6 — multi-epoch trainer on the kernel (rows-only; sequential loop)
+# A1/B1/B6/B8/B9 — every multi-epoch kernel trainer as ONE rows-only query
+# (iterative float-fold order is engine-dependent -> not SQL-expressible;
+# per-step math is oracle-checked by mf_epoch_factors / pa_step_weights).
+# MLlib ALS (the idiomatic batch-MF alternate, formerly mf_als_recommend)
+# is exercised in tests/test_mllib_alternates.py.
 # ---------------------------------------------------------------------------
 
 @register(
-    "mf_train_2epochs",
+    "ps_train_epochs",
     oracle=None,
-    tags=("B1", "B6", "A1", "A6"),
-    doc="Full MF trainer: 2 driver-loop epochs on BatchParameterServer "
-    "(reference: FlinkParameterServer#transform + "
-    "PSOfflineMatrixFactorization [C-high/med]). Not SQL-expressible "
-    "(iterative state) -> rows-only check; per-step math is covered by "
-    "mf_epoch_item_factors.",
+    tags=("A1", "A6", "B1", "B6", "B8", "B9"),
+    doc="All four multi-epoch kernel trainers in one rows-only query, "
+    "discriminated by `family` (consolidated from mf_train_2epochs / "
+    "mf_train_bidirectional / pa_train_2epochs / "
+    "pa_multiclass_train_2epochs). 'mf': 2 driver-loop epochs on "
+    "BatchParameterServer (FlinkParameterServer#transform + "
+    "PSOfflineMatrixFactorization [C-high/med]). 'mf_bidir': BOTH factor "
+    "sides update, each in its own parameter server (worker-local user "
+    "vectors + server-side item vectors, PSOnlineMatrixFactorization "
+    "[C-high]). 'pa': 2 mini-batch epochs of PA-I binary updates "
+    "(weights = k=1 param vectors keyed by feat_id). 'pa_mc': multiclass "
+    "weight matrix as one PS keyed by class*n_features+feat, violator "
+    "updates (PassiveAggressiveParameterServer#transformMulticlass "
+    "[C-high]).",
 )
-def mf_train_2epochs(spark, sf_dir):
-    model = mf.train(spark, mf.ratings(spark, sf_dir), epochs=2)
-    return model.select(
-        "param_id", F.posexplode("value").alias("dim", "v")
-    ).select("param_id", "dim", F.round("v", 6).alias("v"))
-
-
-@register(
-    "mf_train_bidirectional",
-    oracle=None,
-    tags=("B1", "B6", "A1"),
-    doc="Full-fidelity MF trainer: BOTH factor sides update, each in its "
-    "own parameter server (reference: worker-local user vectors + "
-    "server-side item vectors, PSOnlineMatrixFactorization [C-high]); "
-    "synchronous mini-batch epochs. Iterative + double-fold order -> "
-    "rows-only; the per-step math is oracle-checked by "
-    "mf_epoch_item_factors / mf_two_epoch_factors.",
-)
-def mf_train_bidirectional(spark, sf_dir):
-    return mf.train_bidirectional(spark, mf.ratings(spark, sf_dir), epochs=2)
-
-
-@register(
-    "pa_multiclass_train_2epochs",
-    oracle=None,
-    tags=("B9", "A1"),
-    doc="Full multiclass PA trainer on the kernel: the weight matrix is "
-    "one PS keyed by class*n_features+feat; 2 mini-batch epochs of "
-    "violator updates (reference: PassiveAggressiveParameterServer"
-    "#transformMulticlass [C-high]). Rows-only; per-step math covered by "
-    "pa_multiclass_step.",
-)
-def pa_multiclass_train_2epochs(spark, sf_dir):
-    return pa.train_multiclass(spark, pa.instances(spark, sf_dir), epochs=2)
-
-
-@register(
-    "mf_als_recommend",
-    oracle=None,
-    tags=("B6",),
-    doc="Idiomatic-Spark alternate for offline MF: MLlib ALS with fixed "
-    "seed + recommendForAllUsers (SURVEY.md §2 B1 'idiomatic alternative'). "
-    "Rows-only: MLlib's internal init is not oracle-reproducible.",
-)
-def mf_als_recommend(spark, sf_dir):
-    from pyspark.ml.recommendation import ALS
-
-    r = mf.ratings(spark, sf_dir).withColumn("rating", F.col("rating").cast("float"))
-    als = ALS(
-        rank=8,
-        maxIter=3,
-        seed=42,
-        userCol="user",
-        itemCol="item",
-        ratingCol="rating",
-        coldStartStrategy="drop",
+def ps_train_epochs(spark, sf_dir):
+    mf_model = mf.train(spark, mf.ratings(spark, sf_dir), epochs=2)
+    mf_part = (
+        mf_model.select("param_id", F.posexplode("value").alias("dim", "v"))
+        .select(
+            F.lit("mf").alias("family"),
+            F.lit("item").alias("side"),
+            F.col("param_id").alias("id"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round("v", 6).alias("v"),
+        )
     )
-    model = als.fit(r)
-    recs = model.recommendForAllUsers(5)
-    return recs.select(
-        "user", F.posexplode("recommendations").alias("rk0", "rec")
-    ).select("user", (F.col("rk0") + 1).alias("rk"), F.col("rec.item").alias("item"))
+    bidir = mf.train_bidirectional(spark, mf.ratings(spark, sf_dir), epochs=2).select(
+        F.lit("mf_bidir").alias("family"),
+        "side",
+        "id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("v", 6).alias("v"),
+    )
+    pa_model = pa.train_binary(spark, pa.instances(spark, sf_dir), epochs=2)
+    pa_part = pa_model.select(
+        F.lit("pa").alias("family"),
+        F.lit("w").alias("side"),
+        F.col("param_id").alias("id"),
+        F.lit(0).cast("long").alias("dim"),
+        F.round(F.element_at("value", 1), 6).alias("v"),
+    )
+    pamc = pa.train_multiclass(spark, pa.instances(spark, sf_dir), epochs=2).select(
+        F.lit("pa_mc").alias("family"),
+        F.concat(F.lit("c"), F.col("class_id")).alias("side"),
+        F.col("feat_id").alias("id"),
+        F.lit(0).cast("long").alias("dim"),
+        F.round("w", 6).alias("v"),
+    )
+    return mf_part.unionByName(bidir).unionByName(pa_part).unionByName(pamc)
 
 
 # ---------------------------------------------------------------------------
@@ -624,9 +543,7 @@ PA_INST_SQL = (
 )
 
 
-@register(
-    "pa_binary_step",
-    oracle=f"""
+_PA_BINARY_STEP_SQL = f"""
 WITH inst AS ({PA_INST_SQL}),
 m AS (
   SELECT row_id, y, x, {dot_sql('x', W0_ARR_SQL)} AS margin, {norm2_sql('x')} AS xn
@@ -642,18 +559,10 @@ d AS (
          sum(CAST(coef * CAST(x_f AS DOUBLE) AS DECIMAL(28,15))) AS d
   FROM tri GROUP BY 1
 )
-SELECT feat_id, round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) + 0.0 AS w
+SELECT CAST(-1 AS BIGINT) AS class_id, feat_id,
+       round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) + 0.0 AS w
 FROM d
-""",
-    tags=("B8",),
-    doc="One mini-batch PA-I step: tau = min(C, hinge/||x||^2), "
-    "w += sum tau*y*x (reference: passive/aggressive/algorithm/"
-    "PassiveAggressiveBinaryAlgorithm [C-high]; per-record sequential "
-    "updates re-expressed as one vectorized batch step).",
-)
-def pa_binary_step(spark, sf_dir):
-    out = pa.binary_step(pa.instances(spark, sf_dir))
-    return out.select("feat_id", F.round("w", 6).alias("w"))
+"""
 
 
 @register(
@@ -674,8 +583,11 @@ def pa_predict_binary(spark, sf_dir):
 
 
 @register(
-    "pa_multiclass_step",
+    "pa_step_weights",
     oracle=f"""
+SELECT * FROM ({_PA_BINARY_STEP_SQL}) AS binary_step
+UNION ALL
+SELECT * FROM (
 WITH inst AS (SELECT vec_id AS row_id, CAST(label AS BIGINT) AS label, embedding AS x FROM embeddings),
 scores AS (
   SELECT row_id, label, x, c,
@@ -716,30 +628,29 @@ base AS (
 SELECT base.class_id, base.feat_id,
        round({CW0_SQL('base.class_id', 'base.feat_id')} + coalesce(CAST(d AS DOUBLE), 0.0), 6) + 0.0 AS w
 FROM base LEFT JOIN deltas USING (class_id, feat_id)
+) AS multiclass_step
 """,
-    tags=("B9",),
-    doc="One mini-batch multiclass PA step: argmax violator, "
-    "tau = hinge/(2||x||^2), +tau*x to the true row, -tau*x to the "
-    "violator row (reference: PassiveAggressiveParameterServer"
+    tags=("B8", "B9"),
+    doc="One mini-batch PA step, binary AND multiclass in one query "
+    "discriminated by class_id (consolidated from pa_binary_step / "
+    "pa_multiclass_step; class_id = -1 marks the binary model's single "
+    "weight vector). Binary: tau = min(C, hinge/||x||^2), "
+    "w += sum tau*y*x (passive/aggressive/algorithm/"
+    "PassiveAggressiveBinaryAlgorithm [C-high]; per-record sequential "
+    "updates re-expressed as one vectorized batch step). Multiclass: "
+    "argmax violator, tau = hinge/(2||x||^2), +tau*x to the true row, "
+    "-tau*x to the violator row (PassiveAggressiveParameterServer"
     "#transformMulticlass [C-high]).",
 )
-def pa_multiclass_step(spark, sf_dir):
-    out = pa.multiclass_step(pa.instances(spark, sf_dir))
-    return out.select(
+def pa_step_weights(spark, sf_dir):
+    binary = pa.binary_step(pa.instances(spark, sf_dir)).select(
+        F.lit(-1).cast("long").alias("class_id"),
+        F.col("feat_id").cast("long").alias("feat_id"),
+        F.round("w", 6).alias("w"),
+    )
+    multi = pa.multiclass_step(pa.instances(spark, sf_dir)).select(
         F.col("class_id").cast("long").alias("class_id"),
         F.col("feat_id").cast("long").alias("feat_id"),
         F.round("w", 6).alias("w"),
     )
-
-
-@register(
-    "pa_train_2epochs",
-    oracle=None,
-    tags=("B8", "A1"),
-    doc="Full PA binary trainer: 2 mini-batch epochs on "
-    "BatchParameterServer (weights = k=1 param vectors keyed by feat_id). "
-    "Iterative -> rows-only; per-step math covered by pa_binary_step.",
-)
-def pa_train_2epochs(spark, sf_dir):
-    model = pa.train_binary(spark, pa.instances(spark, sf_dir), epochs=2)
-    return model.select("param_id", F.round(F.element_at("value", 1), 6).alias("w"))
+    return binary.unionByName(multi)
