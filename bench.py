@@ -26,17 +26,14 @@ HEADLINE = [
     "customer_order_timeline",
     "events_session_windows",
     "purchase_last_click_asof",
-    "mf_epoch_item_factors",
+    "mf_epoch_factors",
     "mf_recommend_topk",
-    "pa_multiclass_step",
-    "ams_sketch_f2",
-    "count_min_frequency",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_cosine_topk",
-    "embedding_simhash_ann",
-    "mf_two_epoch_factors",
-    "text_quality_stats",
+    "pa_step_weights",
+    "ams_sketches",
+    "sketch_point_queries",
+    "dedup_near_dup_pairs",
+    "embedding_ann_topk",
+    "text_profile",
 ]
 
 

@@ -156,9 +156,7 @@ def _minhash_sql(sh_expr: str) -> str:
     return f"[{mins}]"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_SQL = f"""
 WITH {_SH_CTES_SQL},
 mh AS (SELECT doc_id, shingles, {_minhash_sql('shingles')} AS mh FROM sh),
 bands AS (
@@ -175,18 +173,18 @@ verified AS (
          / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
   FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
 )
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+SELECT 'minhash_lsh' AS method, doc_a, doc_b, round(jac, 6) AS score
 FROM verified WHERE jac >= {JACCARD_T}
-""",
-    tags=("D24",),
-    doc="MinHash-LSH near-dup: word-3-gram shingles hashed two-level "
-    "(char-fold per token once, integer affine mix per hash family — "
-    "8 int ops per shingle instead of 8 char folds), 4 bands of 2 -> "
-    "candidate pairs share a band bucket; exact hashed-shingle Jaccard "
-    ">= 0.4 verifies. MLlib MinHashLSH is the same pipeline with random "
-    "(non-oracle-reproducible) hash families — see tests.",
-)
+"""
+
+
 def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup: word-3-gram shingles hashed two-level
+    (char-fold per token once, integer affine mix per hash family —
+    8 int ops per shingle instead of 8 char folds), 4 bands of 2 ->
+    candidate pairs share a band bucket; exact hashed-shingle Jaccard
+    >= 0.4 verifies. MLlib MinHashLSH is the same pipeline with random
+    (non-oracle-reproducible) hash families — see tests."""
     sh = hashed_shingles(spark, sf_dir)  # persisted: bands + both verify branches reuse it
     mh = sh.select(
         "doc_id",
@@ -233,7 +231,10 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
     )
     return verified.where(F.col("jac") >= JACCARD_T).select(
-        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+        F.lit("minhash_lsh").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.round("jac", 6).alias("score"),
     )
 
 
@@ -250,9 +251,7 @@ def _simhash_sql() -> str:
     return votes
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+_SIMHASH_PAIRS_SQL = f"""
 WITH {_SH_CTES_SQL},
 hs AS (
   SELECT doc_id, {_mix_sql('x', SIMHASH_SEED)} AS h
@@ -269,19 +268,21 @@ cand AS (
   FROM chunks a JOIN chunks b
     ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+SELECT 'simhash' AS method, doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS DOUBLE) AS score
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
-""",
-    tags=("D24",),
-    doc="SimHash near-dup: 16-bit signature from per-bit majority votes of "
-    "distinct word-3-gram shingle hashes (token-level votes are degenerate "
-    "on small vocabularies); shares the integer hashed-shingle stage with "
-    "minhash (affine seed-mix, the shingle hash map is bijective mod the "
-    "prime so distinctness is preserved); candidate blocking on 4-bit "
-    "chunks (pigeonhole: hamming<=3 pairs share an exact chunk), verify "
-    "by XOR popcount.",
-)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit signature from per-bit majority votes of
+    distinct word-3-gram shingle hashes (token-level votes are degenerate
+    on small vocabularies); shares the integer hashed-shingle stage with
+    minhash (affine seed-mix, the shingle hash map is bijective mod the
+    prime so distinctness is preserved); candidate blocking on 4-bit
+    chunks (pigeonhole: hamming<=3 pairs share an exact chunk), verify
+    by XOR popcount. Score = hamming distance (as double, to align with
+    the similarity scores of the sibling methods)."""
     sh = hashed_shingles(spark, sf_dir)
     hs = sh.select("doc_id", F.explode("shingles").alias("x")).select(
         "doc_id", _mixer(SIMHASH_SEED)(F.col("x")).alias("h")
@@ -322,8 +323,15 @@ def dedup_simhash(spark, sf_dir):
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).where(
-        F.col("hamming") <= HAMMING_T
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_T)
+        .select(
+            F.lit("simhash").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
     )
 
 
@@ -331,9 +339,7 @@ def dedup_simhash(spark, sf_dir):
 # n-gram Jaccard within blocks (exact verification metric)
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_SQL = f"""
 WITH th AS MATERIALIZED (
   SELECT doc_id, source, n_chars, {_TOKHASH_SQL} AS th FROM documents
 ),
@@ -343,22 +349,22 @@ g AS MATERIALIZED (
            i -> (th[i] * 31 + th[i + 1]) % {MOD})) AS grams
   FROM th WHERE len(th) >= 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT 'ngram_jaccard' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS score
 FROM g a JOIN g b
   ON a.source = b.source AND a.doc_id < b.doc_id
  AND abs(a.n_chars - b.n_chars) <= 30
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
-""",
-    tags=("D24",),
-    doc="Word-bigram Jaccard near-dup over hashed bigrams, blocked by "
-    "(source, length band) — blocking bounds candidate pairs so the exact "
-    "metric stays feasible at scale (block sizes are data-controlled "
-    "knobs); integer gram hashes make the set ops cheap in both engines.",
-)
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard near-dup over hashed bigrams, blocked by
+    (source, length band) — blocking bounds candidate pairs so the exact
+    metric stays feasible at scale (block sizes are data-controlled
+    knobs); integer gram hashes make the set ops cheap in both engines."""
     docs = t(spark, sf_dir, "documents")
     tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
     n = F.size("th")
@@ -394,10 +400,59 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .where(jac >= 0.3)
         .select(
+            F.lit("ngram_jaccard").alias("method"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round(jac, 6).alias("score"),
         )
+    )
+
+
+def _near_dup_oracle() -> str:
+    from .similarity import EMB_NEAR_DUP_SQL
+
+    return f"""
+SELECT * FROM ({_MINHASH_SQL}) AS minhash_part
+UNION ALL
+SELECT * FROM ({_SIMHASH_PAIRS_SQL}) AS simhash_part
+UNION ALL
+SELECT * FROM ({_NGRAM_SQL}) AS ngram_part
+UNION ALL
+SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS emb_part
+"""
+
+
+@register(
+    "dedup_near_dup_pairs",
+    oracle=_near_dup_oracle(),
+    tags=("D24", "D25"),
+    doc="Every near-duplicate pair detector in one query discriminated by "
+    "`method` (consolidated from dedup_minhash_lsh / dedup_simhash / "
+    "dedup_ngram_jaccard / embedding_near_dup_pairs — same (a, b, score) "
+    "shape, and the shingle stages share the persisted hashed-shingle "
+    "relation so the merged query scans documents once per "
+    "representation instead of once per entry). 'minhash_lsh': banded "
+    "bucket equi-join + exact Jaccard verify (score = jaccard). "
+    "'simhash': 4-bit-chunk pigeonhole blocking + XOR popcount (score = "
+    "hamming distance). 'ngram_jaccard': (source, length-band) blocking "
+    "+ exact bigram Jaccard. 'embedding': cosine >= 0.40 within "
+    "random-hyperplane LSH buckets. Per-method docstrings on the "
+    "underlying functions in this module and operators/similarity.py.",
+)
+def dedup_near_dup_pairs(spark, sf_dir):
+    from .similarity import embedding_near_dup_pairs
+
+    emb = embedding_near_dup_pairs(spark, sf_dir).select(
+        F.lit("embedding").alias("method"),
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("cos_sim").alias("score"),
+    )
+    return (
+        dedup_minhash_lsh(spark, sf_dir)
+        .unionByName(dedup_simhash(spark, sf_dir))
+        .unionByName(dedup_ngram_jaccard(spark, sf_dir))
+        .unionByName(emb)
     )
 
 
@@ -470,15 +525,15 @@ def dedup_cluster_canonical(spark, sf_dir):
 
 
 def _install_cc_oracle() -> None:
-    """Compose the CC oracle from the registered minhash-pair oracle:
-    DuckDB WITH RECURSIVE transitive closure, min reachable id per node.
-    Installed post-registration because it embeds dedup_minhash_lsh's
-    oracle text verbatim (single source of truth for the pair set)."""
+    """Compose the CC oracle from the minhash-pair oracle SQL: DuckDB
+    WITH RECURSIVE transitive closure, min reachable id per node.
+    Embeds _MINHASH_SQL verbatim (single source of truth for the pair
+    set, shared with dedup_near_dup_pairs' minhash branch)."""
     import dataclasses
 
     from ..plans.registry import REGISTRY
 
-    mh = REGISTRY["dedup_minhash_lsh"].oracle
+    mh = _MINHASH_SQL
     cc = f"""
 WITH RECURSIVE
 pairs AS ({mh}),

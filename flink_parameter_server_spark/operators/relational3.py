@@ -116,48 +116,6 @@ def order_value_quantiles(spark, sf_dir):
     )
 
 
-@register(
-    "events_hourly_gap_fill",
-    oracle="""
-WITH span AS (
-  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
-),
-grid AS (
-  SELECT et.event_type, gs.h
-  FROM (SELECT DISTINCT event_type FROM events) et
-  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span) gs
-),
-agg AS (
-  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-  FROM events GROUP BY 1, 2
-)
-SELECT g.event_type, g.h, coalesce(a.n, 0) AS n
-FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
-""",
-    tags=("D17", "D9"),
-    doc="Time-series gap fill: regular hourly grid per event type over "
-    "the observed span, zero-filled where no events landed (667-686 of "
-    "720 hours are populated at sf0.01, so the fill is exercised). The "
-    "grid is sequence()+explode on a 1-row global-span aggregate "
-    "(broadcast, no driver collect); the left join streams the hourly "
-    "counts against it. At 100 TB the grid side stays tiny (hours x "
-    "types) and broadcasts; the agg side is one shuffle.",
-)
-def events_hourly_gap_fill(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    span = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = span.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    grid = types.crossJoin(F.broadcast(hours))
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return (
-        grid.join(agg, ["event_type", "h"], "left")
-        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
-    )
+# events_hourly_gap_fill was folded into events_multires_rollup
+# (operators/windows.py, grain='hour_filled') — it re-aggregates the same
+# hourly level, so one query covers both (registry consolidation, r3).

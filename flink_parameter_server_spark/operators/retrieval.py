@@ -49,9 +49,7 @@ def _tf(spark, sf_dir):
     )
 
 
-@register(
-    "tfidf_top_terms",
-    oracle=f"""
+_TFIDF_SQL_TMPL = f"""
 WITH {_tf_sql()},
 df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
@@ -60,20 +58,22 @@ w AS (
          round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS weight
   FROM tf JOIN df USING (tok) CROSS JOIN n
 )
-SELECT doc_id, tok, tf, df, weight, rk FROM (
+SELECT 'tfidf' AS part, doc_id, tok, tf AS n1, df AS n2, weight AS score,
+       rk, CAST(NULL AS VARCHAR) AS postings
+FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, tok) AS rk
   FROM w
 ) WHERE rk <= {TOP_TERMS}
-""",
-    tags=("D26", "D12"),
-    doc="TF-IDF top terms per document: tf from one (doc,term) shuffle, "
-    "df from one term shuffle over the tf relation (already distinct "
-    "doc x term, so count(*) — no second distinct), idf = ln(N/df) with "
-    "N a broadcast 1-row aggregate, per-doc top-3 via row_number. At "
-    "100 TB both shuffles are the minimum possible for this computation "
-    "and df (|vocab| rows) broadcasts into the scoring join.",
-)
+"""
+
+
 def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top terms per document: tf from one (doc,term) shuffle, df
+    from one term shuffle over the tf relation (already distinct doc x
+    term, so count(*) — no second distinct), idf = ln(N/df) with N a
+    broadcast 1-row aggregate, per-doc top-3 via row_number. At 100 TB
+    both shuffles are the minimum possible for this computation and df
+    (|vocab| rows) broadcasts into the scoring join."""
     tf = _tf(spark, sf_dir)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -98,9 +98,7 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
-@register(
-    "bm25_search",
-    oracle=f"""
+_BM25_SQL_TMPL = f"""
 WITH {_tf_sql()},
 dl AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(dl.dl) AS avgdl FROM dl),
@@ -119,23 +117,26 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY q.doc_id
 )
-SELECT doc_id, round(CAST(score AS DOUBLE), 6) AS score, n_terms_hit
+SELECT 'bm25' AS part, doc_id, CAST(NULL AS VARCHAR) AS tok,
+       n_terms_hit AS n1, CAST(NULL AS BIGINT) AS n2,
+       round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(NULL AS INT) AS rk, CAST(NULL AS VARCHAR) AS postings
 FROM scored
 ORDER BY round(CAST(score AS DOUBLE), 6) DESC, doc_id
 LIMIT {TOP_DOCS}
-""",
-    tags=("D26", "D13"),
-    doc="BM25 ranked search for a fixed query-term set (k1=1.2, b=0.75, "
-    "Lucene idf): term frequencies filtered to the query terms BEFORE "
-    "any shuffle (predicate pushdown on the exploded stream), document "
-    "length and corpus stats (N, avgdl) as broadcast 1-row aggregates, "
-    "top-10 via TakeOrdered (sort+limit), fully deterministic order by "
-    "(rounded score, doc_id). The per-term sum is a float fold over <= "
-    "|query| values per doc — order-independent at this fan-in since "
-    "every addend is computed identically in both engines and the "
-    "result is rounded before ranking.",
-)
+"""
+
+
 def bm25_search(spark, sf_dir):
+    """BM25 ranked search for a fixed query-term set (k1=1.2, b=0.75,
+    Lucene idf): term frequencies filtered to the query terms BEFORE any
+    shuffle (predicate pushdown on the exploded stream), document length
+    and corpus stats (N, avgdl) as broadcast 1-row aggregates, top-10
+    via TakeOrdered (sort+limit), fully deterministic order by (rounded
+    score, doc_id). The per-term sum is a float fold over <= |query|
+    values per doc — order-independent at this fan-in since every addend
+    is computed identically in both engines and the result is rounded
+    before ranking."""
     d = t(spark, sf_dir, "documents")
     tf = _tf(spark, sf_dir).where(F.col("tok").isin(*BM25_TERMS))
     dl = d.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
@@ -168,28 +169,26 @@ def bm25_search(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_DOCS)
 
 
-@register(
-    "inverted_index",
-    oracle=f"""
+_INVERTED_SQL_TMPL = f"""
 WITH {_tf_sql()}
-SELECT tok,
-       count(*) AS df,
-       CAST(sum(tf) AS BIGINT) AS n_occ,
+SELECT 'inverted' AS part, CAST(NULL AS BIGINT) AS doc_id, tok,
+       count(*) AS n1, CAST(sum(tf) AS BIGINT) AS n2,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INT) AS rk,
        string_agg(doc_id, ',' ORDER BY doc_id) AS postings
 FROM tf
 GROUP BY tok
-""",
-    tags=("D26", "D16"),
-    doc="Inverted-index build: term -> document-frequency, total "
-    "occurrences, and the sorted posting list (comma-joined doc ids). "
-    "One shuffle on (doc,term) for tf, one on term to assemble postings "
-    "— sort_array(collect_list(...)) keeps the list deterministic "
-    "without a global sort. At 100 TB posting lists for stop-like terms "
-    "are the skew risk: shard hot terms by doc_id range (salting) and "
-    "concatenate shards, exactly like the salted_sum utility in "
-    "ps/skew.py.",
-)
+"""
+
+
 def inverted_index(spark, sf_dir):
+    """Inverted-index build: term -> document-frequency, total
+    occurrences, and the sorted posting list (comma-joined doc ids).
+    One shuffle on (doc,term) for tf, one on term to assemble postings
+    — sort_array(collect_list(...)) keeps the list deterministic
+    without a global sort. At 100 TB posting lists for stop-like terms
+    are the skew risk: shard hot terms by doc_id range (salting) and
+    concatenate shards, exactly like the salted_sum utility in
+    ps/skew.py."""
     tf = _tf(spark, sf_dir)
     return tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
@@ -201,3 +200,59 @@ def inverted_index(spark, sf_dir):
             ),
         ).alias("postings"),
     )
+
+
+@register(
+    "text_retrieval",
+    oracle=f"""
+SELECT * FROM ({_TFIDF_SQL_TMPL}) AS tfidf_part
+UNION ALL
+SELECT * FROM ({_BM25_SQL_TMPL}) AS bm25_part
+UNION ALL
+SELECT * FROM ({_INVERTED_SQL_TMPL}) AS inverted_part
+""",
+    tags=("D26", "D12", "D13", "D16"),
+    doc="The text-retrieval surface in one query discriminated by `part` "
+    "(consolidated from tfidf_top_terms / bm25_search / inverted_index — "
+    "all three build on the same (doc, term) frequency relation). "
+    "'tfidf': per-doc top-3 terms, n1=tf, n2=df, score=tf*ln(N/df). "
+    "'bm25': ranked search over a fixed query-term set, n1=n_terms_hit, "
+    "score=BM25 (k1=1.2, b=0.75, Lucene idf). 'inverted': posting-list "
+    "index, n1=df, n2=total occurrences, postings=sorted doc-id list. "
+    "Per-part shuffle/broadcast design documented on the underlying "
+    "functions above — the shapes are the minimal (doc,term) + term "
+    "shuffles with N/avgdl/df broadcast.",
+)
+def text_retrieval(spark, sf_dir):
+    null_s = F.lit(None).cast("string")
+    tfidf = tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id",
+        "tok",
+        F.col("tf").alias("n1"),
+        F.col("df").alias("n2"),
+        F.col("weight").alias("score"),
+        "rk",
+        null_s.alias("postings"),
+    )
+    bm25 = bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        null_s.alias("tok"),
+        F.col("n_terms_hit").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        "score",
+        F.lit(None).cast("int").alias("rk"),
+        null_s.alias("postings"),
+    )
+    inv = inverted_index(spark, sf_dir).select(
+        F.lit("inverted").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "tok",
+        F.col("df").alias("n1"),
+        F.col("n_occ").alias("n2"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rk"),
+        "postings",
+    )
+    return tfidf.unionByName(bm25).unionByName(inv)

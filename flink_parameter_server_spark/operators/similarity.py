@@ -65,27 +65,25 @@ def _bucket_sql(vec_expr: str) -> str:
     )
 
 
-@register(
-    "embedding_cosine_topk",
-    oracle=f"""
+_BRUTE_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          round({cosine_sql('q.qv', 'e.embedding')}, 6) + 0.0 AS cos_sim
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, cos_sim, rk FROM (
+SELECT 'brute' AS method, query_id, neighbor_id, cos_sim, rk FROM (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
   FROM scored
 ) WHERE rk <= 5
-""",
-    tags=("D25",),
-    doc="Brute-force cosine top-5 neighbors for sampled query vectors — "
-    "the ANN correctness baseline. Query side broadcasts; cosine is pure "
-    "column math (zip_with+aggregate), fully codegen'd.",
-)
+"""
+
+
 def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for sampled query vectors — the
+    ANN correctness baseline. Query side broadcasts; cosine is pure
+    column math (zip_with+aggregate), fully codegen'd."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -105,9 +103,7 @@ def embedding_cosine_topk(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_simhash_ann",
-    oracle=f"""
+_SIMHASH_ANN_SQL = f"""
 WITH sig AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
 ),
@@ -117,19 +113,19 @@ scored AS (
          round({cosine_sql('q.qv', 's.embedding')}, 6) + 0.0 AS cos_sim
   FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, cos_sim FROM (
+SELECT 'simhash' AS method, query_id, neighbor_id, cos_sim, rk FROM (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
   FROM scored
 ) WHERE rk = 1
-""",
-    tags=("D25",),
-    doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
-    "signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine "
-    "re-rank, top-1. The equi-join on bucket replaces the cross join — "
-    "this is what survives 100 TB; recall tunes via planes/multi-probe.",
-)
+"""
+
+
 def embedding_simhash_ann(spark, sf_dir):
+    """LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane
+    signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine
+    re-rank, top-1. The equi-join on bucket replaces the cross join —
+    this is what survives 100 TB; recall tunes via planes/multi-probe."""
     emb = t(spark, sf_dir, "embeddings")
     sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
     q = sig.where(F.col("vec_id") % 50 == 0).select(
@@ -141,17 +137,13 @@ def embedding_simhash_ann(spark, sf_dir):
         F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk")
-    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 
 IVF_STRIDE = 64  # every 64th vector is a coarse centroid (deterministic)
 
 
-@register(
-    "embedding_ivf_ann",
-    oracle=f"""
+_IVF_ANN_SQL = f"""
 WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
 assign AS (
   SELECT vec_id, embedding, cid FROM (
@@ -167,21 +159,57 @@ scored AS (
          round({cosine_sql('q.qv', 'a.embedding')}, 6) + 0.0 AS cos_sim
   FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, cos_sim FROM (
+SELECT 'ivf' AS method, query_id, neighbor_id, cos_sim, rk FROM (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
   FROM scored
 ) WHERE rk = 1
+"""
+
+
+@register(
+    "embedding_ann_topk",
+    oracle=f"""
+SELECT * FROM ({_BRUTE_SQL}) AS brute_part
+UNION ALL
+SELECT * FROM ({_SIMHASH_ANN_SQL}) AS simhash_part
+UNION ALL
+SELECT * FROM ({_IVF_ANN_SQL}) AS ivf_part
 """,
     tags=("D25",),
-    doc="IVF-style ANN (the other scale path): deterministic coarse "
-    "centroids (every 64th vector), vectors assigned to their "
-    "max-cosine cell, queries probe their own cell only, exact re-rank "
-    "inside. At 100 TB: centroids come from sampled k-means "
-    "(MLlib KMeans), cells partition the index, multi-probe tunes recall "
-    "— the cell join shape is identical to this oracle-checked form.",
+    doc="Embedding similarity search, all three forms in one query "
+    "discriminated by `method` (consolidated from embedding_cosine_topk "
+    "/ embedding_simhash_ann / embedding_ivf_ann). 'brute': broadcast "
+    "query set, exact cosine (zip_with+aggregate, fully codegen'd), "
+    "window top-5 — the correctness baseline. 'simhash': 8 deterministic "
+    "random-hyperplane signs -> 8-bit bucket, candidates = bucket-mates "
+    "only, exact cosine re-rank, top-1 — the bucket equi-join replaces "
+    "the cross join at 100 TB; recall tunes via planes/multi-probe. "
+    "'ivf': deterministic coarse centroids (every 64th vector), vectors "
+    "assigned to their max-cosine cell, queries probe their own cell "
+    "only, exact re-rank inside — at 100 TB centroids come from sampled "
+    "k-means (MLlib KMeans) with the identical cell-join shape.",
 )
+def embedding_ann_topk(spark, sf_dir):
+    brute = embedding_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    simhash = embedding_simhash_ann(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    ivf = embedding_ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    return brute.unionByName(simhash).unionByName(ivf)
+
+
 def embedding_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (the other scale path): deterministic coarse
+    centroids (every 64th vector), vectors assigned to their max-cosine
+    cell, queries probe their own cell only, exact re-rank inside. At
+    100 TB: centroids come from sampled k-means (MLlib KMeans), cells
+    partition the index, multi-probe tunes recall — the cell join shape
+    is identical to this oracle-checked form."""
     emb = t(spark, sf_dir, "embeddings")
     cent = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -208,29 +236,28 @@ def embedding_ivf_ann(spark, sf_dir):
         F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
+# Spliced into dedup.py's consolidated dedup_near_dup_pairs oracle
+EMB_NEAR_DUP_SQL = f"""
 WITH sig AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({cosine_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos_sim
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS score
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.40
-""",
-    tags=("D25", "D24"),
-    doc="Embedding-cosine near-dup pairs within LSH buckets (threshold "
-    "0.40 sits inside the fixture's in-bucket cosine range — max 0.4145, "
-    "5 pairs at sf0.01, nearest excluded pair 0.3994, so the check "
-    "discriminates and no pair is within float-rounding of the cut): the "
-    "embedding analog of minhash dedup — bucket join bounds comparisons "
-    "at scale.",
-)
+"""
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.40
+    sits inside the fixture's in-bucket cosine range — max 0.4145, 5
+    pairs at sf0.01, nearest excluded pair 0.3994, so the check
+    discriminates and no pair is within float-rounding of the cut): the
+    embedding analog of minhash dedup — bucket join bounds comparisons
+    at scale."""
     emb = t(spark, sf_dir, "embeddings")
     sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")

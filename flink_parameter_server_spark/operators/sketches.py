@@ -43,9 +43,7 @@ def _bloom_bits_sql(tok_expr: str) -> str:
 _PROBE_VALUES = ", ".join(f"('{w}')" for w in BLOOM_PROBE_WORDS)
 
 
-@register(
-    "bloom_filter_membership",
-    oracle=f"""
+_BLOOM_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT lang, unnest({tokens_sql('text')}) AS tok FROM documents
 ),
@@ -65,21 +63,17 @@ hit AS (
   JOIN bits b ON b.lang = l.lang AND b.bit = p.bit
   GROUP BY l.lang, p.word
 )
-SELECT g.lang, g.word,
-       CAST(CASE WHEN coalesce(h.n_hit, 0) = need.n_need THEN 1 ELSE 0 END AS BIGINT) AS maybe_present,
-       nbits.n_bits_set
+SELECT 'bloom' AS sketch, g.lang, g.word,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) = need.n_need THEN 1 ELSE 0 END AS BIGINT) AS estimate,
+       nbits.n_bits_set AS check_value
 FROM (SELECT lang, word FROM (SELECT DISTINCT lang FROM documents) CROSS JOIN need) g
 JOIN need ON g.word = need.word
 JOIN nbits ON nbits.lang = g.lang
 LEFT JOIN hit h ON h.lang = g.lang AND h.word = g.word
-""",
-    tags=("C1",),
-    doc="Per-language Bloom filter over document tokens with membership "
-    "probes (reference: sketch/bloom [C-med]); k=3 seeded hashes, m=1024 "
-    "bits; build = distinct bit-set aggregate, probe = hash-join on bits. "
-    "Production path at scale: df.stat.bloomFilter (see sketch_builtins).",
-)
-def bloom_filter_membership(spark, sf_dir):
+"""
+
+
+def _bloom_membership(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
 
@@ -106,13 +100,14 @@ def bloom_filter_membership(spark, sf_dir):
         grid.join(hit, ["lang", "word"], "left")
         .join(nbits, "lang")
         .select(
+            F.lit("bloom").alias("sketch"),
             "lang",
             "word",
             F.when(F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_need"), F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
-            .alias("maybe_present"),
-            "n_bits_set",
+            .alias("estimate"),
+            F.col("n_bits_set").alias("check_value"),
         )
     )
 
@@ -130,7 +125,7 @@ def _ams_sign(col, seed: int):
 
 
 @register(
-    "ams_sketch_f2",
+    "ams_sketches",
     oracle=f"""
 WITH occ AS (SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
 counters AS (
@@ -141,19 +136,39 @@ counters AS (
 exact AS (
   SELECT lang, CAST(sum(f * f) AS BIGINT) AS f2_exact
   FROM (SELECT lang, tok, count(*) AS f FROM occ GROUP BY lang, tok) GROUP BY lang
+),
+docc AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
+),
+dcounters AS (
+  SELECT day,
+         {', '.join(f'sum(CASE WHEN {int_hash_sql("user_id", j=0, seed=s)} % 2 = 0 THEN 1 ELSE -1 END) AS c{s}' for s in AMS_SEEDS)},
+         count(*) AS n_events
+  FROM docc GROUP BY day
 )
-SELECT counters.lang,
+SELECT 'lang_f2' AS sketch, counters.lang AS key,
        round(CAST(({' + '.join(f'c{s} * c{s}' for s in AMS_SEEDS)}) AS DOUBLE) / {len(AMS_SEEDS)}, 6) AS f2_estimate,
-       exact.f2_exact
+       exact.f2_exact AS f2_check
 FROM counters JOIN exact ON counters.lang = exact.lang
+UNION ALL
+SELECT 'daily' AS sketch, day AS key,
+       round(CAST(({' + '.join(f'c{s} * c{s}' for s in AMS_SEEDS)}) AS DOUBLE) / {len(AMS_SEEDS)}, 6) AS f2_estimate,
+       n_events AS f2_check
+FROM dcounters
 """,
-    tags=("C2",),
-    doc="Tug-of-War / AMS second-moment sketch per language over the word "
-    "frequency vector (reference: sketch/tug/of/war [C-med]): 8 seeded "
-    "+/-1 counters, F2 ~= mean of squared counters; exact F2 alongside. "
-    "All-integer arithmetic -> bit-exact oracle.",
+    tags=("C2", "C3"),
+    doc="Tug-of-War / AMS sketches, global and time-aware, in one query "
+    "discriminated by `sketch` (consolidated from ams_sketch_f2 / "
+    "ams_sketch_daily). 'lang_f2': second moment per language over the "
+    "word frequency vector (reference: sketch/tug/of/war [C-med]) — 8 "
+    "seeded +/-1 counters, F2 ~= mean of squared counters, exact F2 "
+    "alongside. 'daily': the time-aware variant [C-low] — AMS F2 of the "
+    "per-day user-activity frequency vector on tumbling 1-day event-time "
+    "windows (the streaming form adds withWatermark over the identical "
+    "aggregate, streaming/windows.py); f2_check carries the window's "
+    "event count. All-integer arithmetic -> bit-exact oracle.",
 )
-def ams_sketch_f2(spark, sf_dir):
+def ams_sketches(spark, sf_dir):
     # Aggregate occurrences to (lang, tok, f) FIRST, then evaluate the
     # interpreted char-fold hash once per DISTINCT (lang, token) and
     # weight its +/-1 sign by f: sum over occurrences of sign(tok) ==
@@ -170,49 +185,24 @@ def ams_sketch_f2(spark, sf_dir):
     counters = freq.groupBy("lang").agg(
         *[F.sum(F.col("f") * _ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
     )
-    est = counters.select(
-        "lang",
-        F.round(
-            sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double") / F.lit(len(AMS_SEEDS)),
-            6,
-        ).alias("f2_estimate"),
+    sq_mean = (
+        sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double")
+        / F.lit(len(AMS_SEEDS))
     )
+    est = counters.select("lang", F.round(sq_mean, 6).alias("f2_estimate"))
     exact = freq.groupBy("lang").agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
-    return est.join(exact, "lang")
+    lang_part = est.join(exact, "lang").select(
+        F.lit("lang_f2").alias("sketch"),
+        F.col("lang").alias("key"),
+        "f2_estimate",
+        F.col("f2_exact").alias("f2_check"),
+    )
 
-
-# ---------------------------------------------------------------------------
-# C3 — time-aware sketch (AMS per event-time window)
-# ---------------------------------------------------------------------------
-
-@register(
-    "ams_sketch_daily",
-    oracle=f"""
-WITH occ AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id FROM events
-),
-counters AS (
-  SELECT day,
-         {', '.join(f'sum(CASE WHEN {int_hash_sql("user_id", j=0, seed=s)} % 2 = 0 THEN 1 ELSE -1 END) AS c{s}' for s in AMS_SEEDS)},
-         count(*) AS n_events
-  FROM occ GROUP BY day
-)
-SELECT day,
-       round(CAST(({' + '.join(f'c{s} * c{s}' for s in AMS_SEEDS)}) AS DOUBLE) / {len(AMS_SEEDS)}, 6) AS f2_estimate,
-       n_events
-FROM counters
-""",
-    tags=("C3",),
-    doc="Time-aware sketch: AMS F2 of the per-day user-activity frequency "
-    "vector (reference: time-aware sketch variants [C-low]); tumbling "
-    "1-day event-time windows — the streaming form adds withWatermark "
-    "over the identical aggregate (streaming/windows.py).",
-)
-def ams_sketch_daily(spark, sf_dir):
+    # time-aware variant: AMS per tumbling 1-day event-time window
     ev = t(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"), "user_id"
     )
-    counters = ev.groupBy("day").agg(
+    dcounters = ev.groupBy("day").agg(
         *[
             F.sum(
                 F.when(int_hash(F.col("user_id"), j=0, seed=s) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
@@ -221,14 +211,13 @@ def ams_sketch_daily(spark, sf_dir):
         ],
         F.count(F.lit(1)).alias("n_events"),
     )
-    return counters.select(
-        "day",
-        F.round(
-            sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double") / F.lit(len(AMS_SEEDS)),
-            6,
-        ).alias("f2_estimate"),
-        "n_events",
+    daily_part = dcounters.select(
+        F.lit("daily").alias("sketch"),
+        F.col("day").alias("key"),
+        F.round(sq_mean, 6).alias("f2_estimate"),
+        F.col("n_events").alias("f2_check"),
     )
+    return lang_part.unionByName(daily_part)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +231,7 @@ CMS_SEEDS = (3, 5, 11, 17)
 CMS_PROBE_WORDS = ("key", "table", "spark", "zzzz_not_a_word")
 
 
-@register(
-    "count_min_frequency",
-    oracle=f"""
+_CMS_SQL = f"""
 WITH occ AS (SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
 cells AS (
   SELECT lang, s.seed,
@@ -273,18 +260,38 @@ exact AS (
   LEFT JOIN occ o ON o.lang = l.lang AND o.tok = w.word
   GROUP BY l.lang, w.word
 )
-SELECT est.lang, est.word, CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
-       exact.exact_count
+SELECT 'cms' AS sketch, est.lang, est.word, CAST(est.cms_estimate AS BIGINT) AS estimate,
+       exact.exact_count AS check_value
 FROM est JOIN exact ON est.lang = exact.lang AND est.word = exact.word
+"""
+
+
+@register(
+    "sketch_point_queries",
+    oracle=f"""
+SELECT * FROM ({_BLOOM_SQL}) AS bloom_part
+UNION ALL
+SELECT * FROM ({_CMS_SQL}) AS cms_part
 """,
-    tags=("C4",),
-    doc="Explicit Count-Min sketch: 4 seeded hash rows x 256 columns of "
-    "counters per language; point estimate = min over rows of the "
-    "probed cell (one-sided overestimate, verified against exact counts "
-    "in the same result). Spark's count_min_sketch agg is the built-in "
-    "binary-blob form. All-integer -> bit-exact oracle.",
+    tags=("C1", "C4"),
+    doc="Point-query sketches — Bloom membership and Count-Min frequency "
+    "— in one query discriminated by `sketch` (consolidated from "
+    "bloom_filter_membership / count_min_frequency; both probe the same "
+    "per-language token sketches with the same word set). 'bloom': k=3 "
+    "seeded hashes over m=1024 bits (reference: sketch/bloom [C-med]); "
+    "build = distinct bit-set aggregate, probe = hash-join on bits; "
+    "estimate = maybe_present, check_value = bits set. 'cms': 4 seeded "
+    "hash rows x 256 counter columns; estimate = min over rows of the "
+    "probed cell (one-sided overestimate), check_value = exact count. "
+    "Production built-ins (df.stat.bloomFilter, count_min_sketch, HLL) "
+    "are exercised in tests/test_sketches.py. All-integer -> bit-exact "
+    "oracle.",
 )
-def count_min_frequency(spark, sf_dir):
+def sketch_point_queries(spark, sf_dir):
+    return _bloom_membership(spark, sf_dir).unionByName(_cms_frequency(spark, sf_dir))
+
+
+def _cms_frequency(spark, sf_dir):
     # Same restructure as ams_sketch_f2: pre-aggregate to (lang, tok, f)
     # so the 4 char-fold row hashes run once per DISTINCT token, with
     # cell counts as sum(f) instead of count(occurrences).
@@ -331,27 +338,20 @@ def count_min_frequency(spark, sf_dir):
         .select("lang", "word", F.coalesce("f", F.lit(0)).alias("exact_count"))
     )
     return est.join(exact, ["lang", "word"]).select(
-        "lang", "word", F.col("cms_estimate").cast("long").alias("cms_estimate"), "exact_count"
+        F.lit("cms").alias("sketch"),
+        "lang",
+        "word",
+        F.col("cms_estimate").cast("long").alias("estimate"),
+        F.col("exact_count").alias("check_value"),
     )
 
 
-# ---------------------------------------------------------------------------
-# C4 — approximate-distinct / built-in sketches (rows-only: approx values
-# are engine-specific by nature)
-# ---------------------------------------------------------------------------
-
-@register(
-    "sketch_builtins",
-    oracle=None,
-    tags=("C4",),
-    doc="Production sketch surface: approx_count_distinct (HLL++), "
-    "hll_sketch_agg/hll_sketch_estimate (Datasketches HLL), "
-    "approx_percentile, plus exact counterparts for reference. "
-    "Rows-only: approximate results are engine-specific (the DuckDB "
-    "oracle could only disagree). df.stat.bloomFilter / countMinSketch "
-    "cover the remaining built-ins (exercised in tests/test_sketches.py).",
-)
 def sketch_builtins(spark, sf_dir):
+    """Production sketch surface (formerly a rows-only registry entry, now
+    exercised in tests/test_sketches.py): approx_count_distinct (HLL++),
+    hll_sketch_agg/hll_sketch_estimate (Datasketches HLL),
+    approx_percentile, plus exact counterparts. Approximate results are
+    engine-specific, so a DuckDB oracle could only disagree."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),

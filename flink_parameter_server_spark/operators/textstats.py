@@ -34,91 +34,7 @@ def _stoplist_sql(words) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
-@register(
-    "text_quality_stats",
-    oracle=f"""
-WITH tk AS (SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents)
-SELECT doc_id, lang,
-  CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        list_transform(toks, s -> CAST(length(s) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
-        / len(toks), 6) AS avg_token_len,
-  round(CAST(len(list_filter(toks, s -> s IN {_stoplist_sql(STOPWORDS)})) AS DOUBLE)
-        / len(toks), 6) AS stopword_ratio,
-  round(0.5 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        + 0.5 * (1.0 - CAST(len(list_filter(toks, s -> s IN {_stoplist_sql(STOPWORDS)})) AS DOUBLE) / len(toks)), 6) AS quality_score
-FROM tk WHERE len(toks) > 0
-""",
-    tags=("D26",),
-    doc="Per-document quality scoring: token/unique counts, mean token "
-    "length, stopword ratio, and a composite quality score — the standard "
-    "pre-training corpus filters, all as codegen'd array expressions.",
-)
-def text_quality_stats(spark, sf_dir):
-    tk = t(spark, sf_dir, "documents").select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-    tk = tk.where(F.size("toks") > 0)
-    n = F.size("toks").cast("long")
-    n_uniq = F.size(F.array_distinct("toks")).cast("long")
-    sum_len = F.aggregate(
-        F.transform(F.col("toks"), lambda s: F.length(s).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    n_stop = F.size(F.filter(F.col("toks"), lambda s: s.isin(*STOPWORDS)))
-    stop_ratio = n_stop.cast("double") / n
-    return tk.select(
-        "doc_id",
-        "lang",
-        n.alias("n_tokens"),
-        n_uniq.alias("n_unique"),
-        F.round(sum_len.cast("double") / n, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(0.5 * n_uniq.cast("double") / n + 0.5 * (F.lit(1.0) - stop_ratio), 6).alias(
-            "quality_score"
-        ),
-    )
-
-
 _LANGS = sorted(LANG_MARKERS)
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-WITH tk AS (SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
-sc AS (
-  SELECT doc_id, lang,
-    {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
-  FROM tk
-)
-SELECT doc_id, lang AS actual_lang,
-  CASE WHEN greatest({', '.join('c_' + lg for lg in _LANGS)}) = 0 THEN 'und'
-       {' '.join(f"WHEN c_{lg} = greatest({', '.join('c_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
-  END AS guessed_lang
-FROM sc
-""",
-    tags=("D26",),
-    doc="Language-ID heuristic: marker-stopword overlap per language, "
-    "argmax with deterministic alphabetical tie-break, 'und' when no "
-    "marker hits. (Real corpora swap in per-language frequency tables; "
-    "the operator shape — score columns + argmax — is the same.)",
-)
-def text_lang_id(spark, sf_dir):
-    tk = t(spark, sf_dir, "documents").select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-    sc = tk.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(F.filter(F.col("toks"), _in_list(LANG_MARKERS[lg]))).alias(f"c_{lg}")
-            for lg in _LANGS
-        ],
-    )
-    best = F.greatest(*[F.col(f"c_{lg}") for lg in _LANGS])
-    guess = F.when(best == 0, F.lit("und"))
-    for lg in _LANGS:  # alphabetical order = deterministic tie-break
-        guess = guess.when(F.col(f"c_{lg}") == best, F.lit(lg))
-    return sc.select("doc_id", F.col("lang").alias("actual_lang"), guess.alias("guessed_lang"))
 
 
 def _in_list(words):
@@ -126,57 +42,70 @@ def _in_list(words):
 
 
 @register(
-    "text_token_counts",
-    oracle=r"""
-SELECT doc_id,
-  CAST(len(list_filter(string_split(text, ' '), s -> s <> '')) AS BIGINT) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_tokens,
-  CAST(length(text) AS BIGINT) AS n_chars_measured,
-  n_chars
-FROM documents
-""",
-    tags=("D26",),
-    doc="Token counting: whitespace tokens vs a BPE-ish regex segmentation "
-    "([a-z]+|[0-9]+ runs) plus character counts cross-checked against the "
-    "fixture's n_chars column.",
-)
-def text_token_counts(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).cast("long").alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-        "n_chars",
-    )
-
-
-@register(
-    "text_doc_fingerprint",
+    "text_profile",
     oracle=f"""
-WITH pos AS (
-  SELECT doc_id, unnest({tokens_sql('text')}) AS tok,
-         generate_subscripts({tokens_sql('text')}, 1) - 1 AS p
-  FROM documents
+WITH tk AS (SELECT doc_id, lang, text, n_chars, {tokens_sql('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS p
+  FROM tk
 ),
 chunks AS (
   SELECT doc_id, p // {FP_WINDOW} AS chunk,
          CAST(sum({poly_hash_sql('tok', 97)} * CAST(power(31, p % {FP_WINDOW}) AS BIGINT)) % {MOD} AS BIGINT) AS chunk_hash
   FROM pos GROUP BY doc_id, p // {FP_WINDOW}
 ),
-fp AS (SELECT doc_id, min(chunk_hash) AS fingerprint FROM chunks GROUP BY doc_id)
-SELECT fp.doc_id, fp.fingerprint, {poly_hash_sql('d.text', 1)} AS full_hash
-FROM fp JOIN documents d ON d.doc_id = fp.doc_id
+fp AS (SELECT doc_id, min(chunk_hash) AS fingerprint FROM chunks GROUP BY doc_id),
+sc AS (
+  SELECT doc_id, lang, text, n_chars, toks,
+    {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
+  FROM tk
+)
+SELECT sc.doc_id, sc.lang AS actual_lang,
+  CASE WHEN greatest({', '.join('c_' + lg for lg in _LANGS)}) = 0 THEN 'und'
+       {' '.join(f"WHEN c_{lg} = greatest({', '.join('c_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+  END AS guessed_lang,
+  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  n_chars,
+  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS BIGINT) END AS n_unique,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, s -> CAST(length(s) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
+          / len(toks), 6) END AS avg_token_len,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(list_filter(toks, s -> s IN {_stoplist_sql(STOPWORDS)})) AS DOUBLE)
+          / len(toks), 6) END AS stopword_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    round(0.5 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          + 0.5 * (1.0 - CAST(len(list_filter(toks, s -> s IN {_stoplist_sql(STOPWORDS)})) AS DOUBLE) / len(toks)), 6) END AS quality_score,
+  fp.fingerprint,
+  {poly_hash_sql('sc.text', 1)} AS full_hash
+FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
-    doc="Document fingerprinting: position-weighted rolling hash per "
-    "8-token chunk, doc fingerprint = min chunk hash (winnowing-style "
-    "selection), plus a full-text polynomial hash. Content-defined "
-    "signatures for shift-tolerant dedup.",
+    doc="The full per-document text-analysis profile in ONE pass over the "
+    "token array (consolidated from text_quality_stats / text_lang_id / "
+    "text_token_counts / text_doc_fingerprint — they all scan the same "
+    "documents table, so one query does one scan instead of four). "
+    "Columns: language-ID heuristic (marker-stopword overlap argmax with "
+    "deterministic alphabetical tie-break, 'und' when no marker hits); "
+    "token counting (whitespace vs a BPE-ish [a-z]+|[0-9]+ regex "
+    "segmentation, chars cross-checked against the fixture's n_chars); "
+    "quality stats (unique ratio, mean token length, stopword ratio, "
+    "composite score — the standard pre-training corpus filters, "
+    "null-guarded for empty docs); winnowing-style fingerprint "
+    "(position-weighted rolling hash per 8-token chunk, min chunk hash) "
+    "plus a full-text polynomial hash. Everything except the fingerprint "
+    "aggregation is codegen'd array math; the fingerprint is one "
+    "explode+groupBy joined back — two shuffles total at any scale.",
 )
-def text_doc_fingerprint(spark, sf_dir):
+def text_profile(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    pos = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok"))
+    tk = d.select("doc_id", "lang", "text", "n_chars", tokens(F.col("text")).alias("toks"))
+
+    # fingerprint: position-weighted rolling hash per FP_WINDOW-token chunk
+    pos = tk.select("doc_id", F.posexplode("toks").alias("p", "tok"))
     chunks = (
         pos.select(
             "doc_id",
@@ -188,5 +117,53 @@ def text_doc_fingerprint(spark, sf_dir):
         .agg((F.sum(F.col("h") * F.pow(F.lit(31.0), F.col("m")).cast("long")) % MOD).alias("chunk_hash"))
     )
     fp = chunks.groupBy("doc_id").agg(F.min("chunk_hash").alias("fingerprint"))
-    full = d.select("doc_id", poly_hash(F.col("text"), 1).alias("full_hash"))
-    return fp.join(full, "doc_id")
+
+    n = F.size("toks").cast("long")
+    n_uniq = F.size(F.array_distinct("toks")).cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop = F.size(F.filter(F.col("toks"), lambda s: s.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n
+    nonempty = F.size("toks") > 0
+
+    sc = tk.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        "toks",
+        *[
+            F.size(F.filter(F.col("toks"), _in_list(LANG_MARKERS[lg]))).alias(f"c_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in _LANGS])
+    guess = F.when(best == 0, F.lit("und"))
+    for lg in _LANGS:  # alphabetical order = deterministic tie-break
+        guess = guess.when(F.col(f"c_{lg}") == best, F.lit(lg))
+
+    wide = sc.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        guess.alias("guessed_lang"),
+        n.alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+        F.when(nonempty, n_uniq).alias("n_unique"),
+        F.when(nonempty, F.round(sum_len.cast("double") / n, 6)).alias("avg_token_len"),
+        F.when(nonempty, F.round(stop_ratio, 6)).alias("stopword_ratio"),
+        F.when(
+            nonempty,
+            F.round(0.5 * n_uniq.cast("double") / n + 0.5 * (F.lit(1.0) - stop_ratio), 6),
+        ).alias("quality_score"),
+        poly_hash(F.col("text"), 1).alias("full_hash"),
+    )
+    return wide.join(fp, "doc_id", "left").select(
+        "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
+        "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
+        "stopword_ratio", "quality_score", "fingerprint", "full_hash",
+    )

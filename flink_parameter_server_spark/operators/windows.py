@@ -20,44 +20,51 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
 @register(
-    "events_tumbling_daily",
+    "events_windows",
     oracle=f"""
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-       count(*) AS n, {money_sum_sql('value')} AS total_value
-FROM events GROUP BY 1, 2
+SELECT 'tumbling_1d' AS kind, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       event_type, count(*) AS n, {money_sum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'sliding_2d' AS kind, strftime(date_trunc('day', ts) - to_days(off), '%Y-%m-%d') AS window_start,
+       event_type, count(*) AS n, {money_sum_sql('value')} AS total_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
+GROUP BY 1, 2, 3
 """,
     tags=("D17",),
+    doc="Tumbling and sliding event-time windows in one query "
+    "discriminated by `kind` (consolidated from events_tumbling_daily / "
+    "events_sliding_2d). 'tumbling_1d': 1-day windows, start == "
+    "date_trunc since windows align to the epoch (batch dual of the "
+    "streaming form). 'sliding_2d': 2-day width, 1-day slide — every "
+    "event lands in two overlapping windows; the oracle replicates via "
+    "the offset-unnest identity.",
 )
-def events_tumbling_daily(spark, sf_dir):
-    """Tumbling 1-day window aggregation (batch dual of the streaming
-    form). Window start == date_trunc since windows align to the epoch."""
+def events_windows(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total_value"))
-        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n", "total_value")
+        .select(
+            F.lit("tumbling_1d").alias("kind"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
-
-
-@register(
-    "events_sliding_2d",
-    oracle="""
-SELECT strftime(date_trunc('day', ts) - to_days(off), '%Y-%m-%d') AS window_start,
-       event_type, count(*) AS n
-FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
-GROUP BY 1, 2
-""",
-    tags=("D17",),
-)
-def events_sliding_2d(spark, sf_dir):
-    """Sliding window (2-day width, 1-day slide): every event lands in two
-    overlapping windows. Oracle replicates via the offset-unnest identity."""
-    ev = t(spark, sf_dir, "events")
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"), "event_type", "n")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total_value"))
+        .select(
+            F.lit("sliding_2d").alias("kind"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
+    return tumbling.unionByName(sliding)
 
 
 @register(
@@ -144,6 +151,14 @@ monthly AS (
   SELECT date_trunc('month', d) AS m, event_type,
          CAST(sum(n) AS BIGINT) AS n, sum(tv) AS tv
   FROM daily GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT et.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span) gs
 )
 SELECT 'hour' AS grain, strftime(h, '%Y-%m-%d %H:00') AS bucket, event_type,
        n, round(CAST(tv AS DOUBLE), 4) AS total_value FROM hourly
@@ -153,16 +168,27 @@ SELECT 'day', strftime(d, '%Y-%m-%d'), event_type, n,
 UNION ALL
 SELECT 'month', strftime(m, '%Y-%m'), event_type, n,
        round(CAST(tv AS DOUBLE), 4) FROM monthly
+UNION ALL
+SELECT 'hour_filled', strftime(g.h, '%Y-%m-%d %H:00'), g.event_type,
+       coalesce(a.n, 0), CAST(NULL AS DOUBLE)
+FROM grid g LEFT JOIN hourly a ON a.event_type = g.event_type AND a.h = g.h
 """,
-    tags=("D17", "D11"),
+    tags=("D17", "D11", "D9"),
     doc="Multi-resolution rollup (hypertable continuous-aggregate "
-    "pattern): hourly aggregate computed once from raw events, daily "
-    "derived by re-aggregating hourly, monthly from daily — each level "
-    "reads the previous level's output, never rescans raw data. Sums "
-    "stay DECIMAL through the cascade (exact, re-aggregation-safe) and "
-    "round only at output. At 100 TB this is the materialized-rollup "
-    "shape: the raw scan happens exactly once and each further level "
-    "shuffles |previous level| rows (~1000x smaller).",
+    "pattern) plus the regular-grid gap fill, in one query discriminated "
+    "by `grain` (gap fill consolidated from events_hourly_gap_fill — it "
+    "re-aggregates the same hourly level). hour/day/month: hourly "
+    "aggregate computed once from raw events, daily derived by "
+    "re-aggregating hourly, monthly from daily — each level reads the "
+    "previous level's output, never rescans raw data; sums stay DECIMAL "
+    "through the cascade (exact, re-aggregation-safe) and round only at "
+    "output. 'hour_filled': a regular hourly grid per event type over "
+    "the observed span, zero-filled where no events landed — the grid is "
+    "sequence()+explode on a 1-row global-span aggregate (broadcast, no "
+    "driver collect) left-joined against the SAME persisted hourly "
+    "level. At 100 TB the raw scan happens exactly once, each rollup "
+    "level shuffles |previous level| rows (~1000x smaller), and the "
+    "grid side stays tiny (hours x types).",
 )
 def events_multires_rollup(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
@@ -174,7 +200,7 @@ def events_multires_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
         )
-        .persist()  # hourly feeds daily AND output; daily feeds monthly AND output
+        .persist()  # hourly feeds daily, the gap-fill join, AND output
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
@@ -194,8 +220,30 @@ def events_multires_rollup(spark, sf_dir):
             F.round(F.col("tv").cast("double"), 4).alias("total_value"),
         )
 
+    # hour_filled: zero-filled regular grid over the observed span
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    filled = (
+        grid.join(hourly.select("h", "event_type", "n"), ["event_type", "h"], "left")
+        .select(
+            F.lit("hour_filled").alias("grain"),
+            F.date_format(F.col("h"), "yyyy-MM-dd HH:00").alias("bucket"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+
     return (
         lvl(hourly, "hour", "h", "yyyy-MM-dd HH:00")
         .unionAll(lvl(daily, "day", "d", "yyyy-MM-dd"))
         .unionAll(lvl(monthly, "month", "m", "yyyy-MM"))
+        .unionAll(filled)
     )

@@ -72,6 +72,33 @@ def test_brp_lsh_ann(spark):
     assert 0 in ids and len(ids) == 5  # self is its own nearest neighbor
 
 
+def test_als_recommend(spark):
+    """B6 idiomatic alternate (formerly registry entry mf_als_recommend):
+    MLlib ALS with fixed seed + recommendForAllUsers — exactly 5 recs per
+    user, deterministic across runs at the same seed."""
+    from pyspark.ml.recommendation import ALS
+
+    from flink_parameter_server_spark.ps import mf
+
+    r = mf.ratings(spark, SF_SMALL).withColumn("rating", F.col("rating").cast("float"))
+    als = ALS(
+        rank=8,
+        maxIter=3,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    recs = als.fit(r).recommendForAllUsers(5)
+    flat = recs.select("user", F.posexplode("recommendations").alias("rk0", "rec")).select(
+        "user", (F.col("rk0") + 1).alias("rk"), F.col("rec.item").alias("item")
+    )
+    n_users = r.select("user").distinct().count()
+    assert flat.count() == 5 * n_users
+    assert flat.groupBy("user").count().where(F.col("count") != 5).count() == 0
+
+
 def test_mllib_feature_pipeline(spark):
     """D26 MLlib path: Tokenizer -> NGram -> HashingTF."""
     from pyspark.ml import Pipeline

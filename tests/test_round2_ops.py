@@ -40,22 +40,22 @@ def test_pivot_is_single_aggregation_pass(spark):
 
 
 def test_gap_fill_grid_broadcasts(spark):
-    plan = _plan(spark, "events_hourly_gap_fill")
+    # gap fill now lives inside events_multires_rollup (grain='hour_filled')
+    plan = _plan(spark, "events_multires_rollup")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_retrieval_broadcasts_stats_no_cartesian(spark):
-    for name in ("tfidf_top_terms", "bm25_search"):
-        plan = _plan(spark, name)
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastHashJoin" in plan, name
+    plan = _plan(spark, "text_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_bm25_filters_terms_before_aggregation(spark):
     # the query-term filter must sit below the first aggregate so the
     # (doc, term) shuffle carries |query| terms per doc, not the vocab
-    plan = _plan(spark, "bm25_search")
+    plan = _plan(spark, "text_retrieval")
     agg_pos = plan.find("HashAggregate")
     assert agg_pos > 0
     assert "tok" in plan  # term filter visible in the plan at all
@@ -65,7 +65,7 @@ def test_shingle_hash_runs_on_distinct_tokens(spark):
     # hashed_shingles hashes the vocab dimension then joins back: the
     # plan must contain the broadcast join, proving folds don't run
     # per occurrence
-    plan = _plan(spark, "dedup_minhash_lsh")
+    plan = _plan(spark, "dedup_near_dup_pairs")
     assert "BroadcastHashJoin" in plan
 
 
@@ -74,7 +74,12 @@ def test_shingle_hash_runs_on_distinct_tokens(spark):
 # ---------------------------------------------------------------------------
 
 def test_cluster_labels_consistent_across_edges(spark):
-    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMALL).select("doc_a", "doc_b")
+    pairs = (
+        REGISTRY["dedup_near_dup_pairs"]
+        .fn(spark, SF_SMALL)
+        .where(F.col("method") == "minhash_lsh")
+        .select("doc_a", "doc_b")
+    )
     labels = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
     a = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca"))
     b = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb"))
@@ -114,20 +119,26 @@ def test_quantization_roundtrip_error_bounded(spark):
 def test_multires_rollup_levels_consistent(spark):
     df = REGISTRY["events_multires_rollup"].fn(spark, SF_SMALL)
     per_grain = {
-        r.grain: (r.n, round(r.tv, 2))
+        r.grain: (r.n, round(r.tv, 2) if r.tv is not None else None)
         for r in df.groupBy("grain")
         .agg(F.sum("n").alias("n"), F.sum("total_value").alias("tv"))
         .collect()
     }
+    # the zero-filled grid re-counts exactly the hourly events
+    assert per_grain["hour_filled"][0] == per_grain["hour"][0]
     # every grain re-aggregates the same event set: counts identical
     assert per_grain["hour"][0] == per_grain["day"][0] == per_grain["month"][0]
     assert abs(per_grain["hour"][1] - per_grain["day"][1]) < 0.05
 
 
 def test_gap_fill_zero_rows_present(spark):
-    df = REGISTRY["events_hourly_gap_fill"].fn(spark, "/root/testdata/sf0.01")
+    df = (
+        REGISTRY["events_multires_rollup"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .where(F.col("grain") == "hour_filled")
+    )
     assert df.where(F.col("n") == 0).count() > 0  # fill is exercised
     # grid is dense: |types| x |hours|
     n_types = df.select("event_type").distinct().count()
-    n_hours = df.select("h").distinct().count()
+    n_hours = df.select("bucket").distinct().count()
     assert df.count() == n_types * n_hours
