@@ -127,9 +127,7 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(batches, schema=_FRAME_SCHEMA)
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle=f"""
+_FRAMES_SQL = f"""
 WITH codes AS (
   SELECT doc_id,
          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
@@ -141,28 +139,18 @@ fr AS (
          unnest(range(0, CAST(ceil(len(cs) / {float(FRAME_BYTES)}) AS BIGINT))) AS f
   FROM codes
 )
-SELECT doc_id, f AS frame_idx, f * {FRAME_BYTES} AS byte_off,
-       CAST(least({FRAME_BYTES}, len(cs) - f * {FRAME_BYTES}) AS BIGINT) AS frame_bytes,
+SELECT 'frames' AS part, doc_id, CAST(NULL AS VARCHAR) AS media_type,
+       f AS n1, f * {FRAME_BYTES} AS n2,
+       CAST(least({FRAME_BYTES}, len(cs) - f * {FRAME_BYTES}) AS BIGINT) AS n3,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                                 cs[f * {FRAME_BYTES} + 1 : (f + 1) * {FRAME_BYTES}]),
-                   (a, x) -> a + x) % 1000003 AS checksum
+                   (a, x) -> a + x) % 1000003 AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,
+       CAST(NULL AS BIGINT) AS n7
 FROM fr WHERE f % {FRAME_STRIDE} = 0
-""",
-    tags=("north-star", "D22"),
-    doc="Multimodal frame sampling: binary payload as fixed-size frame "
-    "windows, every FRAME_STRIDE-th frame emitted as its own row via "
-    "Arrow-batched mapInPandas (1 row in -> N frame rows out, the real "
-    "video-sampler batch shape). Frame decode is the declared byte-math "
-    "stub; the oracle replays frame offsets/checksums from the source "
-    "text with list slicing.",
-)
-def multimodal_frame_sample(spark, sf_dir):
-    return frame_sample(media_table(spark, sf_dir))
+"""
 
-
-@register(
-    "multimodal_decode_features",
-    oracle="""
+_FEATURES_SQL = """
 WITH codes AS (
   SELECT doc_id,
          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
@@ -170,21 +158,78 @@ WITH codes AS (
          n_chars
   FROM documents
 )
-SELECT doc_id, 'image/fake' AS media_type,
-       CAST(len(cs) AS BIGINT) AS n_bytes,
-       CAST(n_chars % 640 AS INT) AS width,
-       CAST(n_chars % 480 AS INT) AS height,
-       cs[1] AS f0, cs[len(cs)] AS f1,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 256 AS f2,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 1000003 AS f3
+SELECT 'features' AS part, doc_id, 'image/fake' AS media_type,
+       CAST(len(cs) AS BIGINT) AS n1,
+       CAST(n_chars % 640 AS BIGINT) AS n2,
+       CAST(n_chars % 480 AS BIGINT) AS n3,
+       cs[1] AS n4, cs[len(cs)] AS n5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 256 AS n6,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 1000003 AS n7
 FROM codes
+"""
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: binary payload as fixed-size frame
+    windows, every FRAME_STRIDE-th frame emitted as its own row via
+    Arrow-batched mapInPandas (1 row in -> N frame rows out, the real
+    video-sampler batch shape)."""
+    return frame_sample(media_table(spark, sf_dir))
+
+
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal pipeline plumbing: binary media column + typed metadata
+    -> Arrow-batched mapInPandas decode/feature-extract."""
+    return decode_features(media_table(spark, sf_dir))
+
+
+@register(
+    "multimodal_pipeline",
+    oracle=f"""
+SELECT * FROM ({_FEATURES_SQL}) AS features_part
+UNION ALL
+SELECT * FROM ({_FRAMES_SQL}) AS frames_part
 """,
     tags=("north-star", "D22"),
-    doc="Multimodal pipeline plumbing: binary media column + typed "
-    "metadata -> Arrow-batched mapInPandas decode/feature-extract. The "
-    "decode itself is a deterministic stub (no media libs in container); "
-    "the oracle replays the byte math from the source text (payload is "
-    "its utf-8 encoding, ascii-only fixture).",
+    doc="The multimodal binary-column pipeline in one query discriminated "
+    "by `part` (consolidated from multimodal_decode_features / "
+    "multimodal_frame_sample — both run the same media_table through "
+    "Arrow-batched mapInPandas). 'features': decode + feature-extract, "
+    "n1=n_bytes, n2=width, n3=height, n4..n7=f0..f3. 'frames': "
+    "fixed-size frame windows, every FRAME_STRIDE-th frame as its own "
+    "row (1 row in -> N out, the real video-sampler batch shape), "
+    "n1=frame_idx, n2=byte_off, n3=frame_bytes, n4=checksum. The decode "
+    "is the declared deterministic byte-math stub (no media libs in the "
+    "container); the oracle replays the byte math from the source text "
+    "via per-character ascii(), which equals the Spark side's UTF-8 "
+    "byte fold ONLY for ASCII text — a documented fixture assumption "
+    "(the synthetic documents are ASCII-only); an encoding-faithful "
+    "DuckDB byte extraction would need blob indexing DuckDB lacks.",
 )
-def multimodal_decode_features(spark, sf_dir):
-    return decode_features(media_table(spark, sf_dir))
+def multimodal_pipeline(spark, sf_dir):
+    null_l = F.lit(None).cast("long")
+    features = decode_features(media_table(spark, sf_dir)).select(
+        F.lit("features").alias("part"),
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").alias("n1"),
+        F.col("width").cast("long").alias("n2"),
+        F.col("height").cast("long").alias("n3"),
+        F.col("f0").alias("n4"),
+        F.col("f1").alias("n5"),
+        F.col("f2").alias("n6"),
+        F.col("f3").alias("n7"),
+    )
+    frames = frame_sample(media_table(spark, sf_dir)).select(
+        F.lit("frames").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.col("frame_idx").alias("n1"),
+        F.col("byte_off").alias("n2"),
+        F.col("frame_bytes").alias("n3"),
+        F.col("checksum").alias("n4"),
+        null_l.alias("n5"),
+        null_l.alias("n6"),
+        null_l.alias("n7"),
+    )
+    return features.unionByName(frames)

@@ -136,8 +136,9 @@ def top_unshipped_orders(spark, sf_dir):
 @register(
     "revenue_by_nation",
     oracle="""
-SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+SELECT 'by_nation' AS part, CAST(NULL AS VARCHAR) AS r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       CAST(NULL AS BIGINT) AS n_suppliers
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -147,14 +148,34 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+UNION ALL
+SELECT 'rollup' AS part, r_name, n_name,
+       round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
 """,
-    tags=("D4", "D5"),
+    tags=("D4", "D5", "D11"),
 )
 def revenue_by_nation(spark, sf_dir):
-    """TPC-H Q5-style star join: fact tables shuffle-join on orderkey;
-    supplier/nation/region are explicitly broadcast (D5) so the big side
-    never shuffles for them. At 100 TB the same hints hold (dims are KBs).
+    """TPC-H Q5-style star join plus the geography ROLLUP, discriminated
+    by `part` (revenue_rollup folded in, registry consolidation r3).
+
+    'by_nation': fact tables shuffle-join on orderkey; supplier/nation/
+    region are explicitly broadcast (D5) so the big side never shuffles
+    for them. At 100 TB the same hints hold (dims are KBs).
+    'rollup': ROLLUP over the region -> nation -> total hierarchy on the
+    same broadcast dimension join (revenue = account-balance total).
     """
+    rollup_part = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(money_sum(F.col("s_acctbal")).alias("revenue"), F.count(F.lit(1)).alias("n_suppliers"))
+        .select(F.lit("rollup").alias("part"), "r_name", "n_name", "revenue", "n_suppliers")
+    )
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -164,7 +185,7 @@ def revenue_by_nation(spark, sf_dir):
     supp = F.broadcast(t(spark, sf_dir, "supplier"))
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    return (
+    by_nation = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
@@ -172,7 +193,15 @@ def revenue_by_nation(spark, sf_dir):
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            F.lit("by_nation").alias("part"),
+            F.lit(None).cast("string").alias("r_name"),
+            "n_name",
+            "revenue",
+            F.lit(None).cast("long").alias("n_suppliers"),
+        )
     )
+    return by_nation.unionByName(rollup_part)
 
 
 # ---------------------------------------------------------------------------
@@ -247,56 +276,21 @@ def event_value_tiers(spark, sf_dir):
 # D11 — rollup / cube
 # ---------------------------------------------------------------------------
 
-@register(
-    "revenue_rollup",
-    oracle="""
-SELECT r_name, n_name,
-       round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal,
-       count(*) AS n_suppliers
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-""",
-    tags=("D11",),
-)
-def revenue_rollup(spark, sf_dir):
-    """ROLLUP over the geography hierarchy (region -> nation -> total)."""
-    supp = t(spark, sf_dir, "supplier")
-    nation = F.broadcast(t(spark, sf_dir, "nation"))
-    region = F.broadcast(t(spark, sf_dir, "region"))
-    return (
-        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(money_sum(F.col("s_acctbal")).alias("total_acctbal"), F.count(F.lit(1)).alias("n_suppliers"))
-    )
+# revenue_rollup was folded into revenue_by_nation (part='rollup') —
+# same broadcast dimension join, one query covers D5 and the D11 rollup
+# (registry consolidation, r3).
 
 
-@register(
-    "orders_cube",
-    oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    tags=("D11",),
-)
-def orders_cube(spark, sf_dir):
-    """CUBE over status x priority (grouping-sets family)."""
-    return (
-        t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("o_totalprice")).alias("total_price"))
-    )
+# orders_cube was folded into orders_grouping_sets (relational2.py,
+# gset='cube') — one grouping-sets-family query covers CUBE and explicit
+# GROUPING SETS (registry consolidation, r3).
 
 
 # ---------------------------------------------------------------------------
 # D12 — window functions
 # ---------------------------------------------------------------------------
 
-@register(
-    "customer_order_timeline",
-    oracle="""
+CUSTOMER_TIMELINE_SQL = """
 SELECT o_orderkey,
        row_number()   OVER w AS rn,
        round(CAST(lag(o_totalprice)  OVER w AS DOUBLE), 4) AS prev_price,
@@ -305,9 +299,9 @@ SELECT o_orderkey,
        ntile(4) OVER w AS quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-    tags=("D12",),
-)
+"""
+
+
 def customer_order_timeline(spark, sf_dir):
     """Ranking + analytic + framed-aggregate window functions per customer.
 

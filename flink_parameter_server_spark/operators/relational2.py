@@ -9,36 +9,63 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ._util import dround, exact_sum, t
+from ._util import dround, exact_sum, money_sum as _money_sum, t
 
 
 @register(
     "orders_grouping_sets",
     oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+SELECT 'gsets' AS gset, o_orderstatus, o_orderpriority, count(*) AS n,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+UNION ALL
+SELECT 'cube' AS gset, o_orderstatus, o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     tags=("D11",),
-    doc="Explicit GROUPING SETS (non-hierarchical: by status, by priority "
-    "— neither rollup nor cube expresses this pair).",
+    doc="The grouping-sets family in one query discriminated by `gset` "
+    "(orders_cube folded in, registry consolidation r3). 'gsets': "
+    "explicit non-hierarchical GROUPING SETS (by status, by priority — "
+    "neither rollup nor cube expresses this pair). 'cube': full CUBE "
+    "over status x priority. Both lower to one Expand + hash aggregate "
+    "per branch.",
 )
 def orders_grouping_sets(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
+    gsets = spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        SELECT 'gsets' AS gset, o_orderstatus, o_orderpriority, count(*) AS n,
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+    cube = (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum(F.col("o_totalprice")).alias("total_price"))
+        .select(
+            F.lit("cube").alias("gset"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            "total_price",
+        )
+    )
+    return gsets.unionByName(cube)
 
 
-@register(
-    "order_window_analytics",
-    oracle="""
+def _owa_oracle() -> str:
+    from .relational import CUSTOMER_TIMELINE_SQL
+
+    return _OWA_ORACLE_TMPL.replace("{TIMELINE_SQL}", CUSTOMER_TIMELINE_SQL)
+
+
+_OWA_ORACLE_TMPL = """
+WITH tl AS ({TIMELINE_SQL}),
+wa AS (
 SELECT o_orderkey,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
@@ -51,13 +78,33 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey % 20 = 0
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-""",
+)
+SELECT tl.o_orderkey, tl.rn, tl.prev_price, tl.next_price, tl.running_total,
+       tl.quartile, wa.rnk, wa.drnk, wa.prnk, wa.cdist, wa.first_key,
+       wa.nearby_price_sum
+FROM tl LEFT JOIN wa USING (o_orderkey)
+"""
+
+
+@register(
+    "order_window_analytics",
+    oracle=_owa_oracle(),
     tags=("D12",),
-    doc="Full ranking/analytic window surface: rank, dense_rank, "
-    "percent_rank, cume_dist, first_value, and a RANGE-frame aggregate "
-    "(value-based frame, the one rowsBetween can't express).",
+    doc="The full window-function surface in one wide result "
+    "(customer_order_timeline folded in, registry consolidation r3; "
+    "per-order LEFT JOIN of the two window families — the ranking "
+    "columns are null off the 1-in-20 sample). Per-customer timeline: "
+    "row_number, lag, lead, running decimal sum over a ROWS frame, "
+    "ntile — one shuffle on o_custkey serves all five (same window "
+    "spec, deterministic tie-break on o_orderkey). Per-status ranking: "
+    "rank, dense_rank, percent_rank, cume_dist, first_value, and a "
+    "RANGE-frame aggregate (value-based frame, the one rowsBetween "
+    "can't express).",
 )
 def order_window_analytics(spark, sf_dir):
+    from .relational import customer_order_timeline
+
+    tl = customer_order_timeline(spark, sf_dir)
     o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     wr = (
@@ -65,7 +112,7 @@ def order_window_analytics(spark, sf_dir):
         .orderBy("o_totalprice")
         .rangeBetween(-100, 100)
     )
-    return o.select(
+    wa = o.select(
         "o_orderkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
@@ -74,6 +121,7 @@ def order_window_analytics(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_key"),
         dround(exact_sum(F.col("o_totalprice")).over(wr), 4).alias("nearby_price_sum"),
     )
+    return tl.join(wa, "o_orderkey", "left")
 
 
 @register(
@@ -145,17 +193,13 @@ def customers_above_nation_avg(spark, sf_dir):
     )
 
 
-@register(
-    "udf_surface_demo",
-    oracle=None,
-    tags=("D22",),
-    doc="UDF/UDTF surface (reserved for what built-ins can't express, per "
-    "SURVEY §2 D22): an Arrow-vectorized pandas_udf, a row Python UDF, "
-    "and a Python UDTF (lateral table function), composed in one query. "
-    "Rows-only: the point is the API surface; numerics live in built-in "
-    "operators.",
-)
 def udf_surface_demo(spark, sf_dir):
+    """UDF/UDTF surface (reserved for what built-ins can't express, per
+    SURVEY §2 D22): an Arrow-vectorized pandas_udf, a row Python UDF,
+    and a Python UDTF (lateral table function), composed in one query.
+    Formerly a rows-only registry entry; exercised in
+    tests/test_edges.py (the point is the API surface — numerics live
+    in built-in operators)."""
     from pyspark.sql.functions import pandas_udf, udf
     from pyspark.sql.functions import udtf
 

@@ -28,37 +28,20 @@ PRIORITIES = [
 
 
 @register(
-    "orders_pivot",
+    "pivot_unpivot",
     oracle=f"""
-SELECT o_orderstatus,
+SELECT 'pivot' AS part, o_orderstatus AS k, CAST(NULL AS BIGINT) AS okey,
+       CAST(NULL AS INT) AS line, CAST(NULL AS VARCHAR) AS metric,
+       CAST(NULL AS DOUBLE) AS value,
        {", ".join(f'''{money_sum_sql(f"CASE WHEN o_orderpriority = '{v}' THEN o_totalprice END")} AS {a}'''
                   for v, a in PRIORITIES)}
 FROM orders
 GROUP BY o_orderstatus
-""",
-    tags=("D9", "D11"),
-    doc="Pivot: order revenue cross-tabbed status x priority via "
-    "groupBy().pivot() with an explicit value list (single shuffle, "
-    "map-side partial agg per pivot bucket — no second distinct pass). "
-    "Oracle is the conditional-aggregation expansion, which is exactly "
-    "the physical form Spark lowers pivot to.",
-)
-def orders_pivot(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    piv = (
-        o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", [v for v, _ in PRIORITIES])
-        .agg(money_sum(F.col("o_totalprice")))
-    )
-    return piv.select(
-        "o_orderstatus", *[F.col(f"`{v}`").alias(a) for v, a in PRIORITIES]
-    )
-
-
-@register(
-    "lineitem_unpivot",
-    oracle="""
-SELECT l_orderkey, l_linenumber, metric, value FROM (
+UNION ALL
+SELECT 'unpivot' AS part, CAST(NULL AS VARCHAR) AS k, l_orderkey AS okey,
+       l_linenumber AS line, metric, value,
+       {", ".join(f"CAST(NULL AS DOUBLE) AS {a}" for _, a in PRIORITIES)}
+FROM (
   SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
   UNION ALL
   SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
@@ -68,21 +51,55 @@ SELECT l_orderkey, l_linenumber, metric, value FROM (
   SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
 ) WHERE l_orderkey % 50 = 0
 """,
-    tags=("D9", "D14"),
-    doc="Unpivot/melt: wide measure columns -> long (metric, value) rows "
-    "via DataFrame.unpivot — a narrow map-only Expand, no shuffle, no "
-    "UNION rescan of the input (the oracle's UNION ALL form reads the "
-    "table four times; unpivot reads it once). Values pass through "
-    "unmodified so doubles hash bit-identically.",
+    tags=("D9", "D11", "D14"),
+    doc="Reshaping both ways in one query discriminated by `part` "
+    "(consolidated from orders_pivot / lineitem_unpivot). 'pivot': "
+    "order revenue cross-tabbed status x priority via groupBy().pivot() "
+    "with an explicit value list (single shuffle, map-side partial agg "
+    "per pivot bucket — no second distinct pass); the oracle is the "
+    "conditional-aggregation expansion, exactly the physical form Spark "
+    "lowers pivot to. 'unpivot': wide measure columns -> long (metric, "
+    "value) rows via DataFrame.unpivot — a narrow map-only Expand, no "
+    "shuffle, ONE scan where the oracle's UNION ALL reads the table "
+    "four times; values pass through unmodified so doubles hash "
+    "bit-identically.",
 )
-def lineitem_unpivot(spark, sf_dir):
+def pivot_unpivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in PRIORITIES])
+        .agg(money_sum(F.col("o_totalprice")))
+        .select(
+            F.lit("pivot").alias("part"),
+            F.col("o_orderstatus").alias("k"),
+            F.lit(None).cast("long").alias("okey"),
+            F.lit(None).cast("int").alias("line"),
+            F.lit(None).cast("string").alias("metric"),
+            F.lit(None).cast("double").alias("value"),
+            *[F.col(f"`{v}`").alias(a) for v, a in PRIORITIES],
+        )
+    )
     li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
-    return li.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "metric",
-        "value",
-    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    unp = (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+        .select(
+            F.lit("unpivot").alias("part"),
+            F.lit(None).cast("string").alias("k"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("line"),
+            "metric",
+            "value",
+            *[F.lit(None).cast("double").alias(a) for _, a in PRIORITIES],
+        )
+    )
+    return piv.unionByName(unp)
 
 
 @register(

@@ -27,16 +27,45 @@ from ..plans.registry import register
 @register(
     "source_format_roundtrip",
     oracle="""
-SELECT n_nationkey, n_name, n_regionkey FROM nation
+SELECT 'csv_json' AS fmt, n_nationkey AS key, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS val
+FROM nation
+UNION ALL
+SELECT 'orc_avro' AS fmt, r_regionkey AS key, r_name AS name,
+       count(*) AS val
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey, r_name
 """,
     tags=("D1", "D2"),
-    doc="CSV + JSON source/sink round trip: nation written as headered "
-    "CSV and as JSON lines, both read back under the explicit schema, "
-    "inner-joined on the key with a value-equality predicate on every "
-    "column — output matches the parquet original exactly, so both "
-    "formats' encode/decode paths are value-checked.",
+    doc="Source/sink format breadth in one query discriminated by `fmt` "
+    "(source_format_orc_avro folded in, registry consolidation r3). "
+    "'csv_json': nation written as headered CSV and as JSON lines, both "
+    "read back under the explicit schema, inner-joined on the key with "
+    "a value-equality predicate on every column — output matches the "
+    "parquet original exactly, so both formats' encode/decode paths are "
+    "value-checked. 'orc_avro': region and nation written as ORC "
+    "(native reader, pushdown + pruning like parquet), read back, "
+    "joined and aggregated; Avro is exercised only when the spark-avro "
+    "jar is importable (probed, not assumed). The oracle runs on the "
+    "parquet originals, so any encode/decode drift fails the hash.",
 )
 def source_format_roundtrip(spark, sf_dir):
+    csv_json = _csv_json_roundtrip(spark, sf_dir).select(
+        F.lit("csv_json").alias("fmt"),
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("val"),
+    )
+    orc_avro = _orc_avro_roundtrip(spark, sf_dir).select(
+        F.lit("orc_avro").alias("fmt"),
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+        F.col("n_nations").alias("val"),
+    )
+    return csv_json.unionByName(orc_avro)
+
+
+def _csv_json_roundtrip(spark, sf_dir):
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="fps_formats_")
     n.write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
@@ -62,23 +91,7 @@ def source_format_roundtrip(spark, sf_dir):
     )
 
 
-@register(
-    "source_format_orc_avro",
-    oracle="""
-SELECT r_regionkey, r_name, count(*) AS n_nations
-FROM region JOIN nation ON n_regionkey = r_regionkey
-GROUP BY r_regionkey, r_name
-""",
-    tags=("D1", "D2"),
-    doc="ORC source/sink round trip (plus Avro when the spark-avro "
-    "package is on the classpath — probed, not assumed): region and "
-    "nation written as ORC, read back, joined and aggregated. The "
-    "oracle runs on the parquet originals, so any ORC encode/decode "
-    "drift fails the value hash. ORC ships in Spark core (native "
-    "reader, predicate pushdown + column pruning like parquet); Avro "
-    "is an external package, exercised only if importable.",
-)
-def source_format_orc_avro(spark, sf_dir):
+def _orc_avro_roundtrip(spark, sf_dir):
     import tempfile
 
     region = t(spark, sf_dir, "region")

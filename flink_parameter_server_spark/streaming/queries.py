@@ -20,58 +20,7 @@ from ..ps import mf
 
 
 @register(
-    "streaming_tumbling_daily",
-    oracle=f"""
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-       count(*) AS n
-FROM events GROUP BY 1, 2
-""",
-    tags=("D17",),
-    doc="D17 executed as a REAL stream (readStream -> watermark -> window "
-    "agg -> sink, availableNow): the materialized sink output is checked "
-    "against the same oracle as the batch dual — Structured Streaming's "
-    "incremental execution must reproduce the batch answer.",
-)
-def streaming_tumbling_daily(spark, sf_dir):
-    from .windows import run_to_memory, tumbling_daily_stream
-
-    name = f"stq_tumb_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(tumbling_daily_stream(spark, sf_dir), name)
-
-
-@register(
-    "streaming_session_windows",
-    oracle=f"""
-WITH o AS (
-  SELECT user_id, epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events
-), m AS (
-  SELECT user_id, us,
-         CASE WHEN prev IS NULL OR us - prev >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
-  FROM o
-), s AS (
-  SELECT user_id, us,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
-  FROM m
-)
-SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
-       max(us) - min(us) AS dur_us
-FROM s GROUP BY user_id, sid
-""",
-    tags=("D18",),
-    doc="D18 executed as a REAL stream: session windows on keyed state, "
-    "materialized sink checked against the lag+cumsum island oracle.",
-)
-def streaming_session_windows(spark, sf_dir):
-    from .windows import run_to_memory, session_windows_stream
-
-    name = f"stq_sess_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(session_windows_stream(spark, sf_dir), name)
-
-
-@register(
-    "streaming_session_timeout",
+    "streaming_sessions",
     oracle=f"""
 WITH o AS (
   SELECT user_id, epoch_us(ts) AS us,
@@ -91,53 +40,106 @@ WITH o AS (
          max(sid) OVER (PARTITION BY user_id) AS max_sid
   FROM s GROUP BY user_id, sid
 ), mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
-SELECT user_id, session_start_us, n_events, dur_us,
-       CASE WHEN sid < max_sid THEN 'data'
-            ELSE 'timeout' END AS close_reason
+SELECT 'builtin' AS impl, user_id, session_start_us, n_events, dur_us,
+       CAST(NULL AS VARCHAR) AS close_reason
+FROM sess
+UNION ALL
+SELECT 'timeout_state' AS impl, user_id, session_start_us, n_events, dur_us,
+       CASE WHEN sid < max_sid THEN 'data' ELSE 'timeout' END AS close_reason
 FROM sess, mx
 WHERE sid < max_sid
    OR last_us // 1000 + {SESSION_GAP_US // 1000} < max_us // 1000 - 3600000
 """,
     tags=("D18", "D21", "D2"),
-    doc="D21's state-timeout facet as a REAL stream: custom sessionization "
-    "on applyInPandasWithState with GroupStateTimeout.EventTimeTimeout — "
-    "sessions close either when a same-user event arrives past the 30-min "
-    "gap ('data') or when the watermark passes last+gap in the trailing "
-    "no-data micro-batch ('timeout'); final sessions the watermark never "
-    "reaches stay open and are unreported. Oracle = the lag/cumsum island "
-    "SQL, non-final islands tagged 'data', final islands tagged 'timeout' "
-    "only when last+gap < max_ts - 1h (the final watermark, ms-truncated "
-    "exactly as Spark tracks it).",
+    doc="D18 + D21's state-timeout facet, both as REAL streams in one "
+    "query discriminated by `impl` (consolidated from "
+    "streaming_session_windows / streaming_session_timeout; both "
+    "sessionize the same event stream by the same 30-min gap). "
+    "'builtin': F.session_window on keyed state, materialized sink "
+    "checked against the lag+cumsum island oracle. 'timeout_state': "
+    "custom sessionization on applyInPandasWithState with "
+    "GroupStateTimeout.EventTimeTimeout — sessions close either when a "
+    "same-user event arrives past the gap ('data') or when the "
+    "watermark passes last+gap in the trailing no-data micro-batch "
+    "('timeout'); final sessions the watermark never reaches stay open "
+    "and are unreported, so the oracle tags non-final islands 'data' "
+    "and final islands 'timeout' only when last+gap < max_ts - 1h (the "
+    "final watermark, ms-truncated exactly as Spark tracks it).",
 )
-def streaming_session_timeout(spark, sf_dir):
+def streaming_sessions(spark, sf_dir):
     from .sinks import session_timeout_stream
-    from .windows import run_to_memory
+    from .windows import run_to_memory, session_windows_stream
 
-    name = f"stq_sesstmo_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(session_timeout_stream(spark, sf_dir), name)
+    builtin = run_to_memory(
+        session_windows_stream(spark, sf_dir), f"stq_sess_{uuid.uuid4().hex[:8]}"
+    ).select(
+        F.lit("builtin").alias("impl"),
+        "user_id",
+        "session_start_us",
+        "n_events",
+        "dur_us",
+        F.lit(None).cast("string").alias("close_reason"),
+    )
+    custom = run_to_memory(
+        session_timeout_stream(spark, sf_dir), f"stq_sesstmo_{uuid.uuid4().hex[:8]}"
+    ).select(
+        F.lit("timeout_state").alias("impl"),
+        "user_id",
+        "session_start_us",
+        "n_events",
+        "dur_us",
+        "close_reason",
+    )
+    return builtin.unionByName(custom)
 
 
 @register(
-    "streaming_upsert_sink",
+    "streaming_agg_sinks",
     oracle="""
-SELECT event_type, count(*) AS n,
+SELECT 'window_memory' AS sink, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, count(*) AS n, CAST(NULL AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'upsert_files' AS sink, CAST(NULL AS VARCHAR) AS day, event_type,
+       count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
-FROM events GROUP BY 1
+FROM events GROUP BY 1, 2, 3
 """,
-    tags=("D2", "D17"),
-    doc="D2 exactly-once file sink as a REAL stream: update-mode aggregate "
-    "-> foreachBatch writes each micro-batch's updated rows to a "
-    "directory keyed by batch id (a replayed batch overwrites the same "
-    "directory, so retries are idempotent), and readers resolve "
-    "last-write-wins per key by max batch id — the production upsert "
-    "pattern for non-transactional warehouse tables. Oracle = the plain "
-    "batch aggregate: the latest update per key must equal the full-data "
-    "answer regardless of how the stream was micro-batched.",
+    tags=("D17", "D2"),
+    doc="Streaming aggregation through two sink paths in one query "
+    "discriminated by `sink` (consolidated from streaming_tumbling_daily "
+    "/ streaming_upsert_sink). 'window_memory': D17 as a REAL stream "
+    "(readStream -> watermark -> tumbling window agg -> memory sink, "
+    "availableNow) — incremental execution must reproduce the batch "
+    "answer. 'upsert_files': the D2 exactly-once file-sink pattern — "
+    "update-mode aggregate, foreachBatch writes each micro-batch's "
+    "updated rows to a directory keyed by batch id (a replayed batch "
+    "overwrites the same directory, so retries are idempotent), readers "
+    "resolve last-write-wins per key by max batch id; the latest update "
+    "per key must equal the full-data aggregate regardless of "
+    "micro-batching.",
 )
-def streaming_upsert_sink(spark, sf_dir):
+def streaming_agg_sinks(spark, sf_dir):
     from .sinks import foreachbatch_upsert
+    from .windows import run_to_memory, tumbling_daily_stream
 
-    return foreachbatch_upsert(spark, sf_dir)
+    window_part = run_to_memory(
+        tumbling_daily_stream(spark, sf_dir), f"stq_tumb_{uuid.uuid4().hex[:8]}"
+    ).select(
+        F.lit("window_memory").alias("sink"),
+        "day",
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    upsert_part = foreachbatch_upsert(spark, sf_dir).select(
+        F.lit("upsert_files").alias("sink"),
+        F.lit(None).cast("string").alias("day"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return window_part.unionByName(upsert_part)
 
 
 @register(
@@ -206,55 +208,31 @@ def streaming_static_enrich(spark, sf_dir):
 
 
 @register(
-    "pa_online_sequential",
+    "online_ps_sequential",
     oracle=None,
-    tags=("A1", "B8", "D21", "A7"),
-    doc="Online PA-I binary training on keyed streaming state "
-    "(applyInPandasWithState): instances in seq order, per-record "
-    "margin/tau/update against the CURRENT weights — the reference's "
-    "per-record trajectory (PassiveAggressiveParameterServer"
-    "#transformBinary [C-high]) that the batch trainers approximate "
-    "with mini-batch epochs. Deterministic order forces the "
-    "psParallelism=1 trajectory (see online_ps.online_pa_stream "
-    "docstring). Not SQL-expressible -> rows-only; numerics verified "
-    "against pa_sequential_reference in tests/test_streaming.py.",
+    tags=("A1", "B1", "B8", "D21", "A7"),
+    doc="The faithful per-record sequential PS loop on keyed streaming "
+    "state (applyInPandasWithState), both algorithm families in one "
+    "rows-only query discriminated by `family` (consolidated from "
+    "online_mf_sequential / pa_online_sequential). 'mf': ratings stream "
+    "keyed by item, per-record sequential SGD against co-located value "
+    "state — the faithful form of the reference's cyclic PS loop "
+    "(FlinkParameterServer#transform + PSOnlineMatrixFactorization "
+    "[C-high]); rows = (item, dim) factor components. 'pa': PA-I binary "
+    "training, instances in seq order, per-record margin/tau/update "
+    "against the CURRENT weights (PassiveAggressiveParameterServer"
+    "#transformBinary [C-high]) — the trajectory the batch trainers "
+    "approximate with mini-batch epochs; deterministic order forces the "
+    "psParallelism=1 trajectory (see online_ps docstrings). Not "
+    "SQL-expressible -> rows-only; numerics verified record-for-record "
+    "against driver-side sequential references in "
+    "tests/test_streaming.py.",
 )
-def pa_online_sequential(spark, sf_dir):
+def online_ps_sequential(spark, sf_dir):
     from ..ps import pa
-    from .online_ps import online_pa_stream
+    from .online_ps import K, online_mf_stream, online_pa_stream
 
-    inst = (
-        pa.instances(spark, sf_dir)
-        .where(F.col("row_id") % 4 == 0)
-        .select(
-            F.col("row_id").alias("seq"),
-            F.lit(0).cast("long").alias("model_id"),
-            "y",
-            "x",
-        )
-    )
-    out = _run_instance_stream(
-        spark, inst, lambda s: online_pa_stream(spark, s), "fps_online_pa_",
-        ["model_id", "n_updates", "feat_id", "w"],
-    )
-    return out.select("model_id", "n_updates", "feat_id", F.round(F.col("w"), 6).alias("w"))
-
-
-@register(
-    "online_mf_sequential",
-    oracle=None,
-    tags=("A1", "B1", "D21", "A7"),
-    doc="Online MF on keyed streaming state (applyInPandasWithState): "
-    "ratings stream keyed by item, per-record sequential SGD against "
-    "co-located value state — the faithful form of the reference's cyclic "
-    "PS loop (FlinkParameterServer#transform + "
-    "PSOnlineMatrixFactorization [C-high]). Not SQL-expressible -> "
-    "rows-only; numerics verified against a sequential reference "
-    "implementation in tests/test_streaming.py.",
-)
-def online_mf_sequential(spark, sf_dir):
-    from .online_ps import K, online_mf_stream
-
+    # --- MF: per-record SGD on item-keyed state
     ratings = (
         mf.ratings(spark, sf_dir)
         .where(F.col("user") % 10 == 0)
@@ -279,7 +257,42 @@ def online_mf_sequential(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name)
-    return out.select(
-        "item", "n_updates", *[F.round(F.col(f"f{j}"), 6).alias(f"f{j}") for j in range(K)]
+    mf_wide = spark.table(name)
+    mf_part = (
+        mf_wide.select(
+            "item",
+            "n_updates",
+            F.posexplode(F.array(*[F.col(f"f{j}") for j in range(K)])).alias("dim", "v"),
+        )
+        .select(
+            F.lit("mf").alias("family"),
+            F.col("item").alias("key"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round("v", 6).alias("value"),
+            "n_updates",
+        )
     )
+
+    # --- PA: per-record PA-I on a single model key
+    inst = (
+        pa.instances(spark, sf_dir)
+        .where(F.col("row_id") % 4 == 0)
+        .select(
+            F.col("row_id").alias("seq"),
+            F.lit(0).cast("long").alias("model_id"),
+            "y",
+            "x",
+        )
+    )
+    out = _run_instance_stream(
+        spark, inst, lambda s: online_pa_stream(spark, s), "fps_online_pa_",
+        ["model_id", "n_updates", "feat_id", "w"],
+    )
+    pa_part = out.select(
+        F.lit("pa").alias("family"),
+        F.col("feat_id").alias("key"),
+        F.lit(0).cast("long").alias("dim"),
+        F.round(F.col("w"), 6).alias("value"),
+        "n_updates",
+    )
+    return mf_part.unionByName(pa_part)

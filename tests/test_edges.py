@@ -57,3 +57,15 @@ def test_ps_push_empty_deltas_is_noop(spark):
     ps.push(empty)
     after = {r.param_id: r.value for r in ps.params.collect()}
     assert before == after
+
+
+def test_udf_surface_demo_runs(spark):
+    """D22 surface (formerly the rows-only registry entry
+    udf_surface_demo): pandas_udf + row UDF + Python UDTF compose and
+    produce sane output."""
+    from flink_parameter_server_spark.operators.relational2 import udf_surface_demo
+    from tests.conftest import SF_SMALL
+
+    rows = udf_surface_demo(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert all(r.n_toks > 0 and r.n_events == 100 for r in rows)

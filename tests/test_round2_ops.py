@@ -26,17 +26,29 @@ def _plan(spark, name: str) -> str:
 # ---------------------------------------------------------------------------
 
 def test_unpivot_is_map_only_expand(spark):
-    plan = _plan(spark, "lineitem_unpivot")
+    # the unpivot branch of pivot_unpivot, isolated: must lower to a
+    # map-only Expand (no shuffle, one scan vs the oracle's four)
+    from flink_parameter_server_spark.operators._util import t
+
+    li = t(spark, SF_SMALL, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    df = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # unpivot lowers to Expand, not a 4-way union
     assert "Exchange" not in plan  # no shuffle for a melt
     assert plan.count("Scan parquet") == 1  # one scan, vs oracle's four
 
 
-def test_pivot_is_single_aggregation_pass(spark):
-    plan = _plan(spark, "orders_pivot")
-    # explicit value list => no extra distinct-scan job: exactly one scan
-    assert plan.count("Scan parquet") == 1
-    assert "HashAggregate" in plan
+def test_pivot_unpivot_scans_each_table_once(spark):
+    plan = _plan(spark, "pivot_unpivot")
+    # explicit pivot value list => no extra distinct-scan of orders, and
+    # the unpivot branch reads lineitem exactly once (Expand, not union)
+    assert plan.count("Scan parquet") == 2  # orders + lineitem
+    assert "HashAggregate" in plan and "Expand" in plan
 
 
 def test_gap_fill_grid_broadcasts(spark):
