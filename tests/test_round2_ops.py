@@ -102,6 +102,38 @@ def test_cluster_labels_consistent_across_edges(spark):
     assert mins.where(F.col("cluster") != F.col("mn")).count() == 0
 
 
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """VERDICT r2 task #4: small-star/large-star CC must converge in
+    ~log n rounds on a chain graph (plain min-label propagation needs
+    diameter rounds — 127 here)."""
+    import math
+
+    from flink_parameter_server_spark.operators.dedup import star_connected_components
+
+    n = 128  # chain 0-1-2-...-127: diameter 127, log2 = 7
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    parents, rounds = star_connected_components(edges, max_rounds=14, probe_every=2)
+    assert rounds <= 2 * math.ceil(math.log2(n))  # ~log n, not diameter
+    got = {r.a: r.b for r in parents.collect()}
+    assert all(got[i] == 0 for i in range(1, n))  # one component rooted at 0
+
+
+def test_star_cc_raises_on_nonconvergence(spark):
+    """ADVICE r2: exceeding the round budget must raise, not silently
+    return wrong clusters."""
+    import pytest
+
+    from flink_parameter_server_spark.operators.dedup import star_connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        star_connected_components(edges, max_rounds=1, probe_every=1)
+
+
 def test_stratified_split_proportions_exact(spark):
     rows = REGISTRY["train_test_split"].fn(spark, SF_SMALL).collect()
     per_stratum = Counter()
