@@ -20,20 +20,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pricing_summary",
-    "revenue_by_nation",
+    "revenue_by_nation",          # + rollup part (r3 consolidation)
     "top_unshipped_orders",
     "copurchase_recommend_top5",
-    "customer_order_timeline",
+    "order_window_analytics",     # + customer timeline part
     "events_session_windows",
+    "events_multires_rollup",     # r2 op + hour_filled gap-fill part
     "purchase_last_click_asof",
-    "mf_epoch_factors",
+    "mf_epoch_factors",           # init + epoch1 + epoch2
     "mf_recommend_topk",
-    "pa_step_weights",
-    "ams_sketches",
-    "sketch_point_queries",
-    "dedup_near_dup_pairs",
-    "embedding_ann_topk",
-    "text_profile",
+    "pa_step_weights",            # binary + multiclass step
+    "ams_sketches",               # global + daily
+    "sketch_point_queries",       # bloom + count-min
+    "dedup_near_dup_pairs",       # minhash + simhash + ngram + embedding
+    "dedup_cluster_canonical",    # r2 op, star CC
+    "embedding_ann_topk",         # brute + simhash + ivf
+    "embedding_quantize",         # r2 op
+    "train_test_split",           # r2 op
+    "text_profile",               # quality + langid + counts + fingerprint
+    "text_retrieval",             # r2 ops: tfidf + bm25 + inverted index
 ]
 
 

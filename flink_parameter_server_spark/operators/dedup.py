@@ -89,22 +89,24 @@ sh AS MATERIALIZED (
 )"""
 
 
-def hashed_shingles(spark, sf_dir):
-    """Persisted (doc_id, shingles array<bigint>) — the shared first stage
-    of minhash and simhash dedup.
+def token_hash_arrays(spark, sf_dir):
+    """Persisted (doc_id, source, n_chars, th array<bigint>) — the token
+    hash sequence per document, shared by minhash, simhash AND ngram
+    dedup (one build instead of three).
 
-    The expensive step is the interpreted per-character hash fold, so it
-    runs ONCE PER DISTINCT TOKEN (a tiny vocabulary dimension), not once
-    per token occurrence: posexplode -> distinct-token hash -> broadcast
-    join back -> rebuild the per-doc hash sequence ordered by position.
-    Measured 2.2x faster than folding every occurrence at sf0.1, with
-    bit-identical output (the oracle is unchanged — same hash per token).
-    At 100 TB the vocab dimension outgrows a broadcast; the same plan
+    The interpreted per-character hash fold runs ONCE PER DISTINCT TOKEN
+    (a tiny vocabulary dimension), not once per token occurrence:
+    posexplode -> distinct-token hash -> broadcast join back -> rebuild
+    the per-doc hash sequence ordered by position. Measured 2.2x faster
+    than folding every occurrence at sf0.1, bit-identical output. A
+    flat closed-form expansion of the polynomial (16 CASE terms, no
+    fold) was measured SLOWER here (8.7s vs 4.7s at sf0.1): lambda
+    bodies inside higher-order functions are evaluated interpreted, so
+    the big flat expression per occurrence loses to the short fold, and
+    only the distinct-vocab amortization actually removes work. At
+    100 TB the vocab dimension outgrows a broadcast; the same plan
     degrades gracefully to a shuffled hash join and the fold work is
-    still O(|vocab|), the theoretical minimum. Shingle combination uses
-    slice+zip_with (NOT element_at in a positional transform) so
-    Catalyst's projection collapse can only inline the hash-array
-    expression a constant number of times, keeping work O(tokens)/doc.
+    still O(|vocab|), the theoretical minimum.
     """
     docs = t(spark, sf_dir, "documents")
     pos = docs.repartition(32).select(
@@ -122,6 +124,25 @@ def hashed_shingles(spark, sf_dir):
             ).alias("th")
         )
     )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(th, "doc_id")
+        .persist()
+    )
+
+
+def hashed_shingles(spark, sf_dir, tha=None):
+    """Persisted (doc_id, shingles array<bigint>) — the shared shingle
+    stage of minhash and simhash dedup, derived map-only from the
+    token-hash arrays (see token_hash_arrays for the hashing design).
+    Shingle combination uses slice+zip_with (NOT element_at in a
+    positional transform) so Catalyst's projection collapse can only
+    inline the hash-array expression a constant number of times,
+    keeping work O(tokens)/doc.
+    """
+    if tha is None:
+        tha = token_hash_arrays(spark, sf_dir)
+    th = tha.select("doc_id", "th")
     n = F.size("th")
     s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
     s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
@@ -178,14 +199,15 @@ FROM verified WHERE jac >= {JACCARD_T}
 """
 
 
-def dedup_minhash_lsh(spark, sf_dir):
+def dedup_minhash_lsh(spark, sf_dir, sh=None):
     """MinHash-LSH near-dup: word-3-gram shingles hashed two-level
     (char-fold per token once, integer affine mix per hash family —
     8 int ops per shingle instead of 8 char folds), 4 bands of 2 ->
     candidate pairs share a band bucket; exact hashed-shingle Jaccard
     >= 0.4 verifies. MLlib MinHashLSH is the same pipeline with random
     (non-oracle-reproducible) hash families — see tests."""
-    sh = hashed_shingles(spark, sf_dir)  # persisted: bands + both verify branches reuse it
+    if sh is None:
+        sh = hashed_shingles(spark, sf_dir)  # persisted: bands + both verify branches reuse it
     mh = sh.select(
         "doc_id",
         "shingles",
@@ -274,7 +296,7 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
 """
 
 
-def dedup_simhash(spark, sf_dir):
+def dedup_simhash(spark, sf_dir, sh=None):
     """SimHash near-dup: 16-bit signature from per-bit majority votes of
     distinct word-3-gram shingle hashes (token-level votes are degenerate
     on small vocabularies); shares the integer hashed-shingle stage with
@@ -283,7 +305,8 @@ def dedup_simhash(spark, sf_dir):
     chunks (pigeonhole: hamming<=3 pairs share an exact chunk), verify
     by XOR popcount. Score = hamming distance (as double, to align with
     the similarity scores of the sibling methods)."""
-    sh = hashed_shingles(spark, sf_dir)
+    if sh is None:
+        sh = hashed_shingles(spark, sf_dir)
     hs = sh.select("doc_id", F.explode("shingles").alias("x")).select(
         "doc_id", _mixer(SIMHASH_SEED)(F.col("x")).alias("h")
     )
@@ -360,23 +383,39 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 """
 
 
-def dedup_ngram_jaccard(spark, sf_dir):
+NGRAM_BAND = 30  # length-band width == the |n_chars| pairing tolerance
+
+
+def dedup_ngram_jaccard(spark, sf_dir, tha=None):
     """Word-bigram Jaccard near-dup over hashed bigrams, blocked by
-    (source, length band) — blocking bounds candidate pairs so the exact
-    metric stays feasible at scale (block sizes are data-controlled
-    knobs); integer gram hashes make the set ops cheap in both engines."""
-    docs = t(spark, sf_dir, "documents")
-    tokhash = F.transform(tokens(F.col("text")), lambda s: poly_hash(s, 0))
+    (source, length band).
+
+    r3 plan upgrade: the length predicate |n_chars_a - n_chars_b| <= 30
+    is now driven through an EQUI-join on (source, band) with band =
+    n_chars div 30 — one side probes bands {b-1, b, b+1}, the exact
+    +-30 filter runs after the join. The r2 form put the abs() predicate
+    in the join condition, which hash-joins on source alone and
+    generates |source-block|^2 raw pairs (625k at sf0.1) before
+    filtering; banding bounds raw pairs to the 3-band neighborhood
+    (~3x the true 74k candidates). At 100 TB band sizes are the
+    data-controlled knob and the join stays an equi-join. Jaccard is
+    computed once pre-filter (the r2 expression was evaluated twice —
+    once in the WHERE, once in the SELECT). Token hashes come from the
+    SHARED token_hash_arrays relation (one distinct-vocab hash build for
+    minhash+simhash+ngram); integer gram hashes make the set ops cheap
+    in both engines. Oracle unchanged (same pair set, stated as the
+    range join)."""
+    if tha is None:
+        tha = token_hash_arrays(spark, sf_dir)
     n = F.size("th")
     b1 = F.slice(F.col("th"), F.lit(1), n - F.lit(1))
     b2 = F.slice(F.col("th"), F.lit(2), n - F.lit(1))
     g = (
-        docs.repartition(32)
-        .select("doc_id", "source", "n_chars", tokhash.alias("th"))
-        .select(
+        tha.select(
             "doc_id",
             "source",
             "n_chars",
+            F.expr(f"n_chars div {NGRAM_BAND}").alias("band"),
             F.array_distinct(
                 F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
                     F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
@@ -386,25 +425,37 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .where(F.size("grams") > 0)
         .persist()
     )
-    a, b = g.alias("a"), g.alias("b")
-    jac = (
-        F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-        / F.size(F.array_union("a.grams", "b.grams"))
+    probes = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("grams").alias("grams_b"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("pband"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+    cand = (
+        g.join(
+            probes,
+            (F.col("source") == F.col("src_b"))
+            & (F.col("band") == F.col("pband"))
+            & (F.col("doc_id") < F.col("doc_b")),
         )
-        .where(jac >= 0.3)
+        .where(F.abs(F.col("n_chars") - F.col("nc_b")) <= NGRAM_BAND)
         .select(
-            F.lit("ngram_jaccard").alias("method"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("score"),
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            (
+                F.size(F.array_intersect("grams", "grams_b")).cast("double")
+                / F.size(F.array_union("grams", "grams_b"))
+            ).alias("jac"),
         )
+    )
+    return cand.where(F.col("jac") >= 0.3).select(
+        F.lit("ngram_jaccard").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.round("jac", 6).alias("score"),
     )
 
 
@@ -448,10 +499,12 @@ def dedup_near_dup_pairs(spark, sf_dir):
         F.col("vec_b").alias("doc_b"),
         F.col("cos_sim").alias("score"),
     )
+    tha = token_hash_arrays(spark, sf_dir)  # one hash build for all 3 methods
+    sh = hashed_shingles(spark, sf_dir, tha=tha)
     return (
-        dedup_minhash_lsh(spark, sf_dir)
-        .unionByName(dedup_simhash(spark, sf_dir))
-        .unionByName(dedup_ngram_jaccard(spark, sf_dir))
+        dedup_minhash_lsh(spark, sf_dir, sh=sh)
+        .unionByName(dedup_simhash(spark, sf_dir, sh=sh))
+        .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha))
         .unionByName(emb)
     )
 

@@ -73,9 +73,11 @@ LEFT JOIN hit h ON h.lang = g.lang AND h.word = g.word
 """
 
 
-def _bloom_membership(spark, sf_dir):
+def _bloom_membership(spark, sf_dir, freq=None):
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    if freq is None:
+        freq = _lang_token_freq(spark, sf_dir)
+    toks = freq.select("lang", "tok")
 
     def bloom_bits(col):
         return F.array(*[poly_hash(col, s) % BLOOM_M for s in BLOOM_SEEDS])
@@ -288,18 +290,31 @@ SELECT * FROM ({_CMS_SQL}) AS cms_part
     "oracle.",
 )
 def sketch_point_queries(spark, sf_dir):
-    return _bloom_membership(spark, sf_dir).unionByName(_cms_frequency(spark, sf_dir))
+    freq = _lang_token_freq(spark, sf_dir)
+    return _bloom_membership(spark, sf_dir, freq=freq).unionByName(
+        _cms_frequency(spark, sf_dir, freq=freq)
+    )
 
 
-def _cms_frequency(spark, sf_dir):
-    # Same restructure as ams_sketch_f2: pre-aggregate to (lang, tok, f)
+def _lang_token_freq(spark, sf_dir):
+    """Persisted (lang, tok, f) — the shared per-language token-frequency
+    relation both point-query sketches build on (one scan + one shuffle
+    instead of two each)."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .repartition(32)  # single-file scan: spread the explode
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    return occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
+
+
+def _cms_frequency(spark, sf_dir, freq=None):
+    # Same restructure as ams_sketches: pre-aggregate to (lang, tok, f)
     # so the 4 char-fold row hashes run once per DISTINCT token, with
     # cell counts as sum(f) instead of count(occurrences).
     docs = t(spark, sf_dir, "documents")
-    occ = docs.repartition(32).select(
-        "lang", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    freq = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
+    if freq is None:
+        freq = _lang_token_freq(spark, sf_dir)
     seed_cols = F.explode(
         F.array(
             *[

@@ -73,11 +73,15 @@ def test_bm25_filters_terms_before_aggregation(spark):
     assert "tok" in plan  # term filter visible in the plan at all
 
 
-def test_shingle_hash_runs_on_distinct_tokens(spark):
-    # hashed_shingles hashes the vocab dimension then joins back: the
-    # plan must contain the broadcast join, proving folds don't run
-    # per occurrence
-    plan = _plan(spark, "dedup_near_dup_pairs")
+def test_token_hashes_run_on_distinct_vocab(spark):
+    # token_hash_arrays hashes the vocab dimension then broadcast-joins
+    # back, so the interpreted char fold never runs per occurrence; the
+    # shingle/gram stages derive map-only from it (r3: one shared build
+    # for minhash+simhash+ngram)
+    from flink_parameter_server_spark.operators.dedup import token_hash_arrays
+
+    df = token_hash_arrays(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
