@@ -118,3 +118,18 @@ def test_recommend_topk_theta_filter_shrinks_window_input(spark):
     # ~k/SEED_M of random pairs; allow generous slop for tiny fixtures)
     assert cand < users * items * 0.25
     assert mf.recommend_topk(spark, SF_SMALL).count() == users * 5
+
+
+def test_copurchase_single_custkey_exchange(spark):
+    """VERDICT r2 task #7: the scored candidate set must move ONCE — one
+    repartition on custkey feeds BOTH the aggregation and the window.
+    A regression would show up as a (custkey, rec) exchange from the
+    groupBy or a second custkey-only exchange under the window."""
+    import re
+
+    plan = _plan(spark, "copurchase_recommend_top5")
+    # exactly one custkey-only exchange: the deliberate REPARTITION_BY_COL
+    custkey_only = re.findall(r"Exchange hashpartitioning\(custkey#\d+L, \d+\)", plan)
+    assert len(custkey_only) == 1, custkey_only
+    # the aggregation must NOT have inserted its own (custkey, rec) shuffle
+    assert not re.search(r"hashpartitioning\(custkey#\d+L, rec#", plan)
