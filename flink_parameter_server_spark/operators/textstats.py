@@ -79,6 +79,14 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN len(toks) > 0 THEN
     round(0.5 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
           + 0.5 * (1.0 - CAST(len(list_filter(toks, s -> s IN {_stoplist_sql(STOPWORDS)})) AS DOUBLE) / len(toks)), 6) END AS quality_score,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(list_max(list_transform(list_distinct(toks),
+          d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / len(toks), 6)
+  END AS max_token_ratio,
+  CASE WHEN len(toks) > 1 THEN
+    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+          i -> concat(toks[i], ' ', toks[i + 1])))) AS DOUBLE) / (len(toks) - 1), 6)
+  END AS dup_bigram_ratio,
   fp.fingerprint,
   {poly_hash_sql('sc.text', 1)} AS full_hash
 FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
@@ -94,7 +102,10 @@ FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
     "segmentation, chars cross-checked against the fixture's n_chars); "
     "quality stats (unique ratio, mean token length, stopword ratio, "
     "composite score — the standard pre-training corpus filters, "
-    "null-guarded for empty docs); winnowing-style fingerprint "
+    "null-guarded for empty docs); repetition filters (r3: "
+    "most-common-token fraction and duplicate-bigram fraction, the "
+    "Gopher-style degenerate-text signals a pretraining pipeline gates "
+    "on); winnowing-style fingerprint "
     "(position-weighted rolling hash per 8-token chunk, min chunk hash) "
     "plus a full-text polynomial hash. Everything except the fingerprint "
     "aggregation is codegen'd array math; the fingerprint is one "
@@ -160,10 +171,43 @@ def text_profile(spark, sf_dir):
             nonempty,
             F.round(0.5 * n_uniq.cast("double") / n + 0.5 * (F.lit(1.0) - stop_ratio), 6),
         ).alias("quality_score"),
+        # repetition filters (Gopher-style): most-common-token fraction and
+        # duplicate-bigram fraction — the standard "degenerate text" signals
+        F.when(
+            nonempty,
+            F.round(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct("toks"),
+                        lambda d: F.size(F.filter(F.col("toks"), lambda x: x == d)).cast("long"),
+                    )
+                ).cast("double")
+                / n,
+                6,
+            ),
+        ).alias("max_token_ratio"),
+        F.when(
+            F.size("toks") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.size(
+                    F.array_distinct(
+                        F.zip_with(
+                            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                            lambda x, y: F.concat(x, F.lit(" "), y),
+                        )
+                    )
+                ).cast("double")
+                / (n - 1),
+                6,
+            ),
+        ).alias("dup_bigram_ratio"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
     return wide.join(fp, "doc_id", "left").select(
         "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
         "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
-        "stopword_ratio", "quality_score", "fingerprint", "full_hash",
+        "stopword_ratio", "quality_score", "max_token_ratio",
+        "dup_bigram_ratio", "fingerprint", "full_hash",
     )

@@ -654,3 +654,44 @@ def pa_step_weights(spark, sf_dir):
         F.round("w", 6).alias("w"),
     )
     return binary.unionByName(multi)
+
+
+# ---------------------------------------------------------------------------
+# A9 — skew-safe aggregation (custom-partitioner analog), driver-verified
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A9",),
+    doc="Skew-safe two-stage aggregation (the A9 custom-partitioner "
+    "analog, now driver-verified rather than tests-only): revenue per "
+    "l_returnflag — 3 keys over 600k+ rows, the archetypal hot-key "
+    "shape the reference's paramId % psParallelism sharding suffers "
+    "from (FlinkParameterServer.scala partitioners [C-high]). Stage 1 "
+    "groups on (key, salt) spreading each hot key over 16 reducers, "
+    "stage 2 merges the partials — semantics-preserving because the "
+    "fold is a commutative+associative decimal sum (exact, so the "
+    "salted result hash-matches the oracle's single-stage sum "
+    "bit-for-bit; a double sum would expose fold order). The salt never "
+    "reaches the result. Same machinery as ps/skew.salted_sum for PS "
+    "push deltas.",
+)
+def skew_salted_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    salt = F.monotonically_increasing_id() % 16
+    stage1 = (
+        li.select("l_returnflag", rev.alias("rev"), salt.alias("salt"))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("rev").alias("partial"), F.count(F.lit(1)).alias("n"))
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.round(F.sum("partial").cast("double"), 4).alias("revenue"),
+        F.sum("n").alias("n_rows"),
+    )
