@@ -62,6 +62,17 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Entries whose operator coverage is a SUPERSET of the r1/r2 headline
+    # set (post-consolidation each merged query runs extra parts, so this
+    # subtotal is a conservative upper bound on the old set's cost).
+    r2_comparable = [
+        "pricing_summary", "revenue_by_nation", "top_unshipped_orders",
+        "copurchase_recommend_top5", "order_window_analytics",
+        "events_session_windows", "purchase_last_click_asof",
+        "mf_epoch_factors", "mf_recommend_topk", "pa_step_weights",
+        "ams_sketches", "sketch_point_queries", "dedup_near_dup_pairs",
+        "embedding_ann_topk", "text_profile",
+    ]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -70,6 +81,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "r2_comparable_superset_subtotal": round(
+                    sum(times[q] for q in r2_comparable if q in times), 3
+                ),
                 "sf": float(sf),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }

@@ -584,6 +584,11 @@ def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every
             .union(mins2.select(F.col("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
+            # checkpoint EVERY round: each round references its input
+            # several times (e twice in sym, sym again under the join),
+            # so an unmaterialized round is recomputed multiplicatively
+            # by the next one — measured 3x slower when checkpointing
+            # only at probe points
             .localCheckpoint(eager=True)
         )
         e = small

@@ -42,9 +42,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf)
@@ -58,7 +60,11 @@ def main() -> int:
         print(f"{status} {name:35s} {time.time() - t0:6.1f}s  {msg}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass" + (f"; FAILED: {failed}" if failed else ""))
+    skipped = len(qs) - n_run
+    summary = f"\n{n_run - len(failed)}/{n_run} pass"
+    if skipped:
+        summary += f" ({skipped} not selected)"
+    print(summary + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
 
 
