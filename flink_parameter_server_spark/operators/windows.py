@@ -220,15 +220,15 @@ def events_multires_rollup(spark, sf_dir):
             F.round(F.col("tv").cast("double"), 4).alias("total_value"),
         )
 
-    # hour_filled: zero-filled regular grid over the observed span
-    span = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    # hour_filled: zero-filled regular grid over the observed span.
+    # Span and type set derive from the PERSISTED hourly level, not the
+    # raw table (min/max commute with date_trunc('hour'), and every
+    # event_type survives into hourly) — the raw scan stays exactly one.
+    span = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = span.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(hours))
     filled = (
         grid.join(hourly.select("h", "event_type", "n"), ["event_type", "h"], "left")
