@@ -460,7 +460,7 @@ def dedup_ngram_jaccard(spark, sf_dir, tha=None):
 
 
 def _near_dup_oracle() -> str:
-    from .similarity import EMB_NEAR_DUP_SQL
+    from ..functions.planes import EMB_NEAR_DUP_SQL
 
     return f"""
 SELECT * FROM ({_MINHASH_SQL}) AS minhash_part

@@ -20,49 +20,32 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import KNUTH, MOD
-from ..functions.vectors import as_double, cosine, cosine_sql
+from ..functions.planes import DIM, EMB_NEAR_DUP_SQL, bucket_col as _bucket_col, bucket_sql as _bucket_sql  # noqa: F401 (EMB_NEAR_DUP_SQL re-exported for dedup)
+from ..functions.vectors import as_double, cosine_sql, dot, norm2
 from ..plans.registry import register
 from ._util import t
 
-DIM = 64
-N_PLANES = 8
-PLANE_SEED = 6
+
+def _fast_cosine(a, b, na, nb):
+    """Per-pair cosine with HOISTED per-vector norms: the norms are
+    computed once per VECTOR (pre-join projection) instead of once per
+    pair, cutting the per-pair fold work to the single dot product.
+    Same values, same rounding, so the cosine_sql oracle is unchanged.
+
+    The dot stays the higher-order fold: a flat 64-term dot_fixed
+    expansion was measured marginally faster warm but slower COLD — the
+    giant codegen'd projections cost seconds of JIT compile and ~1.3 MB
+    task binaries, dominating at bench scale (same lesson as the flat
+    token hash, functions/hashing.py)."""
+    return dot(a, b) / (na * nb)
 
 
-def _plane_signs() -> list[list[float]]:
-    """Deterministic ±1 hyperplanes, precomputed so both engines share them."""
-    return [
-        [
-            1.0 if ((s + 1) * KNUTH + (j + 1) * 40503 + PLANE_SEED * 97) % MOD % 2 == 0 else -1.0
-            for j in range(DIM)
-        ]
-        for s in range(N_PLANES)
-    ]
-
-
-def _plane_sql(signs: list[float]) -> str:
-    return "[" + ", ".join(str(x) for x in signs) + "]"
-
-
-def _bucket_col(vec):
-    signs = _plane_signs()
-    from ..functions.vectors import dot
-
-    return sum(
-        F.when(dot(vec, F.array(*[F.lit(x) for x in signs[s]])) > 0, F.lit(1 << s)).otherwise(F.lit(0))
-        for s in range(N_PLANES)
-    )
-
-
-def _bucket_sql(vec_expr: str) -> str:
-    from ..functions.vectors import dot_sql
-
-    signs = _plane_signs()
-    return " + ".join(
-        f"(CASE WHEN {dot_sql(vec_expr, _plane_sql(signs[s]))} > 0 THEN {1 << s} ELSE 0 END)"
-        for s in range(N_PLANES)
-    )
+def _with_norm(df, vec_col: str, out: str):
+    # NOTE: no repartition here — the embeddings table is small enough
+    # that an extra exchange per method part costs more than the extra
+    # parallelism buys (measured +1s at sf0.1); at real scale the scan
+    # splits naturally
+    return df.withColumn(out, F.sqrt(norm2(as_double(F.col(vec_col)))))
 
 
 _BRUTE_SQL = f"""
@@ -84,9 +67,10 @@ def embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for sampled query vectors — the
     ANN correctness baseline. Query side broadcasts; cosine is pure
     column math (zip_with+aggregate), fully codegen'd."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
     q = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"),
     )
     scored = (
         F.broadcast(q)
@@ -94,7 +78,13 @@ def embedding_cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")), as_double(F.col("embedding")),
+                    F.col("nq"), F.col("ne"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -126,15 +116,25 @@ def embedding_simhash_ann(spark, sf_dir):
     signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine
     re-rank, top-1. The equi-join on bucket replaces the cross join —
     this is what survives 100 TB; recall tunes via planes/multi-probe."""
-    emb = t(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
+    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    sig = emb.select(
+        "vec_id", "embedding", "ne",
+        _bucket_col(as_double(F.col("embedding"))).alias("bucket"),
+    )
     q = sig.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "bucket",
     )
     scored = q.join(sig, "bucket").where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+        F.round(
+            _fast_cosine(
+                as_double(F.col("qv")), as_double(F.col("embedding")),
+                F.col("nq"), F.col("ne"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
@@ -210,9 +210,10 @@ def embedding_ivf_ann(spark, sf_dir):
     100 TB: centroids come from sampled k-means (MLlib KMeans), cells
     partition the index, multi-probe tunes recall — the cell join shape
     is identical to this oracle-checked form."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
     cent = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+        F.col("ne").alias("nc"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
     assign = (
@@ -220,35 +221,34 @@ def embedding_ivf_ann(spark, sf_dir):
         .select(
             "vec_id",
             "embedding",
+            "ne",
             "cid",
-            cosine(as_double(F.col("embedding")), as_double(F.col("cv"))).alias("cos_c"),
+            _fast_cosine(
+                as_double(F.col("embedding")), as_double(F.col("cv")),
+                F.col("ne"), F.col("nc"),
+            ).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "ne", "cid")
     )
     q = assign.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "cid",
     )
     scored = q.join(assign, "cid").where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(as_double(F.col("qv")), as_double(F.col("embedding"))), 6).alias("cos_sim"),
+        F.round(
+            _fast_cosine(
+                as_double(F.col("qv")), as_double(F.col("embedding")),
+                F.col("nq"), F.col("ne"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
-
-
-# Spliced into dedup.py's consolidated dedup_near_dup_pairs oracle
-EMB_NEAR_DUP_SQL = f"""
-WITH sig AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
-)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round({cosine_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS score
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.40
-"""
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -258,11 +258,20 @@ def embedding_near_dup_pairs(spark, sf_dir):
     discriminates and no pair is within float-rounding of the cut): the
     embedding analog of minhash dedup — bucket join bounds comparisons
     at scale."""
-    emb = t(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket"))
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
-    cos = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
+    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    sig = emb.select(
+        "vec_id", "embedding", "ne",
+        _bucket_col(as_double(F.col("embedding"))).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("ne").alias("na"), "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("ne").alias("nb"), "bucket",
+    )
+    cos = _fast_cosine(as_double(F.col("ea")), as_double(F.col("eb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
