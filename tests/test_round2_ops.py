@@ -242,3 +242,20 @@ def test_multires_rollup_reuses_persisted_hourly(spark):
     # hourly is consumed by: hour output, daily, gap-fill join, span,
     # types; daily by: day output, monthly  ->  >= 5 cache reads
     assert plan.count("InMemoryTableScan") >= 5
+
+
+def test_star_cc_empty_and_trivial_graphs(spark):
+    from flink_parameter_server_spark.operators.dedup import star_connected_components
+
+    # empty edge set: converges immediately, no parents
+    empty = spark.createDataFrame([], "a long, b long")
+    parents, _ = star_connected_components(empty, max_rounds=4, probe_every=1)
+    assert parents.count() == 0
+    # self-loops only: filtered out, still empty
+    loops = spark.createDataFrame([(3, 3), (7, 7)], "a long, b long")
+    parents, _ = star_connected_components(loops, max_rounds=4, probe_every=1)
+    assert parents.count() == 0
+    # one edge: child points to min
+    one = spark.createDataFrame([(9, 4)], "a long, b long")
+    parents, _ = star_connected_components(one, max_rounds=4, probe_every=1)
+    assert {(r.a, r.b) for r in parents.collect()} == {(9, 4)}
