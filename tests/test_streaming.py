@@ -221,6 +221,78 @@ def test_session_timeout_fn_out_of_order_extends_bounds():
     assert st.timeout == 10**15 + 1  # clamped to watermark + 1
 
 
+def test_session_timeout_state_survives_restart(spark):
+    """Session state + watermark must recover from the checkpoint: two
+    availableNow runs over incrementally arriving files emit the same
+    closed sessions as one run over all files."""
+    from flink_parameter_server_spark.streaming.sinks import (
+        SESS_OUT,
+        SESS_STATE,
+        _session_timeout_fn,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("us", LongType())]
+    )
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    # user 1: session A (t0, t0+5m), then a 40-min gap -> session B at
+    # t0+45m (crosses the file boundary); watermark driver user 99
+    rows0 = [(1, base), (1, base + 5 * m)]
+    rows1 = [(1, base + 45 * m), (99, base + 300 * m)]
+
+    def run(src, ckpt, out):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.col("us")))
+        )
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_timeout_fn, SESS_OUT, SESS_STATE, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows_of(out):
+        try:
+            return sorted(
+                (r.user_id, r.session_start_us, r.n_events, r.dur_us, r.close_reason)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []  # no output written
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # two-run path: file0, run, file1, run (same checkpoint)
+        spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(f"{tmp}/inc/f0")
+        run(f"{tmp}/inc/*", f"{tmp}/ckpt_inc", f"{tmp}/out_inc")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{tmp}/inc/f1")
+        run(f"{tmp}/inc/*", f"{tmp}/ckpt_inc", f"{tmp}/out_inc")
+        # single-run path over all files at once (fresh checkpoint)
+        spark.createDataFrame(rows0 + rows1, schema).coalesce(1).write.parquet(f"{tmp}/all/f")
+        run(f"{tmp}/all/*", f"{tmp}/ckpt_all", f"{tmp}/out_all")
+
+        got_inc, got_all = rows_of(f"{tmp}/out_inc"), rows_of(f"{tmp}/out_all")
+
+    assert got_inc == got_all
+    # session A closed (by data in the single-run case, by data-or-timeout
+    # semantics equivalently in the incremental case), 2 events, 5 min
+    assert (1, base, 2, 5 * m, "data") in got_inc or (1, base, 2, 5 * m, "timeout") in got_inc
+
+
 def test_foreachbatch_upsert_multibatch_last_write_wins(spark):
     """D2 sink: with the source split across micro-batches, the max-bid
     resolution must still equal the full-data aggregate."""
