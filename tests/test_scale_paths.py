@@ -63,3 +63,45 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
     assert n == li.count()
     assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew remedy ps/skew.py defers JOINS to (AQE skew-join split);
+    prove it actually fires: a 90%-hot-key fact joined to a dim under
+    forced-SMJ with tiny skew thresholds must show skew=true splits in
+    the final adaptive plan."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(50).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv"))
+        joined = fact.join(dim, "k")
+        # materialize THIS DataFrame's execution (count() would plan a
+        # separate aggregate query and leave this adaptive plan unfinal)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
