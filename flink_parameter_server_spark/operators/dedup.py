@@ -44,20 +44,37 @@ HAMMING_T = 3
 @register(
     "dedup_exact",
     oracle="""
-SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
-       count(*) AS n_copies
+SELECT 'raw' AS form, sha256(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY sha256(text)
+UNION ALL
+SELECT 'normalized' AS form,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 """,
     tags=("D23",),
-    doc="Exact dedup: sha-256 content hash, keep the smallest doc_id per "
-    "hash group. One shuffle on the hash; at 100 TB pre-partition by a "
-    "hash prefix and this is embarrassingly parallel.",
+    doc="Exact dedup, raw and normalized forms discriminated by `form`. "
+    "'raw': sha-256 of the text verbatim. 'normalized' (r3): casefold + "
+    "whitespace-collapse + trim before hashing — the key production "
+    "pipelines actually dedup on, catching trivial variants (case, "
+    "double spaces, trailing newlines) that byte-exact hashing misses. "
+    "Keep the smallest doc_id per hash group; one shuffle per form on "
+    "the hash; at 100 TB pre-partition by a hash prefix and this is "
+    "embarrassingly parallel.",
 )
 def dedup_exact(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "documents")
-        .groupBy(F.sha2("text", 256).alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    d = t(spark, sf_dir, "documents")
+    raw = d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    normalized = d.groupBy(F.sha2(norm_text, 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return raw.select(F.lit("raw").alias("form"), "*").unionByName(
+        normalized.select(F.lit("normalized").alias("form"), "*")
     )
 
 
