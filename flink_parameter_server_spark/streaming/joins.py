@@ -19,10 +19,19 @@ from .windows import stream_events
 ATTRIBUTION_WINDOW = "1 hour"
 
 
-def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def purchase_click_attribution_stream(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
     """Every (purchase, prior click within 1h) pair per user — the
     streaming attribution join. Batch dual: plain inner join with the
-    same interval predicate."""
+    same interval predicate.
+
+    how='leftOuter' adds the outer facet: a purchase with NO qualifying
+    click emits one null-click row once the watermark proves no match
+    can still arrive — i.e. when the global (min-policy) watermark
+    passes p_ts, since the latest possible matching click has
+    c_ts == p_ts. Purchases newer than the final watermark stay in
+    state and are unreported (same discipline as open sessions)."""
     ev = stream_events(spark, sf_dir)
     purchases = (
         ev.where(F.col("event_type") == "purchase")
@@ -39,6 +48,7 @@ def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        how,
     ).select("purchase_id", "click_id", "user_id", (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"))
 
 

@@ -145,23 +145,43 @@ def streaming_agg_sinks(spark, sf_dir):
 @register(
     "streaming_purchase_attribution",
     oracle="""
-SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, c.click_id, p.user_id,
+         epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us, epoch_us(p.p_ts) AS p_us
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least(max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) // 1000 - 3600000,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) // 1000 - 7200000) AS wm_ms
+  FROM events
+)
+SELECT purchase_id, click_id, user_id, gap_us
+FROM j, wm
+WHERE click_id IS NOT NULL OR p_us // 1000 < wm_ms
 """,
     tags=("D17", "D21"),
-    doc="Stream-stream interval join executed as a REAL two-stream job "
-    "(both sides watermarked, state bounded by interval+delay), checked "
-    "against the batch interval-join oracle.",
+    doc="Stream-stream interval join executed as a REAL two-stream job, "
+    "now LEFT OUTER (r3): both sides watermarked, state bounded by "
+    "interval+delay; matched rows are the inner result, and a purchase "
+    "with no qualifying click emits one null-click row once the global "
+    "(min-policy) watermark passes p_ts — the latest possible matching "
+    "click has c_ts == p_ts, so eviction proves no match can arrive. "
+    "The oracle replays that boundary exactly: null rows appear iff "
+    "p_ts (ms-truncated, as Spark tracks watermarks) is below "
+    "min(max purchase ts - 1h, max click ts - 2h); purchases newer "
+    "than the final watermark stay in state, unreported.",
 )
 def streaming_purchase_attribution(spark, sf_dir):
     from .joins import purchase_click_attribution_stream
     from .windows import run_to_memory
 
     name = f"stq_attr_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(purchase_click_attribution_stream(spark, sf_dir), name)
+    return run_to_memory(
+        purchase_click_attribution_stream(spark, sf_dir, how="leftOuter"), name
+    )
 
 
 def _run_instance_stream(spark, src_df, build_stream, prefix: str, out_cols):
