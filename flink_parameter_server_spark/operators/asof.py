@@ -73,28 +73,53 @@ def asof_join(
     return out
 
 
+TOLERANCE_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
 @register(
     "purchase_last_click_asof",
-    oracle="""
-SELECT p.event_id, c.event_id AS click_event_id,
+    oracle=f"""
+SELECT 'unbounded' AS variant, p.event_id, c.event_id AS click_event_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+UNION ALL
+SELECT 'tol_10min' AS variant, p.event_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_US} THEN c.event_id END AS click_event_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_US} THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
     tags=("D8",),
+    doc="For each purchase, the user's most recent prior (or "
+    "simultaneous) click — both as-of variants discriminated by "
+    "`variant` (r3). 'unbounded': classic nearest-prior match. "
+    "'tol_10min': the tolerance form (pandas merge_asof semantics) — a "
+    "match older than 10 minutes nulls out instead of attaching stale "
+    "context, the form feature-engineering pipelines actually use. "
+    "Oracle is DuckDB's native ASOF JOIN (+ the tolerance null-out). "
+    "Both variants share the union-sort single-window plan (one shuffle "
+    "on the key, no pair blowup — see asof_join).",
 )
 def purchase_last_click_asof(spark, sf_dir):
-    """For each purchase, the user's most recent prior (or simultaneous)
-    click. Oracle is DuckDB's native ASOF JOIN."""
     ev = t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id"), "user_id", "ts"
     )
-    joined = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_payload=["event_id"])
-    return joined.select(
-        "event_id",
-        F.col("asof_event_id").alias("click_event_id"),
-        (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
-    )
+
+    def variant(label, tolerance_us):
+        joined = asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            right_payload=["event_id"], tolerance_us=tolerance_us,
+        )
+        return joined.select(
+            F.lit(label).alias("variant"),
+            "event_id",
+            F.col("asof_event_id").alias("click_event_id"),
+            (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
+        )
+
+    return variant("unbounded", None).unionByName(variant("tol_10min", TOLERANCE_US))
