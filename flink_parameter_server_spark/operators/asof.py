@@ -110,16 +110,23 @@ def purchase_last_click_asof(spark, sf_dir):
         F.col("event_id"), "user_id", "ts"
     )
 
-    def variant(label, tolerance_us):
-        joined = asof_join(
-            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-            right_payload=["event_id"], tolerance_us=tolerance_us,
-        )
-        return joined.select(
-            F.lit(label).alias("variant"),
-            "event_id",
-            F.col("asof_event_id").alias("click_event_id"),
-            (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
-        )
-
-    return variant("unbounded", None).unionByName(variant("tol_10min", TOLERANCE_US))
+    # ONE union-sort window pass; the tolerance variant is a pure
+    # projection of the unbounded result (null out matches older than
+    # the tolerance), so the expensive shuffle+sort runs once, not twice
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id"],
+    ).select(
+        "event_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
+    ).persist()
+    unbounded = joined.select(F.lit("unbounded").alias("variant"), "*")
+    in_tol = F.col("gap_us") <= TOLERANCE_US
+    tol = joined.select(
+        F.lit("tol_10min").alias("variant"),
+        "event_id",
+        F.when(in_tol, F.col("click_event_id")).alias("click_event_id"),
+        F.when(in_tol, F.col("gap_us")).alias("gap_us"),
+    )
+    return unbounded.unionByName(tol)

@@ -40,7 +40,9 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2)
 
 
 def _tf(spark, sf_dir):
-    """(doc_id, tok, tf) term frequencies — one shuffle on (doc_id, tok)."""
+    """(doc_id, tok, tf) term frequencies — one shuffle on (doc_id, tok).
+    text_retrieval persists this once and passes it into all three parts
+    (same sharing pattern as sketch_point_queries / dedup_near_dup_pairs)."""
     d = t(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -67,14 +69,15 @@ FROM (
 """
 
 
-def tfidf_top_terms(spark, sf_dir):
+def tfidf_top_terms(spark, sf_dir, tf=None):
     """TF-IDF top terms per document: tf from one (doc,term) shuffle, df
     from one term shuffle over the tf relation (already distinct doc x
     term, so count(*) — no second distinct), idf = ln(N/df) with N a
     broadcast 1-row aggregate, per-doc top-3 via row_number. At 100 TB
     both shuffles are the minimum possible for this computation and df
     (|vocab| rows) broadcasts into the scoring join."""
-    tf = _tf(spark, sf_dir)
+    if tf is None:
+        tf = _tf(spark, sf_dir)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
@@ -127,7 +130,7 @@ LIMIT {TOP_DOCS}
 """
 
 
-def bm25_search(spark, sf_dir):
+def bm25_search(spark, sf_dir, tf=None):
     """BM25 ranked search for a fixed query-term set (k1=1.2, b=0.75,
     Lucene idf): term frequencies filtered to the query terms BEFORE any
     shuffle (predicate pushdown on the exploded stream), document length
@@ -138,7 +141,9 @@ def bm25_search(spark, sf_dir):
     is computed identically in both engines and the result is rounded
     before ranking."""
     d = t(spark, sf_dir, "documents")
-    tf = _tf(spark, sf_dir).where(F.col("tok").isin(*BM25_TERMS))
+    if tf is None:
+        tf = _tf(spark, sf_dir)
+    tf = tf.where(F.col("tok").isin(*BM25_TERMS))
     dl = d.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -180,7 +185,7 @@ GROUP BY tok
 """
 
 
-def inverted_index(spark, sf_dir):
+def inverted_index(spark, sf_dir, tf=None):
     """Inverted-index build: term -> document-frequency, total
     occurrences, and the sorted posting list (comma-joined doc ids).
     One shuffle on (doc,term) for tf, one on term to assemble postings
@@ -189,7 +194,8 @@ def inverted_index(spark, sf_dir):
     are the skew risk: shard hot terms by doc_id range (salting) and
     concatenate shards, exactly like the salted_sum utility in
     ps/skew.py."""
-    tf = _tf(spark, sf_dir)
+    if tf is None:
+        tf = _tf(spark, sf_dir)
     return tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").cast("long").alias("n_occ"),
@@ -224,8 +230,9 @@ SELECT * FROM ({_INVERTED_SQL_TMPL}) AS inverted_part
     "shuffles with N/avgdl/df broadcast.",
 )
 def text_retrieval(spark, sf_dir):
+    tf = _tf(spark, sf_dir).persist()  # one (doc, term) build for all 3 parts
     null_s = F.lit(None).cast("string")
-    tfidf = tfidf_top_terms(spark, sf_dir).select(
+    tfidf = tfidf_top_terms(spark, sf_dir, tf=tf).select(
         F.lit("tfidf").alias("part"),
         "doc_id",
         "tok",
@@ -235,7 +242,7 @@ def text_retrieval(spark, sf_dir):
         "rk",
         null_s.alias("postings"),
     )
-    bm25 = bm25_search(spark, sf_dir).select(
+    bm25 = bm25_search(spark, sf_dir, tf=tf).select(
         F.lit("bm25").alias("part"),
         "doc_id",
         null_s.alias("tok"),
@@ -245,7 +252,7 @@ def text_retrieval(spark, sf_dir):
         F.lit(None).cast("int").alias("rk"),
         null_s.alias("postings"),
     )
-    inv = inverted_index(spark, sf_dir).select(
+    inv = inverted_index(spark, sf_dir, tf=tf).select(
         F.lit("inverted").alias("part"),
         F.lit(None).cast("long").alias("doc_id"),
         "tok",

@@ -91,10 +91,22 @@ def _session_timeout_fn(key, pdf_iter, state: GroupState):
             closed.append(row(start, last, n, "data"))
             start = last = u
             n = 1
+        elif start - u >= SESSION_GAP_US:
+            # A cross-batch straggler more than a gap BEFORE the open
+            # session's start belongs to an earlier island whose peers
+            # (if any) already closed — retroactive merging is
+            # impossible, so emit it as its own immediately-closed
+            # singleton tagged 'late' and leave the open session
+            # untouched. Only reachable multi-batch with out-of-order
+            # files (watermark delay 1h > gap 30m); in-order and
+            # single-batch data never hits this branch, so the batch
+            # island oracle is unaffected where it applies.
+            closed.append(row(u, u, 1, "late"))
         else:
             # Out-of-order continuation (an event from a later micro-batch
-            # that is EARLIER in event time, still within the watermark):
-            # extend the session bounds, never shrink them.
+            # that is EARLIER in event time, still within the watermark,
+            # within the gap of the session bounds): extend the bounds,
+            # never shrink them.
             last = max(last, u)
             start = min(start, u)
             n += 1

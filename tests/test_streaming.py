@@ -221,6 +221,58 @@ def test_session_timeout_fn_out_of_order_extends_bounds():
     assert st.timeout == 10**15 + 1  # clamped to watermark + 1
 
 
+def test_session_timeout_fn_far_past_straggler_is_late_singleton():
+    """A cross-batch straggler more than a gap BEFORE the open session's
+    start can't be retroactively merged into its (already closed) island
+    — it must emit as an immediately-closed 'late' singleton and leave
+    the open session untouched (r3 review finding: the old gap test
+    min/max-merged it into the current session, diverging from the
+    sorted-island semantics)."""
+    import pandas as pd
+
+    from flink_parameter_server_spark.streaming.sinks import _session_timeout_fn
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = True
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def remove(self):
+            self._t = None
+
+    m = 60_000_000
+    st = FakeState((1000 * m, 1010 * m, 3))
+    # straggler 40 min before session start (gap is 30 min)
+    out = list(_session_timeout_fn((7,), iter([pd.DataFrame({"us": [960 * m]})]), st))
+    assert st.updated == (1000 * m, 1010 * m, 3)  # open session untouched
+    rows = pd.concat(out).to_dict("records")
+    assert rows == [
+        {
+            "user_id": 7,
+            "session_start_us": 960 * m,
+            "n_events": 1,
+            "dur_us": 0,
+            "close_reason": "late",
+        }
+    ]
+
+
 def test_session_timeout_state_survives_restart(spark):
     """Session state + watermark must recover from the checkpoint: two
     availableNow runs over incrementally arriving files emit the same
