@@ -457,7 +457,15 @@ def order_date_functions(spark, sf_dir):
 @register(
     "event_props_json",
     oracle="""
-SELECT event_type,
+SELECT 'string_path' AS extractor, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'variant' AS extractor, event_type,
        count(*) AS n,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
@@ -468,13 +476,30 @@ FROM events GROUP BY event_type
     tags=("D10", "D16"),
 )
 def event_props_json(spark, sf_dir):
-    """JSON field extraction + count-distinct aggregation over it."""
+    """JSON field extraction + count-distinct aggregation over it, via
+    BOTH extraction surfaces discriminated by `extractor` (r3).
+    'string_path': classic get_json_object (string re-parse per access).
+    'variant': Spark 4's VARIANT type — parse_json once into the binary
+    variant encoding, then variant_get typed paths; at 100 TB this is
+    the production shape (parse once, store the variant column, cheap
+    typed access thereafter — Parquet can persist it). Both extractors
+    must agree with the same DuckDB oracle, proving the variant path
+    round-trips values exactly."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
-        F.countDistinct(k).alias("n_distinct_k"),
+
+    def agg_by(k):
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+
+    string_path = agg_by(F.get_json_object("props", "$.k").cast("long")).select(
+        F.lit("string_path").alias("extractor"), "*"
     )
+    variant = agg_by(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    ).select(F.lit("variant").alias("extractor"), "*")
+    return string_path.unionByName(variant)
