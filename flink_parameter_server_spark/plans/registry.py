@@ -28,6 +28,13 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver verifies at most this many registry entries per round; a 51st
+# registration would silently fall outside driver coverage (the exact hole
+# round 2 hit with 82 entries). Adding an operator therefore means MERGING
+# it into an existing discriminated entry (see SURVEY.md §2's consolidation
+# mapping), not appending entry #51.
+MAX_ENTRIES = 50
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     """Decorator: register a query implementation with its oracle SQL."""
@@ -35,6 +42,13 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if len(REGISTRY) >= MAX_ENTRIES:
+            raise ValueError(
+                f"registry cap exceeded: {name!r} would be entry "
+                f"#{len(REGISTRY) + 1} > MAX_ENTRIES={MAX_ENTRIES} (the driver "
+                "verifies at most 50 entries — merge the new operator into an "
+                "existing discriminated entry instead)"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
         return fn
 
