@@ -46,8 +46,8 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
             raise ValueError(
                 f"registry cap exceeded: {name!r} would be entry "
                 f"#{len(REGISTRY) + 1} > MAX_ENTRIES={MAX_ENTRIES} (the driver "
-                "verifies at most 50 entries — merge the new operator into an "
-                "existing discriminated entry instead)"
+                f"verifies at most {MAX_ENTRIES} entries — merge the new "
+                "operator into an existing discriminated entry instead)"
             )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
         return fn

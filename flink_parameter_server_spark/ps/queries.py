@@ -372,13 +372,26 @@ def mf_recommend_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 RING_R = 8  # reference's per-user recent-item memory capacity
+NEG_DRAWS = 64  # index draws per user; O(U*K) work, NOT O(U*|items|)
 
+# Candidate generation is K seeded index draws per user joined to the item
+# table by key (r4 verdict task #2: the old form was a users x items cross
+# join filtered by hash — O(U*I) work and a full-item-table broadcast that
+# stops broadcasting at 100x). Draw j for user u picks item index
+# hash(u, j) % max_item + 1; a draw that lands on a nonexistent key drops
+# out of the inner join (deterministic in both engines, slight uniformity
+# loss only if the key space has gaps). min(j) dedups repeated draws and
+# fixes the rank order the way h did before.
 _NEG_CAND_SQL = f"""
-  SELECT u."user" AS "user", p.p_partkey AS item,
-         {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} AS h
-  FROM (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0) u
-  CROSS JOIN part p
-  WHERE {int_hash2_sql('u."user"', 'p.p_partkey', seed=3)} % 37 = 0
+  SELECT "user", p.p_partkey AS item, min(j) AS j
+  FROM (
+    SELECT u."user" AS "user", d.j AS j,
+           {int_hash2_sql('u."user"', 'd.j', seed=3)}
+             % (SELECT max(p_partkey) FROM part) + 1 AS idx
+    FROM (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0) u
+    CROSS JOIN (SELECT unnest(range(0, {NEG_DRAWS})) AS j) d
+  ) dr JOIN part p ON p.p_partkey = dr.idx
+  GROUP BY 1, 2
 """
 
 
@@ -408,12 +421,12 @@ cand_recent AS (
     SELECT 1 FROM recent r WHERE r."user" = c."user" AND r.item = c.item)
 )
 SELECT 'full' AS memory, "user", item AS neg_item, rk FROM (
-  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
+  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY j, item) AS rk
   FROM cand_full
 ) WHERE rk <= 3
 UNION ALL
 SELECT 'recent' AS memory, "user", item AS neg_item, rk FROM (
-  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY h, item) AS rk
+  SELECT "user", item, row_number() OVER (PARTITION BY "user" ORDER BY j, item) AS rk
   FROM cand_recent
 ) WHERE rk <= 3
 """,
@@ -427,7 +440,11 @@ SELECT 'recent' AS memory, "user", item AS neg_item, rk FROM (
     "(MF worker negative sampling [C-med]), so an item bought long ago "
     "CAN be re-sampled. The hash replaces the RNG and recency is max "
     "order date with deterministic (date desc, item) eviction order, so "
-    "the oracle replays both samples exactly.",
+    "the oracle replays both samples exactly. Candidates are NEG_DRAWS "
+    "seeded index draws per user equi-joined to the item table — O(U*K) "
+    "rows and no item-table broadcast, the form that survives 100x on "
+    "the item side (draw j -> item index hash(u,j) % max_item + 1; "
+    "repeated draws dedup to min j, which also orders the ranking).",
 )
 def mf_negative_samples(spark, sf_dir):
     users = (
@@ -436,10 +453,22 @@ def mf_negative_samples(spark, sf_dir):
         .select(F.col("c_custkey").alias("user"))
     )
     items = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item"))
+    # 1-row dimension statistic fetched eagerly (same class as the star-CC
+    # convergence probe): at any scale max(key) over the item dim is one
+    # cheap agg, and inlining it as a literal keeps the draw fan-out a pure
+    # map (no scalar join for Catalyst to degrade into a nested loop).
+    max_item = items.agg(F.max("item")).first()[0]
+    draws = (
+        users.select(
+            "user",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_DRAWS - 1))).alias("j"),
+        )
+        .withColumn("idx", int_hash2(F.col("user"), F.col("j"), seed=3) % F.lit(max_item) + 1)
+    )
     cand = (
-        users.crossJoin(F.broadcast(items))
-        .withColumn("h", int_hash2(F.col("user"), F.col("item"), seed=3))
-        .where(F.col("h") % 37 == 0)
+        draws.join(items, draws["idx"] == items["item"])
+        .groupBy("user", "item")
+        .agg(F.min("j").alias("j"))
     )
     last = (
         t(spark, sf_dir, "orders")
@@ -453,7 +482,7 @@ def mf_negative_samples(spark, sf_dir):
         .where(F.col("rn") <= RING_R)
         .select("user", "item")
     )
-    w = Window.partitionBy("user").orderBy("h", "item")
+    w = Window.partitionBy("user").orderBy("j", "item")
 
     def topk(excluded, label):
         return (

@@ -34,12 +34,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as int64 nanoseconds (see session.py); truncate to
-        # microseconds exactly like DuckDB casts TIMESTAMP_NS -> TIMESTAMP.
+        # The fixture generator has stored ts as TIMESTAMP_NS (read as
+        # int64 nanos under nanosAsLong) in some rounds and TIMESTAMP
+        # micros in others — normalize either physical type to a UTC
+        # TIMESTAMP identical to DuckDB's read of the same file.
         from pyspark.sql import functions as F
 
-        # integer division: double division would lose precision at 1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # integer division: double division loses precision at 1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz: same instant under UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

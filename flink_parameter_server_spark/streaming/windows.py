@@ -26,29 +26,40 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # int64 nanos (nanosAsLong read mode)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type: str) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            # int64 nanos (nanosAsLong read mode) or native timestamp,
+            # depending on how the fixture generator wrote the file
+            StructField("ts", LongType() if ts_type == "bigint" else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """events as a file stream; ts converted ns->timestamp like the batch
-    loader so stream and batch plans share expressions."""
+    """events as a file stream; ts normalized to TIMESTAMP like the batch
+    loader so stream and batch plans share expressions. readStream needs
+    the schema up front, so probe the parquet footer with a batch read
+    (driver-only metadata, no data scan) to pick the ts physical type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    import os
+
+    ts_type = dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
+    reader = spark.readStream.schema(_events_schema(ts_type)).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,26 @@ def test_recommend_topk_theta_filter_shrinks_window_input(spark):
     assert mf.recommend_topk(spark, SF_SMALL).count() == users * 5
 
 
+def test_negative_sampling_is_draw_join_not_grid(spark):
+    """VERDICT r4 task #2: candidate generation must be K index draws per
+    user equi-joined to the item table — never the users x items cross
+    join filtered by hash (O(U*I) work + full-item-table broadcast that
+    stops broadcasting at 100x the item side). The plan therefore has no
+    nested-loop/cartesian anywhere, and the pre-exclusion candidate count
+    is bounded by U*NEG_DRAWS, not U*I."""
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.ps.queries import NEG_DRAWS
+
+    plan = _plan(spark, "mf_negative_samples")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the draw fan-out (the only row-expansion in the plan) is K per user,
+    # a constant far below the item-table cardinality the old grid paid
+    assert NEG_DRAWS < t(spark, SF_SMALL, "part").count()
+    # and the item side joins by key, not by broadcast-grid filter
+    assert "idx" in plan and "Generate explode" in plan
+
+
 def test_copurchase_single_custkey_exchange(spark):
     """VERDICT r2 task #7: the scored candidate set must move ONCE — one
     repartition on custkey feeds BOTH the aggregation and the window.
