@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import t
 
 
@@ -120,7 +121,8 @@ def purchase_last_click_asof(spark, sf_dir):
         "event_id",
         F.col("asof_event_id").alias("click_event_id"),
         (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
-    ).persist()
+    )
+    joined = scratch(joined)
     unbounded = joined.select(F.lit("unbounded").alias("variant"), "*")
     in_tol = F.col("gap_us") <= TOLERANCE_US
     tol = joined.select(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MOD, poly_hash, poly_hash_sql
 from ..functions.text import tokens, tokens_sql
 from ..plans.registry import register
+from ..scratch import persistent_rdd_ids, scratch, track_checkpoint_ids, unpersist_rdd_ids
 from ._util import t
 
 SHINGLE_N = 3
@@ -142,9 +143,7 @@ def token_hash_arrays(spark, sf_dir):
         )
     )
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(th, "doc_id")
-        .persist()
+        scratch(docs.select("doc_id", "source", "n_chars").join(th, "doc_id"))
     )
 
 
@@ -167,7 +166,7 @@ def hashed_shingles(spark, sf_dir, tha=None):
     shingles = F.zip_with(
         F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
     )
-    return (
+    out = (
         th.select(
             "doc_id",
             F.array_distinct(
@@ -176,8 +175,8 @@ def hashed_shingles(spark, sf_dir, tha=None):
             ).alias("shingles"),
         )
         .where(F.size("shingles") > 0)
-        .persist()
     )
+    return scratch(out)
 
 
 def _mixer(seed):
@@ -440,8 +439,8 @@ def dedup_ngram_jaccard(spark, sf_dir, tha=None):
             ).alias("grams"),
         )
         .where(F.size("grams") > 0)
-        .persist()
     )
+    g = scratch(g)
     probes = g.select(
         F.col("doc_id").alias("doc_b"),
         F.col("source").alias("src_b"),
@@ -559,12 +558,19 @@ def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every
     edges: DataFrame (a, b), undirected, no self loops required.
     """
     spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
     e = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Checkpoint-block lifecycle: each round's eager checkpoint makes the
+    # previous round's blocks dead — free them immediately instead of
+    # holding O(rounds) copies of the edge set; the SURVIVING round's
+    # blocks (which the returned parents plan reads) are handed to the
+    # scratch tracker for release when the next registry query begins.
+    e_ids = persistent_rdd_ids(spark) - before
 
     def signature(df):
         row = df.agg(
@@ -606,13 +612,17 @@ def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every
             # so an unmaterialized round is recomputed multiplicatively
             # by the next one — measured 3x slower when checkpointing
             # only at probe points
-            .localCheckpoint(eager=True)
         )
-        e = small
+        before = persistent_rdd_ids(spark)
+        small = small.localCheckpoint(eager=True)
+        new_ids = persistent_rdd_ids(spark) - before
+        unpersist_rdd_ids(spark, e_ids)  # previous round superseded
+        e, e_ids = small, new_ids
         rounds += 1
         if rounds % probe_every == 0 or rounds == max_rounds:
             sig = signature(e)
             if sig == prev_sig:
+                track_checkpoint_ids(spark, e_ids)
                 return e, rounds
             prev_sig = sig
     raise RuntimeError(

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import t
 
 TOP_K = 5
@@ -71,7 +72,7 @@ def copurchase_recommend_top5(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
 
     # persisted: the pair self-join consumes baskets twice (a and b side)
-    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    baskets = scratch(li.select("l_orderkey", "l_partkey").distinct())
     a = baskets.alias("a")
     b = baskets.alias("b")
     cooc_full = (
@@ -91,11 +92,10 @@ def copurchase_recommend_top5(spark, sf_dir):
     )
     # persisted: consumed by both the scoring join and the already-bought
     # anti join
-    cust_items = (
+    cust_items = scratch(
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item"))
         .distinct()
-        .persist()
     )
     already = cust_items.select("custkey", F.col("item").alias("rec"))
     # Shuffle layout: the scored candidate set (|cust_items| x CAND_M,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import dround, exact_sum, mean_of, money_sum, t
 
 
@@ -373,10 +374,12 @@ def customer_cohort_sets(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
 
     def cohort(year: int):
-        return o.where(
-            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey").distinct().persist()
+        return scratch(
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            ).select("o_custkey").distinct()
+        )
 
     c95, c96 = cohort(1995), cohort(1996)
     tagged = (

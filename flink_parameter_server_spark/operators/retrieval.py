@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import t
 
 # BM25 parameters (standard Robertson/Lucene defaults).
@@ -230,7 +231,7 @@ SELECT * FROM ({_INVERTED_SQL_TMPL}) AS inverted_part
     "shuffles with N/avgdl/df broadcast.",
 )
 def text_retrieval(spark, sf_dir):
-    tf = _tf(spark, sf_dir).persist()  # one (doc, term) build for all 3 parts
+    tf = scratch(_tf(spark, sf_dir))  # one (doc, term) build for all 3 parts
     null_s = F.lit(None).cast("string")
     tfidf = tfidf_top_terms(spark, sf_dir, tf=tf).select(
         F.lit("tfidf").alias("part"),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import int_hash, int_hash_sql, poly_hash, poly_hash_sql
 from ..functions.text import tokens, tokens_sql
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import t
 
 BLOOM_M = 1024
@@ -183,7 +184,7 @@ def ams_sketches(spark, sf_dir):
         .repartition(32)  # single-file scan: spread the explode
         .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     )
-    freq = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
+    freq = scratch(occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))
     counters = freq.groupBy("lang").agg(
         *[F.sum(F.col("f") * _ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
     )
@@ -305,7 +306,7 @@ def _lang_token_freq(spark, sf_dir):
         .repartition(32)  # single-file scan: spread the explode
         .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     )
-    return occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
+    return scratch(occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))
 
 
 def _cms_frequency(spark, sf_dir, freq=None):

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch
 from ._util import money_sum, money_sum_sql, t
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -200,12 +201,11 @@ def events_multires_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
         )
-        .persist()  # hourly feeds daily, the gap-fill join, AND output
     )
-    daily = (
+    hourly = scratch(hourly)  # feeds daily, the gap-fill join, AND output
+    daily = scratch(
         hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
         .agg(F.sum("n").cast("long").alias("n"), F.sum("tv").alias("tv"))
-        .persist()
     )
     monthly = daily.groupBy(
         F.date_trunc("month", F.col("d")).alias("m"), "event_type"

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,7 +38,14 @@ MAX_ENTRIES = 50
 
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
-    """Decorator: register a query implementation with its oracle SQL."""
+    """Decorator: register a query implementation with its oracle SQL.
+
+    The registered fn releases the PREVIOUS query's tracked scratch
+    storage (persisted intermediates, surviving checkpoint rounds) on
+    entry — see scratch.py for the lifecycle contract. The module-level
+    symbol stays unwrapped so intra-module composition does not release
+    an enclosing query's own scratch mid-build.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -49,7 +57,17 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
                 f"verifies at most {MAX_ENTRIES} entries — merge the new "
                 "operator into an existing discriminated entry instead)"
             )
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+
+        @wraps(fn)
+        def released(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..scratch import release
+
+            release()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=released, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
         return fn
 
     return deco

@@ -33,6 +33,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..scratch import persistent_rdd_ids, scratch, track_checkpoint_ids
+
 InitFn = Callable[[Column], Column]  # param_id -> initial value (deterministic)
 
 
@@ -100,9 +102,16 @@ class BatchParameterServer:
                 ).alias("value"),
             )
         self._epoch += 1
-        merged = merged.persist()
+        # scratch-tracked: superseded epochs are unpersisted below as soon
+        # as the next epoch lands; the FINAL epoch's cache (and checkpoint
+        # blocks) are released when the next registry query begins
+        # (scratch.py lifecycle contract).
+        merged = scratch(merged)
         if self._epoch % self.checkpoint_every == 0:
+            spark = merged.sparkSession
+            before = persistent_rdd_ids(spark)
             merged = merged.localCheckpoint(eager=True)  # cut lineage
+            track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
         old = self.params
         self.params = merged
         if old is not None:

@@ -1,0 +1,108 @@
+"""Storage-lifecycle tracking for intra-query persisted intermediates.
+
+Several queries persist an intermediate that the rest of their (lazy)
+plan consumes more than once — the basket pair-join, the shared (doc,
+term) build, the sketch frequency tables. `DataFrame.persist` alone
+leaks: the blocks stay in storage memory after the query's consumer has
+finished, and a long-lived session running the whole 50-entry registry
+accumulates every query's scratch (VERDICT r4 task #3).
+
+Discipline implemented here:
+
+- :func:`scratch` replaces bare ``persist()`` at those sites and tracks
+  the handle.
+- Every registry query fn (plans/registry.py wraps them) calls
+  :func:`release` ON ENTRY — by then the previous query's result has
+  been consumed (the driver, bench.py and selfcheck.py all consume each
+  query before building the next), so its scratch is dead weight. This
+  bounds live scratch to ONE query's intermediates instead of all 50.
+- A final explicit :func:`release` (tests, long-lived sessions) empties
+  storage completely.
+
+Released *cached* DataFrames are safe under any consumption order: a
+stale result that still references one simply recomputes. Released
+*localCheckpoint* blocks (tracked via :func:`track_new_checkpoints`) are
+NOT recomputable — lineage was truncated — so results of
+checkpoint-backed queries (star-CC clustering, long kernel trainings)
+must be consumed before the next registry query starts; that is the
+documented contract of the driver harness and of every runner in this
+repo.
+
+Driver-side id-diffing of ``getPersistentRDDs`` assumes one query
+builds at a time (single driver thread) — true for every harness here.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+_CACHED: list[DataFrame] = []
+_CHECKPOINT_HANDLES: list[Any] = []  # py4j JavaRDD handles
+
+
+def scratch(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """Persist an intra-query intermediate and track it for release."""
+    df = df.persist(level) if level is not None else df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Free blocks of specific persisted RDDs (non-blocking)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        handle = jmap.get(int(i))
+        if handle is not None:
+            handle.unpersist(False)
+
+
+def track_new_checkpoints(spark: SparkSession, before_ids: set[int]) -> set[int]:
+    """Track RDDs persisted since ``before_ids`` (an eager localCheckpoint
+    just materialized) for release at the next registry-query entry.
+    Returns the new ids so callers can release superseded rounds early."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new_ids = set()
+    for i in jmap.keySet().toArray():
+        if int(i) not in before_ids:
+            _CHECKPOINT_HANDLES.append(jmap.get(i))
+            new_ids.add(int(i))
+    return new_ids
+
+
+def track_checkpoint_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Track specific checkpoint RDD ids (e.g. a loop's surviving final
+    round) for release at the next registry-query entry."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        handle = jmap.get(int(i))
+        if handle is not None:
+            _CHECKPOINT_HANDLES.append(handle)
+
+
+def release() -> int:
+    """Unpersist everything tracked; returns the number of handles freed."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    while _CHECKPOINT_HANDLES:
+        handle = _CHECKPOINT_HANDLES.pop()
+        try:
+            handle.unpersist(False)
+            n += 1
+        except Exception:
+            pass
+    return n
