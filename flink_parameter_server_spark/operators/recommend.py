@@ -65,9 +65,16 @@ SELECT custkey, rec, score, rk FROM (
 """,
     tags=("M0", "B5"),
 )
-def copurchase_recommend_top5(spark, sf_dir):
+def copurchase_recommend_top5(spark, sf_dir, broadcast_dims: bool = True):
     """Top-5 new-item recommendations per customer by basket co-occurrence,
-    excluding items the customer already bought."""
+    excluding items the customer already bought.
+
+    ``broadcast_dims=False`` is the 100 TB shape rehearsal: neither cooc
+    nor the already-bought set fits a broadcast there, so the hints are
+    dropped and the same program must run as co-partitioned shuffle
+    joins while KEEPING the single custkey exchange that feeds both the
+    aggregation and the window (pinned by tests/test_plans.py).
+    """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
 
@@ -110,9 +117,10 @@ def copurchase_recommend_top5(spark, sf_dir):
     # At 100 TB neither side broadcasts: drop both hints and the same
     # program runs as co-partitioned SMJs (AQE picks them); the
     # one-exchange agg+window reuse still holds.
+    maybe_broadcast = F.broadcast if broadcast_dims else (lambda df: df)
     scores = (
-        cust_items.join(F.broadcast(cooc), "item")
-        .join(F.broadcast(already), ["custkey", "rec"], "left_anti")
+        cust_items.join(maybe_broadcast(cooc), "item")
+        .join(maybe_broadcast(already), ["custkey", "rec"], "left_anti")
         .repartition("custkey")
         .groupBy("custkey", "rec")
         .agg(F.sum("w").alias("score"))

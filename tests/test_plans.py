@@ -153,3 +153,42 @@ def test_copurchase_single_custkey_exchange(spark):
     assert len(custkey_only) == 1, custkey_only
     # the aggregation must NOT have inserted its own (custkey, rec) shuffle
     assert not re.search(r"hashpartitioning\(custkey#\d+L, rec#", plan)
+
+
+def test_copurchase_debroadcast_keeps_single_exchange(spark):
+    """VERDICT r3 task #6: the 100 TB shape rehearsal. With the broadcast
+    hints stripped and auto-broadcast disabled, the same program must run
+    as co-partitioned sort-merge joins — and the agg+window must STILL
+    share the one custkey exchange (the anti join legitimately adds its
+    own (custkey, rec) exchanges; the aggregation must not)."""
+    import re
+
+    from flink_parameter_server_spark import scratch
+    from flink_parameter_server_spark.operators.recommend import copurchase_recommend_top5
+
+    # earlier tests cached the shared intermediates with broadcast-era
+    # physical plans; release them or CacheManager substitutes those
+    # InMemoryRelations (BroadcastHashJoin inside) into this plan
+    scratch.release()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = copurchase_recommend_top5(spark, SF_SMALL, broadcast_dims=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 3  # basket pair, score, anti joins
+    custkey_only = re.findall(r"Exchange hashpartitioning\(custkey#\d+L, \d+\)", plan)
+    assert len(custkey_only) == 1, custkey_only
+    # agg + window reuse it: walking down from the Window operator, the
+    # first Exchange reached must BE the custkey-only one, with the final
+    # aggregation in between (hash(custkey) satisfies the (custkey, rec)
+    # clustering requirement, so no extra shuffle is inserted)
+    lines = plan.splitlines()
+    w_idx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    x_idx = next(i for i, ln in enumerate(lines) if custkey_only[0] in ln)
+    between = lines[w_idx + 1 : x_idx]
+    assert not any("Exchange" in ln for ln in between), between
+    assert any("HashAggregate" in ln for ln in between)
