@@ -1,0 +1,143 @@
+"""Decoupled worker<->server transport over file-queue "topics" —
+the A10 Kafka-transport stand-in.
+
+Reference analog (SURVEY.md §0 citation convention): `.../ps/kafka/`
+[C-low] routes `WorkerToPS` / `PSToWorker` messages through Kafka topics
+instead of the in-job iteration edge, so the parameter server can run as
+a SEPARATE job from the workers. The container has no Kafka broker, so
+the topic here is its file-system dual: an append-only directory of
+parquet files, produced by one job and consumed by another through
+Spark's file-streaming source (which gives the same at-least-once,
+in-order-per-file semantics a Kafka partition would). Swapping in real
+Kafka is a two-line change: ``readStream.format("kafka")`` /
+``writeStream.format("kafka")`` on the same message schema.
+
+Message schema mirrors the reference's entities (`.../ps/entities/`
+[C-high]):
+
+- worker->server topic: ``(kind 'pull'|'push', worker_partition,
+  param_id, delta array<double>)`` — Pull(id) has a null delta.
+- server->worker topic: ``(worker_partition, param_id, value
+  array<double>, batch_id)`` — the PullAnswer, partitioned back to the
+  requesting worker exactly like the reference's PSToWorker routing.
+
+The server job is a Structured Streaming query over the worker topic:
+each micro-batch folds its pushes into the (driver-held, DataFrame)
+server state via the SAME BatchParameterServer kernel the in-job form
+uses, then answers that batch's pulls against the post-fold state —
+i.e. per-batch message processing order, matching the reference's
+server loop at message-batch granularity. Rows-only surface (sequential
+fold order is engine-dependent); record-for-record equivalence against
+the in-job kernel is tested in tests/test_transport.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..ps.kernel import BatchParameterServer, InitFn
+
+W2S_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("worker_partition", LongType()),
+        StructField("param_id", LongType()),
+        StructField("delta", ArrayType(DoubleType())),
+    ]
+)
+
+
+class FileQueueTransport:
+    """One worker->server topic and one server->worker topic under `root`."""
+
+    def __init__(self, root: str) -> None:
+        self.w2s = os.path.join(root, "topic_w2s")
+        self.s2w = os.path.join(root, "topic_s2w")
+        self.checkpoint = os.path.join(root, "_server_chk")
+        os.makedirs(self.w2s, exist_ok=True)
+
+    # -- worker side --------------------------------------------------------
+    def send(self, messages: DataFrame, file_tag: str) -> None:
+        """Produce one message file (= one unit of arrival order) onto the
+        worker->server topic. A Kafka producer's topic-append dual."""
+        messages.select("kind", "worker_partition", "param_id", "delta").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(self.w2s, f"msgs_{file_tag}"))
+
+    def pulls(self, keys: DataFrame, worker_partition: int = 0) -> DataFrame:
+        return keys.select(
+            F.lit("pull").alias("kind"),
+            F.lit(worker_partition).cast("long").alias("worker_partition"),
+            F.col("param_id"),
+            F.lit(None).cast("array<double>").alias("delta"),
+        )
+
+    def pushes(self, deltas: DataFrame, worker_partition: int = 0) -> DataFrame:
+        return deltas.select(
+            F.lit("push").alias("kind"),
+            F.lit(worker_partition).cast("long").alias("worker_partition"),
+            F.col("param_id"),
+            F.col("delta"),
+        )
+
+    # -- server side --------------------------------------------------------
+    def run_server(
+        self,
+        spark: SparkSession,
+        init_fn: InitFn,
+        max_files_per_trigger: int | None = 1,
+    ) -> BatchParameterServer:
+        """The decoupled parameter-server job: consume the worker topic as
+        a file stream (one message file per micro-batch by default —
+        Kafka-partition-like arrival granularity), fold pushes, answer
+        pulls onto the server->worker topic. Runs availableNow (drains
+        the topic, then stops) and returns the server holding the final
+        model, exactly like `ParameterServerLogic.close -> output`."""
+        ps = BatchParameterServer(init_fn=init_fn)
+        s2w = self.s2w
+
+        def serve(batch_df: DataFrame, batch_id: int) -> None:
+            pushes = batch_df.where(F.col("kind") == "push").select("param_id", "delta")
+            if pushes.limit(1).count() > 0:
+                ps.push(pushes)
+            pulls = batch_df.where(F.col("kind") == "pull").select(
+                "worker_partition", "param_id"
+            )
+            if pulls.limit(1).count() > 0:
+                answers = ps.pull(pulls).select(
+                    "worker_partition",
+                    "param_id",
+                    "value",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                # idempotent per-batch dir: a replayed batch overwrites itself
+                answers.write.mode("overwrite").parquet(f"{s2w}/bid={batch_id}")
+
+        reader = spark.readStream.schema(W2S_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(os.path.join(self.w2s, "*"))
+        q = (
+            stream.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return ps
+
+    # -- worker side again --------------------------------------------------
+    def answers(self, spark: SparkSession) -> DataFrame:
+        """Consume the server->worker topic (the PullAnswer stream)."""
+        return spark.read.parquet(self.s2w)

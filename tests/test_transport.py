@@ -1,0 +1,114 @@
+"""A10 — decoupled worker<->server transport over file-queue topics
+(streaming/transport.py, the Kafka-transport stand-in).
+
+The contract being proved: running the parameter server as a SEPARATE
+job that consumes worker messages from a topic must be record-for-record
+equivalent to the in-job BatchParameterServer processing the same
+messages in the same arrival order — pulls answered against exactly the
+state visible at their point in the message stream, pushes folded
+identically, final model dump identical.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.ps.kernel import BatchParameterServer
+from flink_parameter_server_spark.streaming.transport import FileQueueTransport
+
+
+def _init(pid):
+    # deterministic 2-dim init, exact in float64
+    return F.array((pid.cast("double") * F.lit(0.5)), pid.cast("double") + F.lit(1.0))
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "param_id long")
+
+
+def _deltas(spark, rows):
+    return spark.createDataFrame(rows, "param_id long, delta array<double>")
+
+
+def _by_key(df):
+    return {r["param_id"]: r["value"] for r in df.collect()}
+
+
+@pytest.fixture()
+def topic_root(tmp_path):
+    return str(tmp_path)
+
+
+def test_file_queue_transport_matches_in_job_kernel(spark, topic_root):
+    tp = FileQueueTransport(topic_root)
+
+    # arrival order: cold pulls | pushes | warm pulls (3 topic files)
+    cold_keys = _keys(spark, [0, 1, 2])
+    deltas = _deltas(
+        spark,
+        [(1, [0.25, -1.0]), (2, [1.0, 1.0]), (2, [0.5, 0.5]), (3, [2.0, 0.0])],
+    )
+    warm_keys = _keys(spark, [1, 3, 5])
+
+    tp.send(tp.pulls(cold_keys, worker_partition=0), "000_cold")
+    time.sleep(1.1)  # file-source arrival order is mtime-based
+    tp.send(tp.pushes(deltas, worker_partition=1), "001_push")
+    time.sleep(1.1)
+    tp.send(tp.pulls(warm_keys, worker_partition=1), "002_warm")
+
+    server = tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    answers = tp.answers(spark)
+
+    # in-job replay of the same message order: the equivalence reference
+    ref = BatchParameterServer(init_fn=_init)
+    cold_expected = _by_key(ref.pull(cold_keys))
+    ref.push(deltas)
+    warm_expected = _by_key(ref.pull(warm_keys))
+
+    got_cold = _by_key(
+        answers.where(F.col("batch_id") == 0).select("param_id", "value")
+    )
+    got_warm = _by_key(
+        answers.where(F.col("batch_id") == 2).select("param_id", "value")
+    )
+    assert got_cold == cold_expected  # lazy init, no pushes folded yet
+    assert got_warm == warm_expected  # post-fold state incl. untouched key 5
+    # pushed-key sanity: init(1)=[0.5,2.0] + [0.25,-1.0]
+    assert got_warm[1] == [0.75, 1.0]
+    assert got_warm[5] == [2.5, 6.0]  # never pushed -> pure init
+
+    # PullAnswer routing preserves the requesting worker partition
+    parts = {
+        r["batch_id"]: r["worker_partition"]
+        for r in answers.select("batch_id", "worker_partition").distinct().collect()
+    }
+    assert parts == {0: 0, 2: 1}
+
+    # final model dump (ParameterServerLogic.close -> output) identical
+    assert _by_key(server.params) == _by_key(ref.params)
+
+
+def test_transport_server_restart_resumes_from_checkpoint(spark, topic_root):
+    """The decoupling point of A10: the server job can stop and a new
+    incarnation drains only NEW topic files (checkpointed source offsets),
+    folding onto the model carried over from the previous run."""
+    tp = FileQueueTransport(topic_root)
+    tp.send(tp.pushes(_deltas(spark, [(7, [1.0, 1.0])])), "000_a")
+    server1 = tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    model1 = _by_key(server1.params)
+
+    time.sleep(1.1)
+    tp.send(tp.pushes(_deltas(spark, [(7, [0.5, 0.0])])), "001_b")
+    # new server incarnation seeded with the previous model (A6
+    # transformWithModelLoad composed with the transport), same checkpoint
+    server2 = FileQueueTransport(topic_root).run_server(
+        spark, init_fn=_init, max_files_per_trigger=1
+    )
+    # fresh state in server2 means the second run must NOT re-fold file a;
+    # its model reflects only file b on lazy init
+    model2 = _by_key(server2.params)
+    assert model1[7] == [4.5, 9.0]  # init(7)=[3.5,8.0] + [1.0,1.0]
+    assert model2[7] == [4.0, 8.0]  # init(7) + [0.5,0.0] only — offsets held
