@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..operators._util import t
+from ..scratch import scratch
 from .factors import factor_vector
 from .kernel import BatchParameterServer
 
@@ -85,16 +86,22 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
     Returns DataFrame(param_id=item, value=array<double> factors).
     """
     ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid))
+    # worker-local user vectors as a distinct-user factor table joined
+    # back by key: O(|users|) hash evals total, and `uv` reaches the
+    # delta math as a join attribute — projection collapse cannot
+    # re-inline the 8-hash init array into each transform element (the
+    # trap measured in BASELINE.md's perf notes; 25x on this trainer)
+    ufac = r.select("user").distinct().select("user", user_vec("user").alias("uv"))
 
     def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
         pulled = server.pull(data.select(F.col("item").alias("param_id"), "user", "rating"))
-        withe = pulled.withColumn(
-            "e", F.col("rating") - vectors.dot(user_vec("user"), F.col("value"))
+        withe = pulled.join(ufac, "user").withColumn(
+            "e", F.col("rating") - vectors.dot_fixed(F.col("uv"), F.col("value"), K)
         )
         return withe.select(
             "param_id",
             F.transform(
-                user_vec("user"), lambda u_j: F.lit(LR) * F.col("e") * u_j
+                F.col("uv"), lambda u_j: F.lit(LR) * F.col("e") * u_j
             ).alias("delta"),
         )
 
@@ -136,9 +143,15 @@ def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> D
             .withColumnRenamed("value", "uvec")
             .drop("param_id")
         )
-        both = both.withColumn(
-            "e", F.col("rating") - vectors.dot(F.col("uvec"), F.col("ivec"))
-        ).persist()
+        # scratch (NOT persist+immediate unpersist, which dropped the
+        # cache before the lazy push ever materialized it): both delta
+        # branches read `both` once from cache when the model finally
+        # computes; released at the next registry-query entry
+        both = scratch(
+            both.withColumn(
+                "e", F.col("rating") - vectors.dot_fixed(F.col("uvec"), F.col("ivec"), K)
+            )
+        )
         item_deltas = both.select(
             (F.col("item") * 2 + 1).alias("param_id"),
             F.transform(F.col("uvec"), lambda u_j: F.lit(LR) * F.col("e") * u_j).alias("delta"),
@@ -148,7 +161,6 @@ def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> D
             F.transform(F.col("ivec"), lambda i_j: F.lit(LR) * F.col("e") * i_j).alias("delta"),
         )
         ps.push(item_deltas.unionByName(user_deltas))
-        both.unpersist()
 
     return ps.params.select(
         F.when(F.col("param_id") % 2 == 0, F.lit("user")).otherwise(F.lit("item")).alias("side"),
