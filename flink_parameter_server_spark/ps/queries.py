@@ -12,6 +12,7 @@ from ..functions.hashing import int_hash2, int_hash2_sql
 from ..functions.vectors import dot_sql, norm2_sql
 from ..operators._util import t
 from ..plans.registry import register
+from ..scratch import scratch
 from . import mf, pa
 from .factors import factor_element, factor_element_sql, factor_vector_sql
 
@@ -465,12 +466,13 @@ def mf_negative_samples(spark, sf_dir):
         )
         .withColumn("idx", int_hash2(F.col("user"), F.col("j"), seed=3) % F.lit(max_item) + 1)
     )
-    cand = (
+    # both memory branches consume cand and last — build each once
+    cand = scratch(
         draws.join(items, draws["idx"] == items["item"])
         .groupBy("user", "item")
         .agg(F.min("j").alias("j"))
     )
-    last = (
+    last = scratch(
         t(spark, sf_dir, "orders")
         .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
