@@ -528,7 +528,12 @@ def mf_negative_samples(spark, sf_dir):
     "[C-high]).",
 )
 def ps_train_epochs(spark, sf_dir):
-    mf_model = mf.train(spark, mf.ratings(spark, sf_dir), epochs=2)
+    # the ratings join and the PA triplet build each feed two trainers
+    # (and each trainer's epochs re-read them several times once the
+    # final union materializes) — build both once
+    rat = scratch(mf.ratings(spark, sf_dir))
+    inst = scratch(pa.instances(spark, sf_dir))
+    mf_model = mf.train(spark, rat, epochs=2)
     mf_part = (
         mf_model.select("param_id", F.posexplode("value").alias("dim", "v"))
         .select(
@@ -539,14 +544,14 @@ def ps_train_epochs(spark, sf_dir):
             F.round("v", 6).alias("v"),
         )
     )
-    bidir = mf.train_bidirectional(spark, mf.ratings(spark, sf_dir), epochs=2).select(
+    bidir = mf.train_bidirectional(spark, rat, epochs=2).select(
         F.lit("mf_bidir").alias("family"),
         "side",
         "id",
         F.col("dim").cast("long").alias("dim"),
         F.round("v", 6).alias("v"),
     )
-    pa_model = pa.train_binary(spark, pa.instances(spark, sf_dir), epochs=2)
+    pa_model = pa.train_binary(spark, inst, epochs=2)
     pa_part = pa_model.select(
         F.lit("pa").alias("family"),
         F.lit("w").alias("side"),
@@ -554,7 +559,7 @@ def ps_train_epochs(spark, sf_dir):
         F.lit(0).cast("long").alias("dim"),
         F.round(F.element_at("value", 1), 6).alias("v"),
     )
-    pamc = pa.train_multiclass(spark, pa.instances(spark, sf_dir), epochs=2).select(
+    pamc = pa.train_multiclass(spark, inst, epochs=2).select(
         F.lit("pa_mc").alias("family"),
         F.concat(F.lit("c"), F.col("class_id")).alias("side"),
         F.col("feat_id").alias("id"),
