@@ -67,23 +67,47 @@ def with_margin(inst: DataFrame) -> DataFrame:
     return inst.withColumn("margin", vectors.dot(F.col("x"), w0_array()))
 
 
-def binary_step(inst: DataFrame) -> DataFrame:
-    """B8 one mini-batch PA-I step from the init weights: returns the new
+def _tau(variant: str):
+    """The three classic PA update magnitudes (Crammer et al. 2006;
+    reference `passive/aggressive/algorithm/*Algorithm` implements the
+    same trio [C-high]): 'pa' = hinge/||x||^2 (unbounded), 'pa1' =
+    min(C, hinge/||x||^2) (additive cap), 'pa2' = hinge/(||x||^2 +
+    1/(2C)) (soft regularization)."""
+    hinge = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("margin"))
+    xn = vectors.norm2(F.col("x"))
+    if variant == "pa":
+        return hinge / xn
+    if variant == "pa1":
+        return F.least(F.lit(C), hinge / xn)
+    if variant == "pa2":
+        return hinge / (xn + F.lit(1.0 / (2.0 * C)))
+    raise ValueError(f"unknown PA variant {variant!r}")
+
+
+def tau_sql(variant: str, y: str = "y", margin: str = "margin", xn: str = "xn") -> str:
+    """DuckDB twin of :func:`_tau` (identical arithmetic per variant)."""
+    hinge = f"greatest(0.0, 1.0 - {y} * {margin})"
+    if variant == "pa":
+        return f"({hinge} / {xn})"
+    if variant == "pa1":
+        return f"least({C}, {hinge} / {xn})"
+    if variant == "pa2":
+        return f"({hinge} / ({xn} + {1.0 / (2.0 * C)}))"
+    raise ValueError(f"unknown PA variant {variant!r}")
+
+
+def binary_step(inst: DataFrame, variant: str = "pa1") -> DataFrame:
+    """B8 one mini-batch PA step from the init weights: returns the new
     weight vector as (feat_id, w) rows.
 
-    tau_i = min(C, max(0, 1 - y_i * m_i) / ||x_i||^2);  w += sum_i tau_i y_i x_i
+    tau_i per ``variant`` (see :func:`_tau`); w += sum_i tau_i y_i x_i.
+    The reference trains with PA-I by default; all three variants share
+    this one plan shape.
     """
     m = with_margin(inst)
     stepped = m.select(
         F.posexplode(F.col("x")).alias("feat_id", "x_f"),
-        (
-            F.least(
-                F.lit(C),
-                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("margin"))
-                / vectors.norm2(F.col("x")),
-            )
-            * F.col("y")
-        ).alias("coef"),
+        (_tau(variant) * F.col("y")).alias("coef"),
     )
     deltas = stepped.groupBy("feat_id").agg(
         F.sum((F.col("coef") * F.col("x_f")).cast("decimal(28,15)")).alias("d")

@@ -579,14 +579,15 @@ PA_INST_SQL = (
 )
 
 
-_PA_BINARY_STEP_SQL = f"""
+def _pa_binary_step_sql(variant: str) -> str:
+    return f"""
 WITH inst AS ({PA_INST_SQL}),
 m AS (
   SELECT row_id, y, x, {dot_sql('x', W0_ARR_SQL)} AS margin, {norm2_sql('x')} AS xn
   FROM inst
 ),
 tri AS (
-  SELECT least({pa.C}, greatest(0.0, 1.0 - y * margin) / xn) * y AS coef,
+  SELECT {pa.tau_sql(variant)} * y AS coef,
          unnest(x) AS x_f, generate_subscripts(x, 1) - 1 AS feat_id
   FROM m
 ),
@@ -595,10 +596,15 @@ d AS (
          sum(CAST(coef * CAST(x_f AS DOUBLE) AS DECIMAL(28,15))) AS d
   FROM tri GROUP BY 1
 )
-SELECT CAST(-1 AS BIGINT) AS class_id, feat_id,
+SELECT '{variant}' AS variant, CAST(-1 AS BIGINT) AS class_id, feat_id,
        round({W0_SQL('feat_id')} + CAST(d AS DOUBLE), 6) + 0.0 AS w
 FROM d
 """
+
+
+_PA_BINARY_STEPS_SQL = " UNION ALL ".join(
+    f"SELECT * FROM ({_pa_binary_step_sql(v)}) AS step_{v}" for v in ("pa", "pa1", "pa2")
+)
 
 
 @register(
@@ -621,9 +627,10 @@ def pa_predict_binary(spark, sf_dir):
 @register(
     "pa_step_weights",
     oracle=f"""
-SELECT * FROM ({_PA_BINARY_STEP_SQL}) AS binary_step
+{_PA_BINARY_STEPS_SQL}
 UNION ALL
 SELECT * FROM (
+SELECT 'mc' AS variant, * FROM (
 WITH inst AS (SELECT vec_id AS row_id, CAST(label AS BIGINT) AS label, embedding AS x FROM embeddings),
 scores AS (
   SELECT row_id, label, x, c,
@@ -664,32 +671,42 @@ base AS (
 SELECT base.class_id, base.feat_id,
        round({CW0_SQL('base.class_id', 'base.feat_id')} + coalesce(CAST(d AS DOUBLE), 0.0), 6) + 0.0 AS w
 FROM base LEFT JOIN deltas USING (class_id, feat_id)
+) AS mc_core
 ) AS multiclass_step
 """,
     tags=("B8", "B9"),
-    doc="One mini-batch PA step, binary AND multiclass in one query "
-    "discriminated by class_id (consolidated from pa_binary_step / "
-    "pa_multiclass_step; class_id = -1 marks the binary model's single "
-    "weight vector). Binary: tau = min(C, hinge/||x||^2), "
-    "w += sum tau*y*x (passive/aggressive/algorithm/"
-    "PassiveAggressiveBinaryAlgorithm [C-high]; per-record sequential "
-    "updates re-expressed as one vectorized batch step). Multiclass: "
-    "argmax violator, tau = hinge/(2||x||^2), +tau*x to the true row, "
-    "-tau*x to the violator row (PassiveAggressiveParameterServer"
-    "#transformMulticlass [C-high]).",
+    doc="One mini-batch PA step — all THREE binary variants (r5: "
+    "`variant` in pa/pa1/pa2, the Crammer et al. trio the reference's "
+    "algorithm classes implement [C-high]: hinge/||x||^2 unbounded, "
+    "min(C, .) additive cap, hinge/(||x||^2+1/2C) soft) AND multiclass "
+    "(`variant`='mc') in one query; class_id = -1 marks the binary "
+    "models' single weight vector. Binary: w += sum tau*y*x "
+    "(per-record sequential updates re-expressed as one vectorized "
+    "batch step). Multiclass: argmax violator, tau = hinge/(2||x||^2), "
+    "+tau*x to the true row, -tau*x to the violator row "
+    "(PassiveAggressiveParameterServer#transformMulticlass [C-high]).",
 )
 def pa_step_weights(spark, sf_dir):
-    binary = pa.binary_step(pa.instances(spark, sf_dir)).select(
-        F.lit(-1).cast("long").alias("class_id"),
-        F.col("feat_id").cast("long").alias("feat_id"),
-        F.round("w", 6).alias("w"),
-    )
-    multi = pa.multiclass_step(pa.instances(spark, sf_dir)).select(
+    inst = scratch(pa.instances(spark, sf_dir))  # feeds all four parts
+    parts = [
+        pa.binary_step(inst, variant=v).select(
+            F.lit(v).alias("variant"),
+            F.lit(-1).cast("long").alias("class_id"),
+            F.col("feat_id").cast("long").alias("feat_id"),
+            F.round("w", 6).alias("w"),
+        )
+        for v in ("pa", "pa1", "pa2")
+    ]
+    multi = pa.multiclass_step(inst).select(
+        F.lit("mc").alias("variant"),
         F.col("class_id").cast("long").alias("class_id"),
         F.col("feat_id").cast("long").alias("feat_id"),
         F.round("w", 6).alias("w"),
     )
-    return binary.unionByName(multi)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(multi)
 
 
 # ---------------------------------------------------------------------------
