@@ -140,13 +140,13 @@ def test_negative_sampling_is_draw_join_not_grid(spark):
     assert "idx" in plan and "Generate explode" in plan
 
 
-def test_partition_pruning_static_and_dynamic(spark, tmp_path):
-    """SURVEY §4 claims static partition pruning and DynamicPartitionPruning
-    come free from Catalyst on a partitioned table layout — the layout a
-    100 TB events table would actually use. Pin both: a literal date
-    predicate must prune at planning time (PartitionFilters, not a full
-    scan), and a join against a filtered dim must install a dynamic
-    pruning subquery on the fact scan."""
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """SURVEY §4 claims DynamicPartitionPruning comes free from Catalyst
+    on a partitioned fact layout joined to a filtered dim — the classic
+    100 TB star-join access path. Static pruning and partitioned writes
+    are already pinned in tests/test_scale_paths.py; this pins the
+    DYNAMIC side: a non-literal dim filter must install a dynamicpruning
+    subquery on the fact scan so only matching partitions are read."""
     from pyspark.sql import functions as F
 
     from flink_parameter_server_spark.operators._util import t
@@ -156,68 +156,13 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path):
     ev.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
     fact = spark.read.parquet(fact_dir)
 
-    # static pruning: literal partition predicate reaches PartitionFilters
     days = [r["day"] for r in fact.select("day").distinct().orderBy("day").limit(2).collect()]
-    plan = (
-        fact.where(F.col("day") == F.lit(days[0]))
-        ._jdf.queryExecution().sparkPlan().toString()
-    )
-    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
-    assert "day" in pf, pf
-
-    # dynamic pruning: non-literal dim filter -> dynamicpruning subquery
     dim = spark.createDataFrame([(d, i) for i, d in enumerate(days)], "day date, tag int")
     joined = fact.join(dim.where(F.col("tag") == 0), "day").groupBy("day").count()
-    dpp_plan = joined._jdf.queryExecution().sparkPlan().toString()
-    assert "dynamicpruning" in dpp_plan.lower(), dpp_plan[:2000]
+    plan = joined._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the result only touched the selected partition
     assert joined.collect()[0]["day"] == days[0]
-
-
-def test_bucketed_join_is_shuffle_free(spark, tmp_path):
-    """SURVEY §4 / the 100 TB playbook: pre-bucketing both sides of a
-    repeated join key makes the join shuffle-free (co-located sort-merge
-    join reading bucket files directly). Pin that the bucketed layout
-    actually eliminates every Exchange from the join plan."""
-    from pyspark.sql import functions as F
-
-    from flink_parameter_server_spark.operators._util import t
-
-    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
-    od = (
-        t(spark, SF_SMALL, "orders")
-        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
-    )
-    try:
-        for name, df in [("li_bucketed", li), ("od_bucketed", od)]:
-            (
-                df.write.bucketBy(8, "l_orderkey")
-                .sortBy("l_orderkey")
-                .option("path", str(tmp_path / name))
-                .mode("overwrite")
-                .saveAsTable(name)
-            )
-        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
-        try:
-            j = (
-                spark.table("li_bucketed")
-                .join(spark.table("od_bucketed"), "l_orderkey")
-                .groupBy("o_custkey")
-                .agg(F.sum("l_quantity").alias("q"))
-            )
-            plan = j._jdf.queryExecution().sparkPlan().toString()
-            # the join itself moves nothing: no Exchange below the join
-            assert "SortMergeJoin" in plan
-            join_part = plan.split("SortMergeJoin")[-1]
-            assert "Exchange" not in join_part, join_part[:1500]
-            assert "SelectedBucketsCount: 8 out of 8" in plan
-            assert j.count() > 0
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    finally:
-        spark.sql("DROP TABLE IF EXISTS li_bucketed")
-        spark.sql("DROP TABLE IF EXISTS od_bucketed")
 
 
 def test_copurchase_single_custkey_exchange(spark):
