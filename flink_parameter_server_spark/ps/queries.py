@@ -466,13 +466,16 @@ def mf_negative_samples(spark, sf_dir):
         )
         .withColumn("idx", int_hash2(F.col("user"), F.col("j"), seed=3) % F.lit(max_item) + 1)
     )
-    # both memory branches consume cand and last — build each once
-    cand = scratch(
+    # both memory branches consume cand and last, but caching them was
+    # MEASURED 2.5x slower in-bench (0.99s -> 2.5s median at sf0.1): the
+    # cache write of the wide purchase-history agg costs more than the
+    # pipelined recompute of two cheap branches — leave them lazy
+    cand = (
         draws.join(items, draws["idx"] == items["item"])
         .groupBy("user", "item")
         .agg(F.min("j").alias("j"))
     )
-    last = scratch(
+    last = (
         t(spark, sf_dir, "orders")
         .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
