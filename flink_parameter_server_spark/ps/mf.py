@@ -85,7 +85,7 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
     updating them too is a second symmetric PS — omitted for clarity).
     Returns DataFrame(param_id=item, value=array<double> factors).
     """
-    ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid))
+    ps = BatchParameterServer(init_fn=lambda pid: item_vec(pid), k=K)
     # worker-local user vectors as a distinct-user factor table joined
     # back by key: O(|users|) hash evals total, and `uv` reaches the
     # delta math as a join attribute — projection collapse cannot
@@ -125,6 +125,7 @@ def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> D
     Returns a union: (side, id, dim, value) for side in {user, item}.
     """
     ps = BatchParameterServer(
+        k=K,
         init_fn=lambda pid: F.when(
             pid % 2 == F.lit(0), user_vec(F.floor(pid / 2))
         ).otherwise(item_vec(F.floor(pid / 2)))

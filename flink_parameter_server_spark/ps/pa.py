@@ -203,11 +203,12 @@ def train_multiclass(spark: SparkSession, inst: DataFrame, epochs: int = 2) -> D
     from pyspark.sql import Window
 
     ps = BatchParameterServer(
+        k=1,
         init_fn=lambda pid: F.array(
             factor_element(
                 F.floor(pid / N_FEATURES), pid % N_FEATURES, W_SEED, W_LO, W_HI
             )
-        )
+        ),
     )
 
     tri = inst.select("row_id", "label", "x", F.posexplode("x").alias("feat_id", "x_f"))
@@ -269,7 +270,8 @@ def train_binary(spark: SparkSession, inst: DataFrame, epochs: int = 3) -> DataF
     feat_id). Mini-batch epochs — documented divergence from the
     reference's per-record sequential updates."""
     ps = BatchParameterServer(
-        init_fn=lambda pid: F.array(factor_element(F.lit(0), pid, W_SEED, W_LO, W_HI))
+        k=1,
+        init_fn=lambda pid: F.array(factor_element(F.lit(0), pid, W_SEED, W_LO, W_HI)),
     )
 
     def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
