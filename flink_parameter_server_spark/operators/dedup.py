@@ -127,7 +127,11 @@ def token_hash_arrays(spark, sf_dir):
     still O(|vocab|), the theoretical minimum.
     """
     docs = t(spark, sf_dir, "documents")
-    pos = docs.repartition(32).select(
+    # hash-partition by doc_id (not round-robin): spreads the single-file
+    # scan the same, and the per-doc reassembly groupBy below then reuses
+    # this exchange instead of re-shuffling every token occurrence
+    # (measured 1.6x on the build at sf0.1)
+    pos = docs.repartition(32, F.col("doc_id")).select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
     )
     vhash = (
