@@ -211,20 +211,25 @@ def train_multiclass(spark: SparkSession, inst: DataFrame, epochs: int = 2) -> D
         ),
     )
 
-    tri = inst.select("row_id", "label", "x", F.posexplode("x").alias("feat_id", "x_f"))
+    # the (row, class, feature) cell stream carries SCALARS only — the
+    # 64-dim x array would otherwise ride through the |rows|*|classes|*
+    # |features| pull join and its aggregation buffers; it is re-joined
+    # from the |rows|-sized instance table after scoring (measured 2x at
+    # sf0.1)
+    tri = inst.select("row_id", "label", F.posexplode("x").alias("feat_id", "x_f"))
     cells = tri.crossJoin(
         spark.range(N_CLASSES).select(F.col("id").alias("c"))
     ).select(
-        "row_id", "label", "x", "c", "x_f",
+        "row_id", "label", "c", "x_f",
         (F.col("c") * N_FEATURES + F.col("feat_id")).alias("param_id"),
     )
+    xtab = inst.select("row_id", "x")
 
     for _ in range(epochs):
         pulled = ps.pull(cells)
         scores = pulled.groupBy("row_id", "c").agg(
             F.sum(F.element_at("value", 1) * F.col("x_f")).alias("score"),
             F.first("label").alias("label"),
-            F.first("x").alias("x"),
         )
         wv = Window.partitionBy("row_id").orderBy(F.col("score").desc(), F.col("c"))
         viol = (
@@ -234,9 +239,9 @@ def train_multiclass(spark: SparkSession, inst: DataFrame, epochs: int = 2) -> D
             .select("row_id", F.col("c").alias("v"), F.col("score").alias("s_v"))
         )
         tru = scores.where(F.col("c") == F.col("label")).select(
-            "row_id", "label", "x", F.col("score").alias("s_y")
+            "row_id", "label", F.col("score").alias("s_y")
         )
-        upd = tru.join(viol, "row_id").withColumn(
+        upd = tru.join(viol, "row_id").join(xtab, "row_id").withColumn(
             "tau",
             F.greatest(F.lit(0.0), F.lit(1.0) - (F.col("s_y") - F.col("s_v")))
             / (F.lit(2.0) * vectors.norm2(F.col("x"))),
