@@ -279,15 +279,19 @@ def train_binary(spark: SparkSession, inst: DataFrame, epochs: int = 3) -> DataF
         init_fn=lambda pid: F.array(factor_element(F.lit(0), pid, W_SEED, W_LO, W_HI)),
     )
 
+    # same scalar-only cell-stream rule as train_multiclass: the feature
+    # array is re-joined by row_id after the margin aggregation instead
+    # of riding through the triplet pull join
+    xtab = inst.select("row_id", "x")
+
     def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
-        tri = data.select("row_id", "y", "x", F.posexplode("x").alias("feat_id", "x_f"))
+        tri = data.select("row_id", "y", F.posexplode("x").alias("feat_id", "x_f"))
         pulled = server.pull(tri.withColumnRenamed("feat_id", "param_id"))
         margins = pulled.groupBy("row_id").agg(
             F.sum(F.element_at("value", 1) * F.col("x_f")).alias("margin"),
             F.first("y").alias("y"),
-            F.first("x").alias("x"),
         )
-        tau = margins.select(
+        tau = margins.join(xtab, "row_id").select(
             "row_id",
             (
                 F.least(
