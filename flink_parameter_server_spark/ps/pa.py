@@ -64,17 +64,23 @@ def class_w0_array(c):
 
 
 def with_margin(inst: DataFrame) -> DataFrame:
-    return inst.withColumn("margin", vectors.dot(F.col("x"), w0_array()))
+    # dot_fixed (flat, bitwise-identical to the fold): w0 is a constant
+    # array, so element_at(w0, j) constant-folds and the margin becomes
+    # 64 fused multiply-adds in whole-stage codegen instead of an
+    # interpreted higher-order fold per row
+    return inst.withColumn("margin", vectors.dot_fixed(F.col("x"), w0_array(), N_FEATURES))
 
 
-def _tau(variant: str):
+def _tau(variant: str, xn=None):
     """The three classic PA update magnitudes (Crammer et al. 2006;
     reference `passive/aggressive/algorithm/*Algorithm` implements the
     same trio [C-high]): 'pa' = hinge/||x||^2 (unbounded), 'pa1' =
     min(C, hinge/||x||^2) (additive cap), 'pa2' = hinge/(||x||^2 +
-    1/(2C)) (soft regularization)."""
+    1/(2C)) (soft regularization). Pass ``xn`` to reuse a precomputed
+    squared norm across variants."""
     hinge = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("margin"))
-    xn = vectors.norm2(F.col("x"))
+    if xn is None:
+        xn = vectors.norm2(F.col("x"))
     if variant == "pa":
         return hinge / xn
     if variant == "pa1":
@@ -113,6 +119,44 @@ def binary_step(inst: DataFrame, variant: str = "pa1") -> DataFrame:
         F.sum((F.col("coef") * F.col("x_f")).cast("decimal(28,15)")).alias("d")
     )
     return deltas.select(
+        F.col("feat_id").cast("long").alias("feat_id"),
+        (
+            factor_element(F.lit(0), F.col("feat_id"), W_SEED, W_LO, W_HI)
+            + F.col("d").cast("double")
+        ).alias("w"),
+    )
+
+
+def binary_steps_all_variants(inst: DataFrame, variants=("pa", "pa1", "pa2")) -> DataFrame:
+    """All PA variants' batch steps from ONE margin/norm pass: the margin
+    dot and the squared norm are computed once per instance (the
+    expensive part), each variant's tau is a cheap scalar expression on
+    those shared columns, and one (variant, feat_id) fold aggregates
+    everything. Returns (variant, feat_id, w)."""
+    m = with_margin(inst).withColumn(
+        "xn", vectors.dot_fixed(F.col("x"), F.col("x"), N_FEATURES)
+    )
+    vc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("variant"),
+                    (_tau(v, xn=F.col("xn")) * F.col("y")).alias("coef"),
+                )
+                for v in variants
+            ]
+        )
+    ).alias("vc")
+    stepped = m.select(vc, "x").select(
+        F.col("vc.variant").alias("variant"),
+        F.col("vc.coef").alias("coef"),
+        F.posexplode("x").alias("feat_id", "x_f"),
+    )
+    deltas = stepped.groupBy("variant", "feat_id").agg(
+        F.sum((F.col("coef") * F.col("x_f")).cast("decimal(28,15)")).alias("d")
+    )
+    return deltas.select(
+        "variant",
         F.col("feat_id").cast("long").alias("feat_id"),
         (
             factor_element(F.lit(0), F.col("feat_id"), W_SEED, W_LO, W_HI)

@@ -690,26 +690,20 @@ FROM base LEFT JOIN deltas USING (class_id, feat_id)
     "(PassiveAggressiveParameterServer#transformMulticlass [C-high]).",
 )
 def pa_step_weights(spark, sf_dir):
-    inst = scratch(pa.instances(spark, sf_dir))  # feeds all four parts
-    parts = [
-        pa.binary_step(inst, variant=v).select(
-            F.lit(v).alias("variant"),
-            F.lit(-1).cast("long").alias("class_id"),
-            F.col("feat_id").cast("long").alias("feat_id"),
-            F.round("w", 6).alias("w"),
-        )
-        for v in ("pa", "pa1", "pa2")
-    ]
+    inst = scratch(pa.instances(spark, sf_dir))  # feeds both parts
+    binaries = pa.binary_steps_all_variants(inst).select(
+        "variant",
+        F.lit(-1).cast("long").alias("class_id"),
+        "feat_id",
+        F.round("w", 6).alias("w"),
+    )
     multi = pa.multiclass_step(inst).select(
         F.lit("mc").alias("variant"),
         F.col("class_id").cast("long").alias("class_id"),
         F.col("feat_id").cast("long").alias("feat_id"),
         F.round("w", 6).alias("w"),
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(multi)
+    return binaries.unionByName(multi)
 
 
 # ---------------------------------------------------------------------------
