@@ -28,6 +28,10 @@ LANG_MARKERS = {
 }
 
 FP_WINDOW = 8
+# PII / contamination signals (r5): pattern parity holds in Java regex
+# (Spark) and RE2 (DuckDB) — simple character classes only.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+URL_RE = "https?://[^ \\t\\n]+"
 
 
 def _stoplist_sql(words) -> str:
@@ -87,6 +91,11 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
     round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
           i -> concat(toks[i], ' ', toks[i + 1])))) AS DOUBLE) / (len(toks) - 1), 6)
   END AS dup_bigram_ratio,
+  CAST(len(regexp_extract_all(sc.text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(sc.text, '{URL_RE}')) AS BIGINT) AS n_urls,
+  CASE WHEN length(sc.text) > 0 THEN
+    round(CAST(len(regexp_extract_all(sc.text, '[0-9]')) AS DOUBLE) / length(sc.text), 6)
+  END AS digit_ratio,
   fp.fingerprint,
   {poly_hash_sql('sc.text', 1)} AS full_hash
 FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
@@ -105,7 +114,8 @@ FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
     "null-guarded for empty docs); repetition filters (r3: "
     "most-common-token fraction and duplicate-bigram fraction, the "
     "Gopher-style degenerate-text signals a pretraining pipeline gates "
-    "on); winnowing-style fingerprint "
+    "on); PII/contamination signals (r5: email and URL hit counts, "
+    "digit fraction — redaction-gate inputs); winnowing-style fingerprint "
     "(position-weighted rolling hash per 8-token chunk, min chunk hash) "
     "plus a full-text polynomial hash. Everything except the fingerprint "
     "aggregation is codegen'd array math; the fingerprint is one "
@@ -203,11 +213,24 @@ def text_profile(spark, sf_dir):
                 6,
             ),
         ).alias("dup_bigram_ratio"),
+        # PII / contamination signals a pretraining pipeline gates on:
+        # email and URL hit counts, and the digit fraction of the text
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).cast("long").alias("n_urls"),
+        F.when(
+            F.length("text") > 0,
+            F.round(
+                F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+                / F.length("text"),
+                6,
+            ),
+        ).alias("digit_ratio"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
     return wide.join(fp, "doc_id", "left").select(
         "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
         "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
         "stopword_ratio", "quality_score", "max_token_ratio",
-        "dup_bigram_ratio", "fingerprint", "full_hash",
+        "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
+        "fingerprint", "full_hash",
     )

@@ -1,0 +1,63 @@
+"""PII / contamination signal columns of text_profile (D26, r5).
+
+The driver fixture's synthetic text contains no emails, URLs, or
+digits, so the oracle only proves the zero path; these rows exercise
+the counting itself with known expected values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.operators.textstats import EMAIL_RE, URL_RE
+
+
+def _signals(spark, text):
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).alias("n_urls"),
+            F.when(
+                F.length("text") > 0,
+                F.round(
+                    F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+                    / F.length("text"),
+                    6,
+                ),
+            ).alias("digit_ratio"),
+        )
+        .collect()[0]
+    )
+    return row["n_emails"], row["n_urls"], row["digit_ratio"]
+
+
+def test_pii_signals_count_real_hits(spark):
+    text = (
+        "contact a.user+tag@example-site.org or b@x.co, docs at "
+        "https://docs.example.com/a?b=1 and http://t.co/xyz — call 555 0142"
+    )
+    n_emails, n_urls, digit_ratio = _signals(spark, text)
+    assert n_emails == 2
+    assert n_urls == 2
+    assert digit_ratio == round(8 / len(text), 6)  # 555 0142 + b=1 digit
+
+
+def test_pii_signals_zero_on_clean_text(spark):
+    assert _signals(spark, "plain words only here") == (0, 0, 0.0)
+
+
+def test_pii_signals_match_duckdb(spark, duck):
+    """Engine parity on a text that actually hits the patterns — the
+    same expressions the text_profile oracle uses."""
+    text = "x@y.io and https://z.dev/p 42%"
+    n_emails, n_urls, digit_ratio = _signals(spark, text)
+    got = duck.execute(
+        f"""
+        SELECT CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT),
+               CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT),
+               round(CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE) / length(t), 6)
+        FROM (SELECT '{text}' AS t)
+        """
+    ).fetchone()
+    assert (n_emails, n_urls, digit_ratio) == got
