@@ -516,7 +516,7 @@ def mf_negative_samples(spark, sf_dir):
     "ps_train_epochs",
     oracle=None,
     tags=("A1", "A6", "B1", "B6", "B8", "B9"),
-    doc="All four multi-epoch kernel trainers in one rows-only query, "
+    doc="All five multi-epoch kernel trainers in one rows-only query, "
     "discriminated by `family` (consolidated from mf_train_2epochs / "
     "mf_train_bidirectional / pa_train_2epochs / "
     "pa_multiclass_train_2epochs). 'mf': 2 driver-loop epochs on "
@@ -528,7 +528,10 @@ def mf_negative_samples(spark, sf_dir):
     "(weights = k=1 param vectors keyed by feat_id). 'pa_mc': multiclass "
     "weight matrix as one PS keyed by class*n_features+feat, violator "
     "updates (PassiveAggressiveParameterServer#transformMulticlass "
-    "[C-high]).",
+    "[C-high]). 'mf_neg' (r5): the reference's negative-sampling purpose "
+    "closed end-to-end — the B7 'full'-memory samples join the rating "
+    "stream as rating-0 records (the negativeSampleRate emission, MF "
+    "worker [C-med]) for one SGD epoch over positives + negatives.",
 )
 def ps_train_epochs(spark, sf_dir):
     # the ratings join and the PA triplet build each feed two trainers
@@ -569,7 +572,29 @@ def ps_train_epochs(spark, sf_dir):
         F.lit(0).cast("long").alias("dim"),
         F.round("w", 6).alias("v"),
     )
-    return mf_part.unionByName(bidir).unionByName(pa_part).unionByName(pamc)
+    # 'mf_neg': train on positives + the B7 negative samples as rating-0
+    # records — the reference feeds its sampled negatives straight into
+    # the same SGD stream (module-level call = unwrapped fn, so this does
+    # not release the enclosing query's scratch)
+    negs = (
+        mf_negative_samples(spark, sf_dir)
+        .where(F.col("memory") == "full")
+        .select("user", F.col("neg_item").alias("item"), F.lit(0.0).alias("rating"))
+    )
+    mfneg = (
+        mf.train(spark, rat.unionByName(negs), epochs=1)
+        .select("param_id", F.posexplode("value").alias("dim", "v"))
+        .select(
+            F.lit("mf_neg").alias("family"),
+            F.lit("item").alias("side"),
+            F.col("param_id").alias("id"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round("v", 6).alias("v"),
+        )
+    )
+    return (
+        mf_part.unionByName(bidir).unionByName(pa_part).unionByName(pamc).unionByName(mfneg)
+    )
 
 
 # ---------------------------------------------------------------------------
