@@ -91,6 +91,21 @@ def test_file_queue_transport_matches_in_job_kernel(spark, topic_root):
     assert _by_key(server.params) == _by_key(ref.params)
 
 
+def test_mixed_batch_folds_pushes_before_answering_pulls(spark, topic_root):
+    """Within one topic file (= one micro-batch), the server processes
+    pushes before answering pulls — the reference server drains its
+    message batch the same way. A pull arriving alongside a push for the
+    same key must therefore see the post-fold value."""
+    tp = FileQueueTransport(topic_root)
+    mixed = tp.pushes(_deltas(spark, [(3, [1.0, -1.0])])).unionByName(
+        tp.pulls(_keys(spark, [3]))
+    )
+    tp.send(mixed, "000_mixed")
+    tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    got = _by_key(tp.answers(spark).select("param_id", "value"))
+    assert got[3] == [2.5, 3.0]  # init(3)=[1.5,4.0] + [1.0,-1.0]
+
+
 def test_transport_server_restart_resumes_from_checkpoint(spark, topic_root):
     """The decoupling point of A10: the server job can stop and a new
     incarnation drains only NEW topic files (checkpointed source offsets),
