@@ -16,6 +16,17 @@ is reported separately as `full_registry_sec`.
 Per-rep storage is honest: every registry fn releases the previous
 query's scratch cache on entry (scratch.py), so each rep re-runs the
 real plan, not a cache readback.
+
+Since round 6 (VERDICT r5 #1/#4): the final stdout line is the COMPACT
+object (medians only) so the driver's tail-capture window can always
+parse it — r5's line embedded the full 50x3 `samples` dict and was so
+long the capture truncated its head (BENCH_r05 `parsed: null`).  Raw
+per-rep samples now go to BENCH_samples_r{N}.json alongside this file.
+Additionally each entry gets ONE un-timed warmup rep before the n timed
+reps: the r5 triplets showed first-rep JVM/codegen skew (e.g.
+multimodal_pipeline [1.80, 0.61, 0.61]) that medians absorbed but a
+warmup removes at the source, making the n reps i.i.d.  BASELINE.md
+notes the series change.
 """
 
 from __future__ import annotations
@@ -70,13 +81,17 @@ def main() -> None:
     # headline entries first (metric continuity), then the rest A->Z
     names = HEADLINE + sorted(n for n in REGISTRY if n not in HEADLINE)
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for rep in range(reps):
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+    for rep in range(-warmup, reps):
+        timed = rep >= 0
         for name in names:
             t0 = time.time()
             n_rows = REGISTRY[name].fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
-            samples[name].append(dt)
-            print(f"# rep{rep} {name}: {dt:.2f}s ({n_rows} rows)", file=sys.stderr)
+            if timed:
+                samples[name].append(dt)
+            tag = f"rep{rep}" if timed else "warmup"
+            print(f"# {tag} {name}: {dt:.2f}s ({n_rows} rows)", file=sys.stderr)
 
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
@@ -92,24 +107,39 @@ def main() -> None:
         "embedding_ann_topk", "text_profile",
     ]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_time",
-                "value": round(sum(medians[q] for q in HEADLINE), 3),
-                "unit": "sec",
-                "queries": medians,
-                "full_registry_sec": round(sum(medians.values()), 3),
-                "reps": reps,
-                "samples": {n: s for n, s in samples.items()},
-                "r2_comparable_superset_subtotal": round(
-                    sum(medians[q] for q in r2_comparable), 3
-                ),
-                "sf": float(sf),
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_query_set_wall_time",
+        "value": round(sum(medians[q] for q in HEADLINE), 3),
+        "unit": "sec",
+        "queries": medians,
+        "full_registry_sec": round(sum(medians.values()), 3),
+        "reps": reps,
+        "warmup": warmup,
+        "r2_comparable_superset_subtotal": round(
+            sum(medians[q] for q in r2_comparable), 3
+        ),
+        "sf": float(sf),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+
+    # Raw per-rep samples go to a side file, NOT the stdout line: r5's
+    # inline samples made the line outgrow the driver's tail-capture
+    # window and the artifact came back parsed:null.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    n_round = (max(rounds) + 1) if rounds else 0
+    side = os.path.join(here, f"BENCH_samples_r{n_round:02d}.json")
+    with open(side, "w") as fh:
+        json.dump({"samples": samples, **compact}, fh)
+    print(f"# samples written to {side}", file=sys.stderr)
+
+    # The compact medians-only object is the single final stdout line.
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
