@@ -124,8 +124,18 @@ def train_bidirectional(spark: SparkSession, r: DataFrame, epochs: int = 2) -> D
 
     Returns a union: (side, id, dim, value) for side in {user, item}.
     """
+    # checkpoint_every=1: with BOTH sides in one server, each epoch's
+    # plan references the previous params in THREE places (two pulls +
+    # the merge join) — left to compound over even 2 epochs the optimizer
+    # re-expands hundreds of join/exchange subtrees (measured: the 2-epoch
+    # plan carried ~450 joins and 9.4s wall; a per-epoch eager
+    # localCheckpoint cuts it to ~2.9s). The one-sided trainers keep the
+    # default cadence: their per-epoch plans reference params once and
+    # the eager barrier only costs them (measured 0.6s -> 5.1s on
+    # mf.train — the opposite trade).
     ps = BatchParameterServer(
         k=K,
+        checkpoint_every=1,
         init_fn=lambda pid: F.when(
             pid % 2 == F.lit(0), user_vec(F.floor(pid / 2))
         ).otherwise(item_vec(F.floor(pid / 2)))
