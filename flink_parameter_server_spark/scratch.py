@@ -21,7 +21,7 @@ Discipline implemented here:
 
 Released *cached* DataFrames are safe under any consumption order: a
 stale result that still references one simply recomputes. Released
-*localCheckpoint* blocks (tracked via :func:`track_new_checkpoints`) are
+*localCheckpoint* blocks (tracked via :func:`track_checkpoint_ids`) are
 NOT recomputable — lineage was truncated — so results of
 checkpoint-backed queries (star-CC clustering, long kernel trainings)
 must be consumed before the next registry query starts; that is the
@@ -63,19 +63,6 @@ def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
         handle = jmap.get(int(i))
         if handle is not None:
             handle.unpersist(False)
-
-
-def track_new_checkpoints(spark: SparkSession, before_ids: set[int]) -> set[int]:
-    """Track RDDs persisted since ``before_ids`` (an eager localCheckpoint
-    just materialized) for release at the next registry-query entry.
-    Returns the new ids so callers can release superseded rounds early."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    new_ids = set()
-    for i in jmap.keySet().toArray():
-        if int(i) not in before_ids:
-            _CHECKPOINT_HANDLES.append(jmap.get(i))
-            new_ids.add(int(i))
-    return new_ids
 
 
 def track_checkpoint_ids(spark: SparkSession, ids: set[int]) -> None:

@@ -57,6 +57,15 @@ W2S_SCHEMA = StructType(
     ]
 )
 
+S2W_SCHEMA = StructType(
+    [
+        StructField("worker_partition", LongType()),
+        StructField("param_id", LongType()),
+        StructField("value", ArrayType(DoubleType())),
+        StructField("batch_id", LongType()),
+    ]
+)
+
 
 class FileQueueTransport:
     """One worker->server topic and one server->worker topic under `root`."""
@@ -70,10 +79,27 @@ class FileQueueTransport:
     # -- worker side --------------------------------------------------------
     def send(self, messages: DataFrame, file_tag: str) -> None:
         """Produce one message file (= one unit of arrival order) onto the
-        worker->server topic. A Kafka producer's topic-append dual."""
+        worker->server topic. A Kafka producer's topic-append dual.
+
+        Arrival order is ENFORCED, not hoped for: Spark's file source
+        orders files by modification time, whose filesystem granularity
+        can be a full second — two sends inside one tick would have
+        unspecified relative order. Each send therefore stamps its files
+        (via utime) strictly later than every file already on the topic,
+        i.e. an explicit monotonic sequence encoded in the mtime the
+        source already sorts by."""
+        target = os.path.join(self.w2s, f"msgs_{file_tag}")
         messages.select("kind", "worker_partition", "param_id", "delta").coalesce(
             1
-        ).write.mode("overwrite").parquet(os.path.join(self.w2s, f"msgs_{file_tag}"))
+        ).write.mode("overwrite").parquet(target)
+        latest = 0.0
+        for entry in os.scandir(self.w2s):
+            if entry.is_dir() and entry.path != target:
+                for f in os.scandir(entry.path):
+                    latest = max(latest, f.stat().st_mtime)
+        stamp = max(latest + 2.0, os.stat(target).st_mtime)
+        for f in os.scandir(target):
+            os.utime(f.path, (stamp, stamp))
 
     def pulls(self, keys: DataFrame, worker_partition: int = 0) -> DataFrame:
         return keys.select(
@@ -97,24 +123,34 @@ class FileQueueTransport:
         spark: SparkSession,
         init_fn: InitFn,
         max_files_per_trigger: int | None = 1,
+        params: DataFrame | None = None,
     ) -> BatchParameterServer:
         """The decoupled parameter-server job: consume the worker topic as
         a file stream (one message file per micro-batch by default —
         Kafka-partition-like arrival granularity), fold pushes, answer
         pulls onto the server->worker topic. Runs availableNow (drains
         the topic, then stops) and returns the server holding the final
-        model, exactly like `ParameterServerLogic.close -> output`."""
-        ps = BatchParameterServer(init_fn=init_fn)
+        model, exactly like `ParameterServerLogic.close -> output`.
+
+        ``params`` seeds the server state (A6 transformWithModelLoad
+        composed with the transport): a restarted incarnation resumes
+        from the checkpointed source offsets AND the previous model —
+        pass the prior run's ``server.params`` (or a
+        ``BatchParameterServer.load`` read of a dumped model). Without
+        it a restart holds offsets but starts model-fresh, silently
+        dropping previously folded pushes."""
+        ps = BatchParameterServer(init_fn=init_fn, params=params)
         s2w = self.s2w
 
         def serve(batch_df: DataFrame, batch_id: int) -> None:
-            pushes = batch_df.where(F.col("kind") == "push").select("param_id", "delta")
-            if pushes.limit(1).count() > 0:
-                ps.push(pushes)
-            pulls = batch_df.where(F.col("kind") == "pull").select(
-                "worker_partition", "param_id"
-            )
-            if pulls.limit(1).count() > 0:
+            # one probe job per batch, not one per message kind
+            kinds = {r["kind"] for r in batch_df.select("kind").distinct().collect()}
+            if "push" in kinds:
+                ps.push(batch_df.where(F.col("kind") == "push").select("param_id", "delta"))
+            if "pull" in kinds:
+                pulls = batch_df.where(F.col("kind") == "pull").select(
+                    "worker_partition", "param_id"
+                )
                 answers = ps.pull(pulls).select(
                     "worker_partition",
                     "param_id",
@@ -139,5 +175,9 @@ class FileQueueTransport:
 
     # -- worker side again --------------------------------------------------
     def answers(self, spark: SparkSession) -> DataFrame:
-        """Consume the server->worker topic (the PullAnswer stream)."""
+        """Consume the server->worker topic (the PullAnswer stream).
+        A push-only run writes no answers — that's an empty stream, not
+        a read error."""
+        if not os.path.isdir(self.s2w):
+            return spark.createDataFrame([], S2W_SCHEMA)
         return spark.read.parquet(self.s2w)

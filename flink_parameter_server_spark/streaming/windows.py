@@ -27,15 +27,25 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 def _events_schema(ts_type: str) -> StructType:
+    # three-way on the probed dtype, mirroring sources/tables.py: int64
+    # nanos (nanosAsLong read mode), UTC-adjusted micros ('timestamp'),
+    # or NTZ micros ('timestamp_ntz'). The parquet reader refuses to read
+    # an isAdjustedToUTC column as NTZ (and vice versa), so declaring the
+    # wrong flavor breaks the streaming path while batch still works.
+    if ts_type == "bigint":
+        ts_field = LongType()
+    elif ts_type == "timestamp":
+        ts_field = TimestampType()
+    else:
+        ts_field = TimestampNTZType()
     return StructType(
         [
             StructField("event_id", LongType()),
-            # int64 nanos (nanosAsLong read mode) or native timestamp,
-            # depending on how the fixture generator wrote the file
-            StructField("ts", LongType() if ts_type == "bigint" else TimestampNTZType()),
+            StructField("ts", ts_field),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),

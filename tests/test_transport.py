@@ -11,8 +11,6 @@ identically, final model dump identical.
 
 from __future__ import annotations
 
-import time
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -53,10 +51,10 @@ def test_file_queue_transport_matches_in_job_kernel(spark, topic_root):
     )
     warm_keys = _keys(spark, [1, 3, 5])
 
+    # no sleeps: send() stamps each file strictly after every existing
+    # topic file, so back-to-back sends arrive in send order
     tp.send(tp.pulls(cold_keys, worker_partition=0), "000_cold")
-    time.sleep(1.1)  # file-source arrival order is mtime-based
     tp.send(tp.pushes(deltas, worker_partition=1), "001_push")
-    time.sleep(1.1)
     tp.send(tp.pulls(warm_keys, worker_partition=1), "002_warm")
 
     server = tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
@@ -115,15 +113,56 @@ def test_transport_server_restart_resumes_from_checkpoint(spark, topic_root):
     server1 = tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
     model1 = _by_key(server1.params)
 
-    time.sleep(1.1)
     tp.send(tp.pushes(_deltas(spark, [(7, [0.5, 0.0])])), "001_b")
     # new server incarnation seeded with the previous model (A6
     # transformWithModelLoad composed with the transport), same checkpoint
     server2 = FileQueueTransport(topic_root).run_server(
-        spark, init_fn=_init, max_files_per_trigger=1
+        spark, init_fn=_init, max_files_per_trigger=1, params=server1.params
     )
-    # fresh state in server2 means the second run must NOT re-fold file a;
-    # its model reflects only file b on lazy init
     model2 = _by_key(server2.params)
     assert model1[7] == [4.5, 9.0]  # init(7)=[3.5,8.0] + [1.0,1.0]
-    assert model2[7] == [4.0, 8.0]  # init(7) + [0.5,0.0] only — offsets held
+    # seeded restart: prior model + file b ONLY — a re-fold of file a
+    # would read [6.0, 10.0]
+    assert model2[7] == [5.0, 9.0]
+
+
+def test_transport_unseeded_restart_is_model_fresh(spark, topic_root):
+    """Without a params seed the restart contract is offsets-held but
+    model-fresh: already-drained pushes are NOT re-folded and NOT
+    remembered. Run one incarnation, restart unseeded, push nothing new:
+    the model is pure lazy init."""
+    tp = FileQueueTransport(topic_root)
+    tp.send(tp.pushes(_deltas(spark, [(7, [1.0, 1.0])])), "000_a")
+    tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+
+    tp.send(tp.pushes(_deltas(spark, [(9, [0.5, 0.0])])), "001_b")
+    server2 = FileQueueTransport(topic_root).run_server(
+        spark, init_fn=_init, max_files_per_trigger=1
+    )
+    model2 = _by_key(server2.params)
+    assert 7 not in model2  # file a's key: neither re-folded nor carried
+    assert model2[9] == [5.0, 10.0]  # init(9)=[4.5,10.0] + [0.5,0.0]
+
+
+def test_push_only_run_has_empty_answer_stream(spark, topic_root):
+    """answers() on a topic whose server never saw a pull is an empty
+    DataFrame with the PullAnswer schema, not a path-missing error."""
+    tp = FileQueueTransport(topic_root)
+    tp.send(tp.pushes(_deltas(spark, [(1, [1.0, 1.0])])), "000_push")
+    tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    ans = tp.answers(spark)
+    assert ans.count() == 0
+    assert set(ans.columns) == {"worker_partition", "param_id", "value", "batch_id"}
+
+
+def test_send_order_is_deterministic_within_one_mtime_tick(spark, topic_root):
+    """Two back-to-back sends (far inside one filesystem mtime tick) must
+    arrive in send order: a pull sent AFTER a push for the same key sees
+    the post-fold value. Before send() stamped an explicit monotonic
+    mtime this order was filesystem-dependent."""
+    tp = FileQueueTransport(topic_root)
+    tp.send(tp.pushes(_deltas(spark, [(3, [1.0, -1.0])])), "000_push")
+    tp.send(tp.pulls(_keys(spark, [3])), "001_pull")
+    tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    got = _by_key(tp.answers(spark).select("param_id", "value"))
+    assert got[3] == [2.5, 3.0]  # init(3)=[1.5,4.0] + [1.0,-1.0]
