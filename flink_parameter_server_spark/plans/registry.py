@@ -34,6 +34,31 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round 2 hit with 82 entries). Adding an operator therefore means MERGING
 # it into an existing discriminated entry (see SURVEY.md §2's consolidation
 # mapping), not appending entry #51.
+#
+# HEADROOM protocol (the registry sits at exactly 50/50 — any new
+# @register raises at import):
+#
+# 1. MERGE, don't append. Pick the discriminated entry whose family the
+#    new operator belongs to and add it as a new discriminator value in
+#    BOTH fn and oracle. Established homes: new dedup/similarity method ->
+#    `dedup_near_dup_pairs` (`method` column); new sketch ->
+#    `ams_sketches` or `sketch_point_queries` (`sketch`); new ANN variant
+#    -> `embedding_ann_topk` (`method`); new text/quality/PII signal ->
+#    `text_profile` (new column, keep names oracle-aligned); new PA
+#    variant -> `pa_step_weights` (`variant`); new multi-epoch trainer ->
+#    `ps_train_epochs` (`family`, rows-only + equivalence test); new
+#    streaming sessionization/sink -> `streaming_sessions` /
+#    `streaming_agg_sinks` (`impl`/`sink`); new format ->
+#    `source_format_roundtrip` (`fmt`).
+# 2. REMOVING an entry to free a slot needs: (a) its operators re-homed
+#    into another entry per rule 1 with CORRECTNESS still green for the
+#    merged entry, (b) bench series continuity noted in BASELINE.md
+#    (medians are compared round-over-round by entry name), (c) the
+#    SURVEY.md §2 row updated to point at the new home. Never drop an
+#    operator family from driver coverage to make room.
+# 3. Column-name discipline on merge: the driver sorts columns by name
+#    and hashes values, so the Spark fn and the oracle SQL must alias
+#    every column identically (including the new discriminator value).
 MAX_ENTRIES = 50
 
 
