@@ -34,6 +34,39 @@ def test_tumbling_stream_matches_batch(spark):
     assert _rows(got) == _rows(batch)
 
 
+def test_stream_events_reads_utc_adjusted_micros_fixture(spark, tmp_path):
+    """Advisor r5: if a fixture regen writes ts as UTC-adjusted micros
+    (dtype 'timestamp' — the case load_table already handles), the
+    streaming schema must declare TimestampType: parquet refuses to read
+    an isAdjustedToUTC column under an NTZ declaration, so the blanket
+    NTZ mapping broke streaming while batch worked. Build such a fixture
+    and prove stream == batch over it."""
+    import glob
+    import shutil
+
+    src = t(spark, SF_SMALL, "events").limit(500)
+    stage = str(tmp_path / "stage")
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        src.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], sf_dir / "events.parquet")
+
+    assert dict(spark.read.parquet(str(sf_dir / "events.parquet")).dtypes)["ts"] == "timestamp"
+    got = run_to_memory(tumbling_daily_stream(spark, str(sf_dir)), "t_utc_micros")
+    batch = (
+        t(spark, str(sf_dir), "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(batch)
+
+
 def test_session_stream_matches_batch(spark):
     got = run_to_memory(session_windows_stream(spark, SF_SMALL), "t_session")
     batch = (
