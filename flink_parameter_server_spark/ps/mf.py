@@ -285,22 +285,25 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     pruned_users = users.join(theta, "user")
 
     # --- norm-band equi-join (the de-broadcast form of the theta scan) ---
-    # item-norm extrema as a driver-side 1-row dimension statistic (the
-    # pattern VERDICT blessed at ps/queries.py max_item): a tiny separate
-    # job over the item dimension, inlined as literals so the band
-    # expressions stay join-free
-    ilo_v, ihi_v = items.agg(F.min("inorm"), F.max("inorm")).first()
-    width_v = max((ihi_v - ilo_v) / NORM_BANDS, 1e-9)
-    ilo, width = F.lit(float(ilo_v)), F.lit(float(width_v))
-    items_b = (
-        items.withColumn(
-            "band",
-            F.least(
-                F.lit(NORM_BANDS - 1),
-                F.floor((F.col("inorm") - ilo) / width),
-            ).cast("int"),
-        )
-        .withColumn("salt", F.pmod(F.col("item"), F.lit(THETA_SALT)).cast("int"))
+    # Band boundaries are QUANTILES of inorm, not equal-width steps:
+    # equal-population buckets stay balanced under ANY norm distribution
+    # (equal-width bands collapse to one hot bucket exactly when norms
+    # skew — the catalogs where the norm bound bites most). approxQuantile
+    # is a distributed single-pass sketch; the <= NORM_BANDS-1 boundary
+    # values come back to the driver as literals (the 1-row dimension-
+    # statistic pattern VERDICT blessed at ps/queries.py max_item), so
+    # the band expressions stay join-free. Band of x = #boundaries < x —
+    # monotone in x, which is what the min_band superset argument needs.
+    bounds = items.approxQuantile(
+        "inorm", [i / NORM_BANDS for i in range(1, NORM_BANDS)], 0.001
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+
+    def band_of(col):
+        return F.size(F.filter(barr, lambda b: b < col)).cast("int")
+
+    items_b = items.withColumn("band", band_of(F.col("inorm"))).withColumn(
+        "salt", F.pmod(F.col("item"), F.lit(THETA_SALT)).cast("int")
     )
     # lowest item band that can satisfy unorm*inorm >= theta - 1e-6:
     # inorm >= (theta-1e-6)/unorm, and floor is monotone so every
@@ -313,12 +316,7 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
         pruned_users.withColumn(
             "min_band",
             F.when(F.col("theta") - F.lit(1e-6) <= 0, F.lit(0))
-            .otherwise(
-                F.greatest(
-                    F.lit(0),
-                    F.least(F.lit(NORM_BANDS), F.floor((min_inorm - ilo) / width)),
-                )
-            )
+            .otherwise(band_of(min_inorm))
             .cast("int"),
         )
         .where(F.col("min_band") < NORM_BANDS)
