@@ -71,3 +71,22 @@ def test_model_dump_load_roundtrip(spark):
         got = {r.param_id: r.value for r in ps2.params.collect()}
     assert got[7] == [8.5, 15.5]  # init(7,14) + (1,1) + (0.5,0.5)
     assert got[8] == [8.0, 17.0]  # lazy init after load
+
+
+def test_bidirectional_trainer_checkpoints_every_epoch(spark):
+    """Perf contract (r6): train_bidirectional's per-epoch plan references
+    the prior params in three places (two pulls + the merge join), so
+    without a per-epoch lineage cut the optimizer re-expands hundreds of
+    join subtrees (measured ~450 joins / 9.4s for 2 epochs at sf0.1;
+    ~2.9s with the cut). Pin both the cadence and its observable effect:
+    the final model's physical plan must read a checkpointed RDD scan,
+    not the full two-epoch join lineage."""
+    from flink_parameter_server_spark.ps import mf
+    from tests.conftest import SF_SMALL
+
+    ratings = mf.ratings(spark, SF_SMALL)
+    model = mf.train_bidirectional(spark, ratings, epochs=2)
+    plan = model._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # localCheckpoint-backed params
+    # the epoch joins are behind the checkpoint cut, not in this plan
+    assert plan.count("Join") == 0
