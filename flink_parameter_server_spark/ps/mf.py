@@ -237,12 +237,13 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     De-broadcast rehearsal (VERDICT r5 #2): NOTHING here broadcasts the
     user side any more. The seed join broadcasts only the SEED_M-row
     prefix (users stay distributed), and the theta scan is a norm-band
-    EQUI-join: items land in ``NORM_BANDS`` buckets over ``inorm``
-    (x ``THETA_SALT`` salts so the 16-key join space doesn't collapse to
-    16 reducers), each user explodes to exactly the bands that can
-    satisfy ``unorm * inorm >= theta`` (bands are a superset by floor
-    monotonicity; the exact Cauchy-Schwarz bound re-filters post-join,
-    so the banding is lossless). Both sides of every join are now
+    EQUI-join: items land in ``NORM_BANDS`` quantile buckets over
+    ``inorm`` (x ``THETA_SALT`` salts so the 16-key join space doesn't
+    collapse to 16 reducers), each user explodes to exactly the bands
+    that can satisfy ``unorm * inorm >= theta`` (bands are a superset
+    because band-of = count-of-boundaries-below is monotone; the exact
+    Cauchy-Schwarz bound re-filters post-join, so the banding is
+    lossless). Both sides of every join are now
     shuffle-partitioned — no BroadcastNestedLoopJoin, no unbounded
     broadcast — pinned by tests/test_plans.py
     (test_recommend_topk_debroadcast).
@@ -306,11 +307,12 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
         "salt", F.pmod(F.col("item"), F.lit(THETA_SALT)).cast("int")
     )
     # lowest item band that can satisfy unorm*inorm >= theta - 1e-6:
-    # inorm >= (theta-1e-6)/unorm, and floor is monotone so every
+    # inorm >= (theta-1e-6)/unorm, and band_of is monotone so every
     # qualifying item sits in band >= min_band. theta-1e-6 <= 0 means the
-    # bound holds vacuously (norms are non-negative) -> all bands;
-    # min_band == NORM_BANDS means even the top band can't reach theta ->
-    # the user matches nothing and is dropped before the join.
+    # bound holds vacuously (norms are non-negative) -> all bands. The
+    # min_band < NORM_BANDS guard is defensive: band_of tops out at
+    # NORM_BANDS-1, and theta is an achieved seed score so it never
+    # exceeds unorm * max(inorm) anyway.
     min_inorm = (F.col("theta") - F.lit(1e-6)) / F.greatest(F.col("unorm"), F.lit(1e-12))
     users_b = (
         pruned_users.withColumn(
