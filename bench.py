@@ -81,19 +81,27 @@ def main() -> None:
     # headline entries first (metric continuity), then the rest A->Z
     names = HEADLINE + sorted(n for n in REGISTRY if n not in HEADLINE)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, str] = {}
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     for rep in range(-warmup, reps):
         timed = rep >= 0
         for name in names:
             t0 = time.time()
-            n_rows = REGISTRY[name].fn(spark, sf_dir).count()
+            # one broken entry (e.g. a fixture-regen surprise) must not
+            # cost the round its other 49 numbers — record and move on
+            try:
+                n_rows = REGISTRY[name].fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             if timed:
                 samples[name].append(dt)
             tag = f"rep{rep}" if timed else "warmup"
             print(f"# {tag} {name}: {dt:.2f}s ({n_rows} rows)", file=sys.stderr)
 
-    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
 
     # Entries whose operator coverage is a SUPERSET of the r1/r2 headline
     # set (post-consolidation each merged query runs extra parts, so this
@@ -109,18 +117,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     compact = {
         "metric": "headline_query_set_wall_time",
-        "value": round(sum(medians[q] for q in HEADLINE), 3),
+        "value": round(sum(medians[q] for q in HEADLINE if q in medians), 3),
         "unit": "sec",
         "queries": medians,
         "full_registry_sec": round(sum(medians.values()), 3),
         "reps": reps,
         "warmup": warmup,
         "r2_comparable_superset_subtotal": round(
-            sum(medians[q] for q in r2_comparable), 3
+            sum(medians[q] for q in r2_comparable if q in medians), 3
         ),
         "sf": float(sf),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
+    if errors:
+        compact["errors"] = errors
 
     # Raw per-rep samples go to a side file, NOT the stdout line: r5's
     # inline samples made the line outgrow the driver's tail-capture
