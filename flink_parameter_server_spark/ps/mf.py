@@ -234,6 +234,15 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     prefix broadcast, scan side partitioned by item, theta filter
     map-side; skewed-norm catalogs make the norm bound itself bite.
 
+    Measured cost contract (BASELINE.md third-decade rehearsal): when
+    the band cannot prune, the SCORING work is ~U x I dot products —
+    quadratic when both sides scale (wall exp 1.51 across sf0.1 -> ~sf1
+    on fixed cores). That work is exact-MIPS-inherent, not a plan
+    defect: the equi-join shape stays broadcast-free and skew-free, so
+    executors absorb it linearly. For catalog-scale retrieval use real
+    trained factors (norm skew is what LEMP exploits) or the sub-linear
+    ANN alternates in operators/similarity.py (IVF/LSH, exp 0.59).
+
     De-broadcast rehearsal (VERDICT r5 #2): NOTHING here broadcasts the
     user side any more. The seed join broadcasts only the SEED_M-row
     prefix (users stay distributed), and the theta scan is a norm-band
