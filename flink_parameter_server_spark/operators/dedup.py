@@ -406,25 +406,44 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 NGRAM_BAND = 30  # length-band width == the |n_chars| pairing tolerance
 
 
-def dedup_ngram_jaccard(spark, sf_dir, tha=None):
-    """Word-bigram Jaccard near-dup over hashed bigrams, blocked by
-    (source, length band).
+NGRAM_JT = 0.3  # bigram-Jaccard near-dup threshold
 
-    r3 plan upgrade: the length predicate |n_chars_a - n_chars_b| <= 30
-    is now driven through an EQUI-join on (source, band) with band =
-    n_chars div 30 — one side probes bands {b-1, b, b+1}, the exact
-    +-30 filter runs after the join. The r2 form put the abs() predicate
-    in the join condition, which hash-joins on source alone and
-    generates |source-block|^2 raw pairs (625k at sf0.1) before
-    filtering; banding bounds raw pairs to the 3-band neighborhood
-    (~3x the true 74k candidates). At 100 TB band sizes are the
-    data-controlled knob and the join stays an equi-join. Jaccard is
-    computed once pre-filter (the r2 expression was evaluated twice —
-    once in the WHERE, once in the SELECT). Token hashes come from the
-    SHARED token_hash_arrays relation (one distinct-vocab hash build for
-    minhash+simhash+ngram); integer gram hashes make the set ops cheap
-    in both engines. Oracle unchanged (same pair set, stated as the
-    range join)."""
+
+def dedup_ngram_jaccard(spark, sf_dir, tha=None, strategy: str = "band"):
+    """Word-bigram Jaccard near-dup over hashed bigrams; candidate
+    generation selectable, exact verification (source equality,
+    |n_chars| <= NGRAM_BAND, Jaccard >= NGRAM_JT) always the same, so
+    both strategies return the identical pair set (pinned by
+    tests/test_round2_ops.py::test_ngram_prefix_strategy_same_pairs)
+    and the range-join oracle is unchanged.
+
+    ``strategy='band'`` (default): equi-join on (source, n_chars div
+    NGRAM_BAND), probe side exploded to bands {b-1, b, b+1}, exact
+    +-NGRAM_BAND filter post-join (the r3 plan upgrade over the raw
+    abs() theta join, which generated |source-block|^2 pairs).
+
+    ``strategy='prefix'``: PREFIX FILTERING (AllPairs/PPJoin family —
+    Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06). Lossless: fix any
+    global total order on grams and index only each doc's first
+    ``|g| - ceil(t*|g|) + 1`` grams; for a pair with J >= t, the
+    smallest common gram has at most ``|a| - |a^b|`` predecessors in a
+    (everything before it is non-shared) and ``|a^b| >= ceil(t*|a|)``,
+    so it lies in BOTH prefixes and the (gram, source) equi-join finds
+    the pair. Ordering by ascending global df puts rare grams in
+    prefixes, so inverted lists track content collisions.
+
+    Which one scales is a VOCABULARY property, measured in the r6
+    third-decade rehearsal: banding's key has fixed cardinality, so its
+    raw-pair count grows quadratically with corpus size — on real
+    Zipfian text prefix filtering is the asymptotic winner (most grams
+    are rare). But THIS fixture's synthetic text has a ~1k-gram
+    vocabulary at sf0.1: even the rarest prefix grams carry
+    hundreds-of-docs inverted lists, candidates degenerate (455k vs
+    banding's ~74k) and banding wins at every measured scale (0.7 s vs
+    10.6 s at sf0.1; 7 s vs 25 s at ~sf1) — hence the default. Both
+    paths are keyed equi-joins with no unbounded broadcast; the df
+    table is one count aggregation, the per-doc ordering one keyed
+    reassembly."""
     if tha is None:
         tha = token_hash_arrays(spark, sf_dir)
     n = F.size("th")
@@ -445,33 +464,93 @@ def dedup_ngram_jaccard(spark, sf_dir, tha=None):
         .where(F.size("grams") > 0)
     )
     g = scratch(g)
-    probes = g.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("source").alias("src_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("grams").alias("grams_b"),
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("pband"),
-    )
-    cand = (
-        g.join(
-            probes,
-            (F.col("source") == F.col("src_b"))
-            & (F.col("band") == F.col("pband"))
-            & (F.col("doc_id") < F.col("doc_b")),
+
+    if strategy == "band":
+        probes = g.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("source").alias("src_b"),
+            F.col("n_chars").alias("nc_b"),
+            F.col("grams").alias("grams_b"),
+            F.explode(
+                F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+            ).alias("pband"),
         )
-        .where(F.abs(F.col("n_chars") - F.col("nc_b")) <= NGRAM_BAND)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            (
-                F.size(F.array_intersect("grams", "grams_b")).cast("double")
-                / F.size(F.array_union("grams", "grams_b"))
-            ).alias("jac"),
+        verified = (
+            g.join(
+                probes,
+                (F.col("source") == F.col("src_b"))
+                & (F.col("band") == F.col("pband"))
+                & (F.col("doc_id") < F.col("doc_b")),
+            )
+            .where(F.abs(F.col("n_chars") - F.col("nc_b")) <= NGRAM_BAND)
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                "doc_b",
+                (
+                    F.size(F.array_intersect("grams", "grams_b")).cast("double")
+                    / F.size(F.array_union("grams", "grams_b"))
+                ).alias("jac"),
+            )
         )
-    )
-    return cand.where(F.col("jac") >= 0.3).select(
+    elif strategy == "prefix":
+        flat = g.select("doc_id", "source", F.explode("grams").alias("gram"))
+        df_tab = flat.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        # per-doc grams ordered by (global df asc, gram): the df join
+        # shuffles by gram, the reassembly by doc_id — the same
+        # exchange pattern as the shared token build
+        ordered = (
+            flat.join(df_tab, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "gram"))),
+                    lambda s: s["gram"],
+                ).alias("og"),
+                F.first("source").alias("source"),
+            )
+        )
+        plen = (F.size("og") - F.ceil(F.lit(NGRAM_JT) * F.size("og")) + 1).cast(
+            "int"
+        )
+        inv = ordered.select(
+            "doc_id", "source", F.explode(F.slice("og", F.lit(1), plen)).alias("gram")
+        )
+        cand = (
+            inv.alias("a")
+            .join(
+                inv.alias("b"),
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        ga = g.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("nc_a"), "grams"
+        )
+        gb = g.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_chars").alias("nc_b"),
+            F.col("grams").alias("grams_b"),
+        )
+        verified = (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .where(F.abs(F.col("nc_a") - F.col("nc_b")) <= NGRAM_BAND)
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("grams", "grams_b")).cast("double")
+                    / F.size(F.array_union("grams", "grams_b"))
+                ).alias("jac"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown ngram candidate strategy {strategy!r}")
+
+    return verified.where(F.col("jac") >= NGRAM_JT).select(
         F.lit("ngram_jaccard").alias("method"),
         "doc_a",
         "doc_b",

@@ -259,3 +259,22 @@ def test_star_cc_empty_and_trivial_graphs(spark):
     one = spark.createDataFrame([(9, 4)], "a long, b long")
     parents, _ = star_connected_components(one, max_rounds=4, probe_every=1)
     assert {(r.a, r.b) for r in parents.collect()} == {(9, 4)}
+
+
+def test_ngram_prefix_strategy_same_pairs(spark):
+    """The prefix-filter candidate strategy (AllPairs/PPJoin) must be
+    LOSSLESS vs the banded default: identical (doc_a, doc_b, score)
+    multisets at sf0.001 and sf0.01 (same exact verification, different
+    candidate generation — see dedup_ngram_jaccard's docstring for the
+    prefix theorem and the measured vocabulary-density trade)."""
+    from flink_parameter_server_spark import scratch
+    from flink_parameter_server_spark.operators.dedup import dedup_ngram_jaccard
+
+    for sf in (SF_SMALL, SF_SMALL.replace("0.001", "0.01")):
+        scratch.release()
+        band = {tuple(r) for r in dedup_ngram_jaccard(spark, sf).collect()}
+        scratch.release()
+        pref = {
+            tuple(r) for r in dedup_ngram_jaccard(spark, sf, strategy="prefix").collect()
+        }
+        assert band == pref and band, (sf, len(band), len(pref))
