@@ -324,7 +324,18 @@ def dedup_simhash(spark, sf_dir, sh=None):
     prime so distinctness is preserved); candidate blocking on 4-bit
     chunks (pigeonhole: hamming<=3 pairs share an exact chunk), verify
     by XOR popcount. Score = hamming distance (as double, to align with
-    the similarity scores of the sibling methods)."""
+    the similarity scores of the sibling methods).
+
+    Scale note (same fixed-key-cardinality analysis as the ngram
+    strategies): the chunk bucket space is 4 x 2^4 here — per-bucket
+    membership grows linearly with the corpus, so raw candidates grow
+    quadratically at extreme scale. The production knob is signature /
+    chunk WIDTH (64-bit simhash with 4 x 16-bit chunks = 4 x 65536
+    buckets, the classic Google-crawl configuration), which this plan
+    shape accommodates by changing SIMHASH_BITS/chunk constants only;
+    16-bit is sized to this fixture's tiny vocabulary, where wider
+    signatures would leave every bucket a singleton and the oracle
+    pair set empty."""
     if sh is None:
         sh = hashed_shingles(spark, sf_dir)
     hs = sh.select("doc_id", F.explode("shingles").alias("x")).select(
