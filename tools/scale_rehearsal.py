@@ -117,10 +117,17 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
 
 def generate(out: str) -> None:
     spark = get_spark("scale-rehearsal-gen")
+    import os as _os
+    import shutil as _shutil
+
+    _os.makedirs(out, exist_ok=True)
     for table in SHARED_DIMS:
-        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode("overwrite").parquet(
-            f"{out}/{table}.parquet"
-        )
+        # shared dims copy through verbatim (source fixtures are bare
+        # single-file parquet — keep that layout, see below)
+        dest = f"{out}/{table}.parquet"
+        if _os.path.isdir(dest):
+            _shutil.rmtree(dest)
+        _shutil.copyfile(f"{SRC}/{table}.parquet", dest)
         print(f"{table}: shared dim copied", flush=True)
     for table, _keys in KEY_COLS.items():
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -128,7 +135,27 @@ def generate(out: str) -> None:
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
-        full.repartition(32).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        # Driver fixture layout is ONE bare parquet FILE per table
+        # (TESTDATA.md), and the streaming source's
+        # pathGlobFilter("events.parquet") contract depends on that — a
+        # part-file directory streams zero rows. Write single-part, then
+        # move the part file into place as a plain file. Batch entries
+        # repartition after the scan, so single-file input does not
+        # serialize their hot stages.
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        tmpdir = f"{out}/_tmp_{table}"
+        full.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        [part] = _glob.glob(f"{tmpdir}/part-*.parquet")
+        dest = f"{out}/{table}.parquet"
+        if _os.path.isdir(dest):
+            _shutil.rmtree(dest)
+        elif _os.path.exists(dest):
+            _os.remove(dest)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmpdir)
         n = spark.read.parquet(f"{out}/{table}.parquet").count()
         print(f"{table}: {n} rows", flush=True)
 
