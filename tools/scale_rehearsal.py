@@ -115,8 +115,8 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
     return df
 
 
-def generate(out: str) -> None:
-    spark = get_spark("scale-rehearsal-gen")
+def generate(out: str, src: str = SRC, replicas: int = REPLICAS, spark=None) -> None:
+    spark = spark or get_spark("scale-rehearsal-gen")
     import os as _os
     import shutil as _shutil
 
@@ -127,11 +127,11 @@ def generate(out: str) -> None:
         dest = f"{out}/{table}.parquet"
         if _os.path.isdir(dest):
             _shutil.rmtree(dest)
-        _shutil.copyfile(f"{SRC}/{table}.parquet", dest)
+        _shutil.copyfile(f"{src}/{table}.parquet", dest)
         print(f"{table}: shared dim copied", flush=True)
     for table, _keys in KEY_COLS.items():
-        base = spark.read.parquet(f"{SRC}/{table}.parquet")
-        parts = [_replica(base, table, i) for i in range(REPLICAS)]
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        parts = [_replica(base, table, i) for i in range(replicas)]
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
@@ -183,7 +183,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, reps = OUT, 3
+    out, reps, src, replicas = OUT, 3, SRC, REPLICAS
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -191,10 +191,14 @@ def main() -> int:
             out = args.pop(0)
         elif a == "--reps":
             reps = int(args.pop(0))
+        elif a == "--src":
+            src = args.pop(0)
+        elif a == "--replicas":
+            replicas = int(args.pop(0))
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out)
+        generate(out, src=src, replicas=replicas)
     else:
         run(out, reps, names or CURVE_ENTRIES)
     return 0
