@@ -41,10 +41,18 @@ def _fast_cosine(a, b, na, nb):
 
 
 def _with_norm(df, vec_col: str, out: str):
-    # NOTE: no repartition here — the embeddings table is small enough
-    # that an extra exchange per method part costs more than the extra
-    # parallelism buys (measured +1s at sf0.1); at real scale the scan
-    # splits naturally
+    # Parallelism guard (r6 third-decade rehearsal finding): every
+    # consumer of this table drives a compute-heavy pair stage with NO
+    # intervening shuffle on the big side — the brute top-k most of all,
+    # a BroadcastHashJoin whose stream side inherits the SCAN
+    # partitioning. A small single-file embeddings fixture arrives as
+    # ONE partition, so the whole cosine loop ran in one task: measured
+    # 173 s at ~sf1 (20k vectors) vs ~15 s redistributed. Repartition
+    # only when the scan is actually under-split (explicit numPartitions
+    # is AQE-coalesce-exempt); at real scale the scan splits naturally
+    # and this branch never fires.
+    if df.rdd.getNumPartitions() < 16:
+        df = df.repartition(32)
     return df.withColumn(out, F.sqrt(norm2(as_double(F.col(vec_col)))))
 
 
