@@ -388,7 +388,7 @@ _NEG_CAND_SQL = f"""
   FROM (
     SELECT u."user" AS "user", d.j AS j,
            {int_hash2_sql('u."user"', 'd.j', seed=3)}
-             % (SELECT max(p_partkey) FROM part) + 1 AS idx
+             % coalesce(greatest((SELECT max(p_partkey) FROM part), 1), 1) + 1 AS idx
     FROM (SELECT c_custkey AS "user" FROM customer WHERE c_custkey % 50 = 0) u
     CROSS JOIN (SELECT unnest(range(0, {NEG_DRAWS})) AS j) d
   ) dr JOIN part p ON p.p_partkey = dr.idx
@@ -458,7 +458,11 @@ def mf_negative_samples(spark, sf_dir):
     # convergence probe): at any scale max(key) over the item dim is one
     # cheap agg, and inlining it as a literal keeps the draw fan-out a pure
     # map (no scalar join for Catalyst to degrade into a nested loop).
-    max_item = items.agg(F.max("item")).first()[0]
+    # Clamp to >= 1: an empty item dim (None) or a key domain collapsed to
+    # {0} (a quality gate can do both at scale) would otherwise make the
+    # draw mod a remainder-by-zero crash; with base 1 every draw lands on
+    # idx 1 and drops out of the inner join -> zero candidates, not a crash.
+    max_item = items.agg(F.max("item")).first()[0] or 1
     draws = (
         users.select(
             "user",

@@ -1,0 +1,67 @@
+"""Degenerate-input regression tests (r6 probe findings).
+
+tools/degenerate_probe.py runs the FULL registry against empty / 1-row
+slices of the driver fixtures; the r6 sweep found exactly one crash
+class — the negative-sampling draw mod hitting a zero/empty item-key
+domain (ps/queries.py max_item). These tests pin that fix plus an
+empty-tables smoke over a structurally diverse entry subset, cheap
+enough for the suite; the full 50-entry sweep stays in the tool.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from flink_parameter_server_spark.plans import REGISTRY  # noqa: E402
+from tools import degenerate_probe as dp  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# one entry per structural family: scan+agg, broadcast join, seeded-draw
+# sampling, banded near-dup, bucketed ANN, as-of window, driver-loop trainer
+SMOKE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "mf_negative_samples",
+    "dedup_near_dup_pairs",
+    "embedding_ann_topk",
+    "purchase_last_click_asof",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "one")
+    dp.generate(out, rows=1, src=SF_SMALL, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "empty")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark)
+    return out
+
+
+def test_negative_sampling_survives_degenerate_item_domain(spark, one_row_dir):
+    # fixture part keys start at 0, so a 1-row slice gives max(p_partkey)=0:
+    # pre-fix the draw mod crashed with REMAINDER_BY_ZERO; post-fix the mod
+    # base clamps to 1 and every draw drops out of the item join
+    n = REGISTRY["mf_negative_samples"].fn(spark, one_row_dir).count()
+    assert n == 0
+
+
+def test_trainers_survive_degenerate_item_domain(spark, one_row_dir):
+    # ps_train_epochs feeds the same draw build (mf_neg family) — the same
+    # crash pre-fix; post-fix it trains on positives with zero negatives
+    n = REGISTRY["ps_train_epochs"].fn(spark, one_row_dir).count()
+    assert n > 0  # factor rows for the 1-row positives still materialize
+
+
+def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
+    for name in SMOKE:
+        n = REGISTRY[name].fn(spark, empty_dir).count()
+        assert n == 0, name

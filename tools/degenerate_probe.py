@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Degenerate-input probe: run every registry entry on empty / tiny tables.
+
+At 100 TB a filter, a partition-pruned scan, or an upstream quality gate
+routinely hands an operator ZERO rows (or one row) — a plan that throws
+on an empty intermediate is a real production bug even if every sf0.1
+fixture row exercises it fine. This tool slices the driver's own
+sf0.001 fixtures (never hand-rolled rows) down to N rows per table
+(N=0: empty-with-schema; N=1: single row with broken FK selectivity),
+preserves the driver's bare-single-file parquet layout that the
+streaming sources' pathGlobFilter contract depends on, and runs EVERY
+registry entry against the result, recording completed/rows vs raised.
+
+Usage:
+  python tools/degenerate_probe.py gen [--rows 0] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py run [--out ...] [entry ...]
+
+`run` prints one JSON line:
+  {"rows_per_table": N, "ok": {name: rowcount}, "failed": {name: "ExcType: msg"}}
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+from flink_parameter_server_spark import scratch
+from flink_parameter_server_spark.plans import REGISTRY
+from flink_parameter_server_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.001"
+OUT = "/tmp/sparkgraft_empty"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def generate(out: str, rows: int, src: str = SRC, spark=None) -> None:
+    spark = spark or get_spark("degenerate-probe-gen")
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        sliced = spark.read.parquet(f"{src}/{table}.parquet").limit(rows)
+        tmpdir = f"{out}/_tmp_{table}"
+        sliced.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        [part] = glob.glob(f"{tmpdir}/part-*.parquet")
+        dest = f"{out}/{table}.parquet"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        elif os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(part, dest)
+        shutil.rmtree(tmpdir)
+        print(f"{table}: {rows} rows", flush=True)
+    with open(f"{out}/_rows_per_table", "w") as f:
+        f.write(str(rows))
+
+
+def run(out: str, names: list[str]) -> None:
+    spark = get_spark("degenerate-probe-run")
+    with open(f"{out}/_rows_per_table") as f:
+        rows = int(f.read())
+    ok: dict[str, int] = {}
+    failed: dict[str, str] = {}
+    for name in names:
+        scratch.release()
+        try:
+            n = REGISTRY[name].fn(spark, out).count()
+            ok[name] = n
+            print(f"# {name}: ok ({n} rows)", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — probe records, never masks
+            failed[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr, flush=True)
+            traceback.print_exc(limit=3, file=sys.stderr)
+    print(json.dumps({"rows_per_table": rows, "ok": ok, "failed": failed}))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args or args[0] not in ("gen", "run"):
+        print(__doc__)
+        return 2
+    cmd, args = args[0], args[1:]
+    out, rows, src = OUT, 0, SRC
+    names: list[str] = []
+    while args:
+        a = args.pop(0)
+        if a == "--out":
+            out = args.pop(0)
+        elif a == "--rows":
+            rows = int(args.pop(0))
+        elif a == "--src":
+            src = args.pop(0)
+        else:
+            names.append(a)
+    if cmd == "gen":
+        generate(out, rows, src=src)
+    else:
+        run(out, names or sorted(REGISTRY))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
