@@ -41,7 +41,10 @@ _OUT_SCHEMA = (
 def media_table(spark, sf_dir: str) -> DataFrame:
     """Synthesize the binary media table: payload = utf-8 bytes of text,
     metadata derived from n_chars (stands in for a real image table)."""
-    d = t(spark, sf_dir, "documents")
+    # extraction-failed rows (null payload) carry nothing to decode and
+    # would crash the byte-math UDFs — drop them at the scan (predicate
+    # pushes down; both oracle SQLs mirror the filter)
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.lit("image/fake").alias("media_type"),
@@ -73,6 +76,7 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = pdf[pdf["content"].notna()]  # skip extraction-failed rows
             feats = pdf["content"].map(_fake_decode)
             out = pd.DataFrame(
                 {
@@ -111,6 +115,8 @@ def frame_sample(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = {"doc_id": [], "frame_idx": [], "byte_off": [], "frame_bytes": [], "checksum": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:  # extraction-failed row: no frames
+                    continue
                 n = len(content)
                 nframes = (n + FRAME_BYTES - 1) // FRAME_BYTES
                 for f in range(0, nframes, FRAME_STRIDE):
@@ -132,7 +138,7 @@ WITH codes AS (
   SELECT doc_id,
          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                         c -> CAST(ascii(c) AS BIGINT)) AS cs
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 fr AS (
   SELECT doc_id, cs,
@@ -156,7 +162,7 @@ WITH codes AS (
          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                         c -> CAST(ascii(c) AS BIGINT)) AS cs,
          n_chars
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT 'features' AS part, doc_id, 'image/fake' AS media_type,
        CAST(len(cs) AS BIGINT) AS n1,

@@ -38,7 +38,12 @@ C = 1.0  # PA-I aggressiveness cap
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # extraction-failed rows (null embedding/label) carry no trainable
+    # signal and crash np.stack in the sequential stateful trainer — drop
+    # them at the scan (predicate pushes down; PA_INST_SQL mirrors it)
+    emb = t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     return emb.select(
         F.col("vec_id").alias("row_id"),
         F.when(F.col("label") < 5, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("y"),

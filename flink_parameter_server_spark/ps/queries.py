@@ -607,7 +607,8 @@ def ps_train_epochs(spark, sf_dir):
 
 PA_INST_SQL = (
     "SELECT vec_id AS row_id, CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y, "
-    "embedding AS x FROM embeddings"
+    "embedding AS x FROM embeddings "
+    "WHERE embedding IS NOT NULL AND label IS NOT NULL"
 )
 
 
@@ -663,7 +664,8 @@ def pa_predict_binary(spark, sf_dir):
 UNION ALL
 SELECT * FROM (
 SELECT 'mc' AS variant, * FROM (
-WITH inst AS (SELECT vec_id AS row_id, CAST(label AS BIGINT) AS label, embedding AS x FROM embeddings),
+WITH inst AS (SELECT vec_id AS row_id, CAST(label AS BIGINT) AS label, embedding AS x
+              FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
 scores AS (
   SELECT row_id, label, x, c,
          {dot_sql('x', f"list_transform(range(0, {pa.N_FEATURES}), f -> {CW0_SQL('c', 'f')})")} AS score

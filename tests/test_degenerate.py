@@ -61,6 +61,29 @@ def test_trainers_survive_degenerate_item_domain(spark, one_row_dir):
     assert n > 0  # factor rows for the 1-row positives still materialize
 
 
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "nulls")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, nulls=True)
+    return out
+
+
+def test_multimodal_skips_null_payloads(spark, nulls_dir):
+    # pre-fix: len(None) in the frame/decode UDF batches crashed the
+    # Python worker; post-fix null-payload rows drop at the scan AND in
+    # the UDF batches, so only rows with a payload produce output
+    df = REGISTRY["multimodal_pipeline"].fn(spark, nulls_dir)
+    assert df.where("doc_id % 2 = 0").count() == 0  # nulled parity class gone
+    assert df.count() > 0
+
+
+def test_sequential_trainer_skips_null_instances(spark, nulls_dir):
+    # pre-fix: np.stack over a column with null embeddings crashed the
+    # stateful stream; post-fix null instances drop in pa.instances
+    n = REGISTRY["online_ps_sequential"].fn(spark, nulls_dir).count()
+    assert n > 0
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()

@@ -11,8 +11,14 @@ preserves the driver's bare-single-file parquet layout that the
 streaming sources' pathGlobFilter contract depends on, and runs EVERY
 registry entry against the result, recording completed/rows vs raised.
 
+A second mode injects NULLs instead of shrinking: ``gen --nulls`` keeps
+every sf0.001 row but nulls out the free-form payload columns
+(documents.text, embeddings.embedding, events.props, part.p_name) on
+half the rows by key parity — the shape a 100 TB lake actually has
+after upstream extraction partially fails.
+
 Usage:
-  python tools/degenerate_probe.py gen [--rows 0] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py gen [--rows 0 | --nulls] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
 
 `run` prints one JSON line:
@@ -50,11 +56,30 @@ TABLES = [
 ]
 
 
-def generate(out: str, rows: int, src: str = SRC, spark=None) -> None:
+# (table, payload column, key column for the parity split)
+NULL_SITES = {
+    "documents": ("text", "doc_id"),
+    "embeddings": ("embedding", "vec_id"),
+    "events": ("props", "event_id"),
+    "part": ("p_name", "p_partkey"),
+}
+
+
+def generate(out: str, rows: int, src: str = SRC, spark=None, nulls: bool = False) -> None:
+    from pyspark.sql import functions as F
+
     spark = spark or get_spark("degenerate-probe-gen")
     os.makedirs(out, exist_ok=True)
     for table in TABLES:
-        sliced = spark.read.parquet(f"{src}/{table}.parquet").limit(rows)
+        sliced = spark.read.parquet(f"{src}/{table}.parquet")
+        if nulls:
+            if table in NULL_SITES:
+                col, key = NULL_SITES[table]
+                sliced = sliced.withColumn(
+                    col, F.when(F.col(key) % 2 == 0, F.lit(None)).otherwise(F.col(col))
+                )
+        else:
+            sliced = sliced.limit(rows)
         tmpdir = f"{out}/_tmp_{table}"
         sliced.coalesce(1).write.mode("overwrite").parquet(tmpdir)
         [part] = glob.glob(f"{tmpdir}/part-*.parquet")
@@ -65,15 +90,15 @@ def generate(out: str, rows: int, src: str = SRC, spark=None) -> None:
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        print(f"{table}: {rows} rows", flush=True)
+        print(f"{table}: {'nulls' if nulls else rows}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write(str(rows))
+        f.write("nulls" if nulls else str(rows))
 
 
 def run(out: str, names: list[str]) -> None:
     spark = get_spark("degenerate-probe-run")
     with open(f"{out}/_rows_per_table") as f:
-        rows = int(f.read())
+        rows = f.read()
     ok: dict[str, int] = {}
     failed: dict[str, str] = {}
     for name in names:
@@ -95,7 +120,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src = OUT, 0, SRC
+    out, rows, src, nulls = OUT, 0, SRC, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -103,12 +128,14 @@ def main() -> int:
             out = args.pop(0)
         elif a == "--rows":
             rows = int(args.pop(0))
+        elif a == "--nulls":
+            nulls = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src)
+        generate(out, rows, src=src, nulls=nulls)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
