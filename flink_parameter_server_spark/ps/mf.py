@@ -204,7 +204,15 @@ def _fanout(left: DataFrame, lkey: str, bounded: DataFrame, rkey: str) -> DataFr
     )
 
 
-def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_stride: int = 50) -> DataFrame:
+def topk_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k_rec: int = 5,
+    user_stride: int = 50,
+    user_factors: DataFrame | None = None,
+    item_factors: DataFrame | None = None,
+    keep_bound_pairs: bool = False,
+) -> DataFrame:
     """B5: pruned pre-window candidate set for factor-scored top-K per
     (sampled) user over all items — LEMP-style lossless pruning
     (reference:
@@ -256,6 +264,15 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     shuffle-partitioned — no BroadcastNestedLoopJoin, no unbounded
     broadcast — pinned by tests/test_plans.py
     (test_recommend_topk_debroadcast).
+
+    ``user_factors``/``item_factors`` (schema ``(id, vec)``) swap the
+    deterministic hash-init factors for externally trained ones — the
+    catalog shape LEMP is built for (tools/lemp_rehearsal.py measures
+    the bound's pruning power on trained vs hash-init factors; the
+    registry entry always uses the default hash-init build).
+    ``keep_bound_pairs=True`` returns the scored frame BEFORE the final
+    ``score >= theta`` filter, i.e. exactly the pairs whose dot product
+    had to be computed — the rehearsal's cost metric.
     """
     # materialize factor vectors + norms ONCE per row: 16 hash evals per
     # (user|item) row instead of per scored pair — the pair loop is then a
@@ -263,21 +280,31 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
     # repartition: customer is one parquet split, and since the r6
     # de-broadcast users are the STREAM side of both scoring joins — left
     # in one partition every dot product would run in a single task
-    users = (
-        t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") % user_stride == 0)
-        .repartition(32)
-        .select(F.col("c_custkey").alias("user"), user_vec("c_custkey").alias("uv"))
-        .withColumn("unorm", F.sqrt(vectors.dot_fixed(F.col("uv"), F.col("uv"), K)))
-    )
+    if user_factors is None:
+        users = (
+            t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % user_stride == 0)
+            .repartition(32)
+            .select(F.col("c_custkey").alias("user"), user_vec("c_custkey").alias("uv"))
+        )
+    else:
+        users = user_factors.select(
+            F.col("id").alias("user"), F.col("vec").alias("uv")
+        ).repartition(32)
+    users = users.withColumn("unorm", F.sqrt(vectors.dot_fixed(F.col("uv"), F.col("uv"), K)))
     # repartition: the part table is one parquet split; without this the
     # whole pair loop runs in a single task
-    items = (
-        t(spark, sf_dir, "part")
-        .repartition(32)
-        .select(F.col("p_partkey").alias("item"), item_vec("p_partkey").alias("iv"))
-        .withColumn("inorm", F.sqrt(vectors.dot_fixed(F.col("iv"), F.col("iv"), K)))
-    )
+    if item_factors is None:
+        items = (
+            t(spark, sf_dir, "part")
+            .repartition(32)
+            .select(F.col("p_partkey").alias("item"), item_vec("p_partkey").alias("iv"))
+        )
+    else:
+        items = item_factors.select(
+            F.col("id").alias("item"), F.col("vec").alias("iv")
+        ).repartition(32)
+    items = items.withColumn("inorm", F.sqrt(vectors.dot_fixed(F.col("iv"), F.col("iv"), K)))
     prefix = items.orderBy(F.col("inorm").desc(), F.col("item")).limit(SEED_M)
     # users stay DISTRIBUTED; only the bounded SEED_M-row prefix is
     # broadcast (the r5-era F.broadcast(users) was unnecessary here and
@@ -351,9 +378,10 @@ def topk_candidates(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_strid
             F.round(vectors.dot_fixed(F.col("uv"), F.col("iv"), K), 6).alias("score"),
             "theta",
         )
-        .where(F.col("score") >= F.col("theta"))
     )
-    return scored
+    if keep_bound_pairs:
+        return scored
+    return scored.where(F.col("score") >= F.col("theta"))
 
 
 def recommend_topk(spark: SparkSession, sf_dir: str, k_rec: int = 5, user_stride: int = 50) -> DataFrame:

@@ -105,3 +105,53 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_external_factors_lossless(spark):
+    """The parameterized topk path (trained/external factor tables,
+    tools/lemp_rehearsal.py) must stay LOSSLESS: for every user the
+    candidate set after seed-theta + norm-band + Cauchy-Schwarz pruning
+    contains the exact brute-force top-k, regardless of the factor
+    distribution. Factors here are the repo's own hash-init vectors
+    re-fed through the external (id, vec) interface with a norm-skewing
+    per-id scale derived from the key, so the band boundaries are
+    exercised on a skewed distribution like the trained rehearsal's."""
+    from flink_parameter_server_spark.functions import vectors
+    from flink_parameter_server_spark.ps import mf
+
+    k_rec = 5
+    users = (
+        t(spark, SF_SMALL, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.transform(
+                mf.user_vec("c_custkey"), lambda v: v * (1 + F.pmod("c_custkey", F.lit(7)))
+            ).alias("vec"),
+        )
+    )
+    items = t(spark, SF_SMALL, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.transform(
+            mf.item_vec("p_partkey"), lambda v: v * (1 + F.pmod("p_partkey", F.lit(5)))
+        ).alias("vec"),
+    )
+    cand = mf.topk_candidates(spark, SF_SMALL, k_rec=k_rec, user_factors=users, item_factors=items)
+    got = {(r["user"], r["item"]) for r in cand.collect()}
+
+    # brute force: score every pair, window top-k per user
+    from pyspark.sql import Window
+
+    brute = (
+        users.select(F.col("id").alias("user"), F.col("vec").alias("uv"))
+        .crossJoin(items.select(F.col("id").alias("item"), F.col("vec").alias("iv")))
+        .select(
+            "user",
+            "item",
+            F.round(vectors.dot_fixed(F.col("uv"), F.col("iv"), mf.K), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
+    top = brute.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k_rec)
+    for r in top.collect():
+        assert (r["user"], r["item"]) in got, (r["user"], r["item"], r["score"])
