@@ -47,12 +47,18 @@ def poly_hash(col: Column, seed: int) -> Column:
 
 
 def poly_hash_sql(expr: str, seed: int) -> str:
-    """DuckDB twin of :func:`poly_hash` (identical fold order + arithmetic)."""
+    """DuckDB twin of :func:`poly_hash` (identical fold order + arithmetic).
+
+    The CASE guard keeps null-in-null-out parity with Spark: on a NULL
+    input DuckDB's ``list_prepend(seed, NULL)`` yields ``[seed]`` so the
+    bare fold would return the seed, while Spark's ``aggregate`` over a
+    NULL array returns NULL (found by the r6 null-injection sweep)."""
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
         f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
         f"c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+        f"(acc, x) -> (acc * 31 + x) % {MOD}) END"
     )
 
 

@@ -84,6 +84,23 @@ def test_sequential_trainer_skips_null_instances(spark, nulls_dir):
     assert n > 0
 
 
+def test_text_profile_oracle_parity_on_null_text(spark, nulls_dir):
+    # the full-text polynomial hash diverged on NULL text (DuckDB's
+    # list_prepend(seed, NULL) -> [seed] folds to the seed; Spark's
+    # aggregate over NULL -> NULL) — poly_hash_sql now guards with a
+    # CASE so both engines agree null-in-null-out
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, nulls_dir)
+    spec = REGISTRY["text_profile"]
+    ok, msg = compare(spec.fn(spark, nulls_dir), con, spec.oracle)
+    assert ok, msg
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()
