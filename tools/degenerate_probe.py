@@ -17,6 +17,14 @@ every sf0.001 row but nulls out the free-form payload columns
 half the rows by key parity — the shape a 100 TB lake actually has
 after upstream extraction partially fails.
 
+A third mode injects extreme key skew: ``gen --skew`` remaps a third of
+orders.o_custkey / events.user_id / lineitem.l_partkey rows (selected
+by primary-key mod 3) onto ONE existing hot key — the whale-customer /
+bot-user / staple-item shape that breaks naive keyed shuffles at scale.
+Run it against the sf0.1 source and verify with
+``selfcheck.py --sf <out>`` so the DuckDB oracle replays the SAME
+skewed data (parity check, not just completion).
+
 Usage:
   python tools/degenerate_probe.py gen [--rows 0 | --nulls] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
@@ -64,8 +72,19 @@ NULL_SITES = {
     "part": ("p_name", "p_partkey"),
 }
 
+# (table, skewed FK column, row-selector primary key); the hot value is
+# min(col) over the source so every remapped row still references an
+# existing dimension key
+SKEW_SITES = {
+    "orders": ("o_custkey", "o_orderkey"),
+    "events": ("user_id", "event_id"),
+    "lineitem": ("l_partkey", "l_orderkey"),
+}
 
-def generate(out: str, rows: int, src: str = SRC, spark=None, nulls: bool = False) -> None:
+
+def generate(
+    out: str, rows: int, src: str = SRC, spark=None, nulls: bool = False, skew: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     spark = spark or get_spark("degenerate-probe-gen")
@@ -77,6 +96,13 @@ def generate(out: str, rows: int, src: str = SRC, spark=None, nulls: bool = Fals
                 col, key = NULL_SITES[table]
                 sliced = sliced.withColumn(
                     col, F.when(F.col(key) % 2 == 0, F.lit(None)).otherwise(F.col(col))
+                )
+        elif skew:
+            if table in SKEW_SITES:
+                col, key = SKEW_SITES[table]
+                hot = sliced.agg(F.min(col)).first()[0]
+                sliced = sliced.withColumn(
+                    col, F.when(F.col(key) % 3 == 0, F.lit(hot)).otherwise(F.col(col))
                 )
         else:
             sliced = sliced.limit(rows)
@@ -90,9 +116,9 @@ def generate(out: str, rows: int, src: str = SRC, spark=None, nulls: bool = Fals
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        print(f"{table}: {'nulls' if nulls else rows}", flush=True)
+        print(f"{table}: {'nulls' if nulls else ('skew' if skew else rows)}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write("nulls" if nulls else str(rows))
+        f.write("nulls" if nulls else ("skew" if skew else str(rows)))
 
 
 def run(out: str, names: list[str]) -> None:
@@ -120,7 +146,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src, nulls = OUT, 0, SRC, False
+    out, rows, src, nulls, skew = OUT, 0, SRC, False, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -130,12 +156,14 @@ def main() -> int:
             rows = int(args.pop(0))
         elif a == "--nulls":
             nulls = True
+        elif a == "--skew":
+            skew = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src, nulls=nulls)
+        generate(out, rows, src=src, nulls=nulls, skew=skew)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
