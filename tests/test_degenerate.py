@@ -101,6 +101,32 @@ def test_text_profile_oracle_parity_on_null_text(spark, nulls_dir):
     assert ok, msg
 
 
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "skew")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, skew=True)
+    return out
+
+
+def test_skewed_keys_keep_oracle_parity(spark, skew_dir):
+    # a third of orders/events/lineitem rows remapped onto one hot key
+    # (whale customer / bot user / staple item) — keyed aggs, windows,
+    # and sessionization must produce the same values DuckDB does on the
+    # same skewed tables (the sf0.1 sweep lives in BASELINE.md; this is
+    # the cheap suite pin)
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, skew_dir)
+    for name in ("copurchase_recommend_top5", "events_session_windows", "skew_salted_agg"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, skew_dir), con, spec.oracle)
+        assert ok, (name, msg)
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()
