@@ -133,11 +133,28 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(batches, schema=_FRAME_SCHEMA)
 
 
+# UTF-8 encoder in SQL: codepoint list -> byte list. The Spark side is
+# byte-true (payload = encode(text, 'utf-8'), decode sums BYTES), so the
+# oracle must model bytes too — on multibyte text a codepoint model
+# under-counts frames and mis-sums checksums (found by the r6 --unicode
+# probe). Identity on pure-ASCII, so pristine-fixture hashes are
+# unchanged.
+_UTF8_BYTES_SQL = """flatten(list_transform({cs}, cp -> CASE
+  WHEN cp < 128 THEN [cp]
+  WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+  WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+  ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+END))"""
+
+_CS_SQL = (
+    "list_transform(list_filter(string_split(text, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))"
+)
+
 _FRAMES_SQL = f"""
 WITH codes AS (
   SELECT doc_id,
-         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-                        c -> CAST(ascii(c) AS BIGINT)) AS cs
+         {_UTF8_BYTES_SQL.format(cs=_CS_SQL)} AS cs
   FROM documents WHERE text IS NOT NULL
 ),
 fr AS (
@@ -156,11 +173,10 @@ SELECT 'frames' AS part, doc_id, CAST(NULL AS VARCHAR) AS media_type,
 FROM fr WHERE f % {FRAME_STRIDE} = 0
 """
 
-_FEATURES_SQL = """
+_FEATURES_SQL = f"""
 WITH codes AS (
   SELECT doc_id,
-         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-                        c -> CAST(ascii(c) AS BIGINT)) AS cs,
+         {_UTF8_BYTES_SQL.format(cs=_CS_SQL)} AS cs,
          n_chars
   FROM documents WHERE text IS NOT NULL
 )

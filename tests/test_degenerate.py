@@ -127,6 +127,32 @@ def test_skewed_keys_keep_oracle_parity(spark, skew_dir):
         assert ok, (name, msg)
 
 
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "uni")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, unicode_=True)
+    return out
+
+
+def test_multibyte_text_keeps_oracle_parity(spark, unicode_dir):
+    # every third token suffixed with accented/CJK/astral chars: the text
+    # operators are codepoint-based in both engines and agreed already;
+    # the multimodal byte path diverged (Spark encodes utf-8 BYTES, the
+    # oracle modeled codepoints) until the oracle grew a SQL utf-8
+    # encoder — pin both classes
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, unicode_dir)
+    for name in ("multimodal_pipeline", "text_profile", "dedup_near_dup_pairs"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, unicode_dir), con, spec.oracle)
+        assert ok, (name, msg)
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()

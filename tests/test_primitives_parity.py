@@ -74,7 +74,7 @@ def test_poly_hash_fuzz_parity(spark, duck):
 
     rng = random.Random(1234)
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-."
-    samples = ["", "a", " ", "  ", "a b", "." * 50]
+    samples = ["", "a", " ", "  ", "a b", "." * 50, None, "é漢\U0001F600", "a é b"]
     samples += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80))) for _ in range(200)]
     sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
     got = {
@@ -85,11 +85,12 @@ def test_poly_hash_fuzz_parity(spark, duck):
             hashing.poly_hash(F.col("s"), 991).alias("h2"),
         ).collect()
     }
+    sql = f"SELECT {hashing.poly_hash_sql('?', 7)}, {hashing.poly_hash_sql('?', 991)}"
+    # the null-guard CASE references its argument twice, so each call
+    # site consumes two placeholders
+    n_params = sql.count("?")
     for i, s in enumerate(samples):
-        h1, h2 = duck.execute(
-            f"SELECT {hashing.poly_hash_sql('?', 7)}, {hashing.poly_hash_sql('?', 991)}",
-            [s, s],
-        ).fetchone()
+        h1, h2 = duck.execute(sql, [s] * n_params).fetchone()
         assert got[i] == (h1, h2), f"mismatch on {s!r}"
 
 

@@ -25,8 +25,13 @@ Run it against the sf0.1 source and verify with
 ``selfcheck.py --sf <out>`` so the DuckDB oracle replays the SAME
 skewed data (parity check, not just completion).
 
+A fourth mode injects MULTIBYTE text: ``gen --unicode`` suffixes every
+third document token with accented/CJK/astral characters — the shape
+any real corpus has, and the one that separates byte-level from
+codepoint-level semantics between Spark and the DuckDB oracles.
+
 Usage:
-  python tools/degenerate_probe.py gen [--rows 0 | --nulls] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
 
 `run` prints one JSON line:
@@ -83,7 +88,13 @@ SKEW_SITES = {
 
 
 def generate(
-    out: str, rows: int, src: str = SRC, spark=None, nulls: bool = False, skew: bool = False
+    out: str,
+    rows: int,
+    src: str = SRC,
+    spark=None,
+    nulls: bool = False,
+    skew: bool = False,
+    unicode_: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -104,6 +115,25 @@ def generate(
                 sliced = sliced.withColumn(
                     col, F.when(F.col(key) % 3 == 0, F.lit(hot)).otherwise(F.col(col))
                 )
+        elif unicode_:
+            if table == "documents":
+                # suffix every third token with multibyte text (Latin-1
+                # accent, CJK, astral emoji) — real-corpus shape for the
+                # text/dedup/multimodal byte paths; n_chars recomputed in
+                # CHARACTERS to stay consistent with the fixture contract
+                sliced = sliced.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda tok, i: F.when(
+                                (i % 3 == F.lit(0)) & (tok != F.lit("")),
+                                F.concat(tok, F.lit("é漢\U0001F600")),
+                            ).otherwise(tok),
+                        ),
+                        " ",
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
         else:
             sliced = sliced.limit(rows)
         tmpdir = f"{out}/_tmp_{table}"
@@ -116,9 +146,10 @@ def generate(
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        print(f"{table}: {'nulls' if nulls else ('skew' if skew else rows)}", flush=True)
+        tag = 'nulls' if nulls else ('skew' if skew else ('unicode' if unicode_ else rows))
+        print(f"{table}: {tag}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write("nulls" if nulls else ("skew" if skew else str(rows)))
+        f.write("nulls" if nulls else ("skew" if skew else ("unicode" if unicode_ else str(rows))))
 
 
 def run(out: str, names: list[str]) -> None:
@@ -146,7 +177,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src, nulls, skew = OUT, 0, SRC, False, False
+    out, rows, src, nulls, skew, unicode_ = OUT, 0, SRC, False, False, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -158,12 +189,14 @@ def main() -> int:
             nulls = True
         elif a == "--skew":
             skew = True
+        elif a == "--unicode":
+            unicode_ = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src, nulls=nulls, skew=skew)
+        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
