@@ -28,7 +28,7 @@ WITH o AS (
   FROM events
 ), m AS (
   SELECT user_id, us,
-         CASE WHEN prev IS NULL OR us - prev >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+         CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
   FROM o
 ), s AS (
   SELECT user_id, us,

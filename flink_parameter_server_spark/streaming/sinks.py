@@ -87,11 +87,11 @@ def _session_timeout_fn(key, pdf_iter, state: GroupState):
         if n == 0:
             start = last = u
             n = 1
-        elif u - last >= SESSION_GAP_US:
+        elif u - last > SESSION_GAP_US:
             closed.append(row(start, last, n, "data"))
             start = last = u
             n = 1
-        elif start - u >= SESSION_GAP_US:
+        elif start - u > SESSION_GAP_US:
             # A cross-batch straggler more than a gap BEFORE the open
             # session's start belongs to an earlier island whose peers
             # (if any) already closed — retroactive merging is

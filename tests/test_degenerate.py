@@ -153,6 +153,33 @@ def test_multibyte_text_keeps_oracle_parity(spark, unicode_dir):
         assert ok, (name, msg)
 
 
+@pytest.fixture(scope="module")
+def ties_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "ties")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, ties=True)
+    return out
+
+
+def test_timestamp_ties_keep_oracle_parity(spark, ties_dir):
+    # events.ts truncated to the minute -> mass ties, including events
+    # landing EXACTLY one gap apart. Spark's session_window keeps an
+    # event at prev + gap in the same session (verified empirically),
+    # so every gap comparison (batch oracle, streaming oracle, both
+    # stateful impls) must break strictly on > gap — the probe caught
+    # the >= form producing 4 extra oracle sessions
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, ties_dir)
+    for name in ("events_session_windows", "events_dedup_keep_first", "purchase_last_click_asof"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, ties_dir), con, spec.oracle)
+        assert ok, (name, msg)
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()

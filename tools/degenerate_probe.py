@@ -30,8 +30,13 @@ third document token with accented/CJK/astral characters — the shape
 any real corpus has, and the one that separates byte-level from
 codepoint-level semantics between Spark and the DuckDB oracles.
 
+A fifth mode injects TIMESTAMP TIES: ``gen --ties`` truncates
+events.ts to the minute, so keep-first dedup, as-of joins, and
+sessionization hit mass ties — any ordering that is not fully
+tie-broken shows up as Spark-vs-oracle hash nondeterminism.
+
 Usage:
-  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode | --ties] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
 
 `run` prints one JSON line:
@@ -95,6 +100,7 @@ def generate(
     nulls: bool = False,
     skew: bool = False,
     unicode_: bool = False,
+    ties: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -115,6 +121,15 @@ def generate(
                 sliced = sliced.withColumn(
                     col, F.when(F.col(key) % 3 == 0, F.lit(hot)).otherwise(F.col(col))
                 )
+        elif ties:
+            if table == "events":
+                # truncate ts to the minute: mass timestamp ties expose any
+                # ordering that is not fully tie-broken (keep-first dedup,
+                # as-of joins, session assembly) as Spark-vs-oracle hash
+                # nondeterminism
+                sliced = sliced.withColumn("ts", F.date_trunc("minute", F.col("ts")).cast(
+                    sliced.schema["ts"].dataType
+                ))
         elif unicode_:
             if table == "documents":
                 # suffix every third token with multibyte text (Latin-1
@@ -146,10 +161,10 @@ def generate(
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        tag = 'nulls' if nulls else ('skew' if skew else ('unicode' if unicode_ else rows))
+        tag = 'nulls' if nulls else ('skew' if skew else ('unicode' if unicode_ else ('ties' if ties else rows)))
         print(f"{table}: {tag}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write("nulls" if nulls else ("skew" if skew else ("unicode" if unicode_ else str(rows))))
+        f.write("nulls" if nulls else ("skew" if skew else ("unicode" if unicode_ else ("ties" if ties else str(rows)))))
 
 
 def run(out: str, names: list[str]) -> None:
@@ -177,7 +192,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src, nulls, skew, unicode_ = OUT, 0, SRC, False, False, False
+    out, rows, src, nulls, skew, unicode_, ties = OUT, 0, SRC, False, False, False, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -191,12 +206,14 @@ def main() -> int:
             skew = True
         elif a == "--unicode":
             unicode_ = True
+        elif a == "--ties":
+            ties = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_)
+        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_, ties=ties)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
