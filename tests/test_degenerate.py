@@ -180,6 +180,33 @@ def test_timestamp_ties_keep_oracle_parity(spark, ties_dir):
         assert ok, (name, msg)
 
 
+def test_session_gap_boundary_semantics(spark):
+    # the binding contract, verified against F.session_window itself:
+    # an event at EXACTLY prev + gap merges into the session; one
+    # microsecond past the gap starts a new one
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),  # exactly one gap: merges
+        (2, t0),
+        (2, t0 + datetime.timedelta(minutes=30, microseconds=1)),  # past gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    sessions = {r["user_id"]: r["count"] for r in out}
+    assert sessions == {1: 1, 2: 2}
+
+
 def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()
