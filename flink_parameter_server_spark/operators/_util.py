@@ -24,12 +24,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def exact_sum(col: Column) -> Column:
     """Order-independent sum: per-value round to 6dp (exact, same in both
-    engines) then exact decimal addition."""
-    return F.sum(col.cast(DEC))
+    engines) then exact decimal addition.
+
+    Non-finite values (NaN/±inf) are excluded the same way NULLs are —
+    the explicit contract of the decimal discipline. Spark's double→
+    decimal cast already nulls them silently; DuckDB's hard-errors
+    (found by the r6 --nonfinite probe), so both sides now guard
+    identically and the exclusion is documented rather than accidental.
+    A pipeline that must not lose non-finite measures should gate them
+    upstream (the text_profile-style quality signals are the tool)."""
+    d = col.cast("double")
+    finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    return F.sum(F.when(finite, col).cast(DEC))
 
 
 def exact_sum_sql(expr: str) -> str:
-    return f"sum(CAST({expr} AS DECIMAL(18,6)))"
+    return (
+        f"sum(CAST(CASE WHEN isfinite(CAST({expr} AS DOUBLE)) "
+        f"THEN {expr} END AS DECIMAL(18,6)))"
+    )
+
+
+def finite_or_null(col: Column) -> Column:
+    """NaN/±inf -> NULL (the decimal discipline's exclusion contract);
+    use on free-form double measures before an inline decimal-sum."""
+    d = col.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), col)
 
 
 def dround(col: Column, scale: int = 6) -> Column:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..scratch import scratch
-from ._util import money_sum, money_sum_sql, t
+from ._util import finite_or_null, money_sum, money_sum_sql, t
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -140,7 +140,7 @@ def events_dedup_keep_first(spark, sf_dir):
     oracle="""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type,
-         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS tv
+         count(*) AS n, sum(CAST(CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END AS DECIMAL(18,6))) AS tv
   FROM events GROUP BY 1, 2
 ),
 daily AS (
@@ -199,7 +199,7 @@ def events_multires_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+            F.sum(finite_or_null(F.col("value")).cast("decimal(18,6)")).alias("tv"),
         )
     )
     hourly = scratch(hourly)  # feeds daily, the gap-fill join, AND output

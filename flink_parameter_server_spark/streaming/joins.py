@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._util import finite_or_null
 from .windows import stream_events
 
 ATTRIBUTION_WINDOW = "1 hour"
@@ -75,7 +76,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+                F.sum(finite_or_null(F.col("value")).cast("decimal(18,6)")).cast("double"), 6
             ).alias("total_value"),
         )
     )

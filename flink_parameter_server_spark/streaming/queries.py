@@ -102,7 +102,7 @@ FROM events GROUP BY 1, 2, 3
 UNION ALL
 SELECT 'upsert_files' AS sink, CAST(NULL AS VARCHAR) AS day, event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+       round(CAST(sum(CAST(CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM events GROUP BY 1, 2, 3
 """,
     tags=("D17", "D2"),
@@ -209,7 +209,7 @@ def _run_instance_stream(spark, src_df, build_stream, prefix: str, out_cols):
     "streaming_static_enrich",
     oracle="""
 SELECT c_mktsegment AS segment, event_type, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS total_value
+       round(CAST(sum(CAST(CASE WHEN isfinite(CAST(value AS DOUBLE)) THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0 AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """,

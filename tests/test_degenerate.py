@@ -180,6 +180,32 @@ def test_timestamp_ties_keep_oracle_parity(spark, ties_dir):
         assert ok, (name, msg)
 
 
+@pytest.fixture(scope="module")
+def nan_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "nan")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, nonfinite=True)
+    return out
+
+
+def test_nonfinite_measures_keep_oracle_parity(spark, nan_dir):
+    # NaN/±inf in events.value: Spark's double->decimal cast silently
+    # nulls them while DuckDB's hard-errors — the decimal-sum discipline
+    # now EXCLUDES non-finite values explicitly on both sides (the same
+    # way NULLs are excluded), so the sums agree and neither engine
+    # crashes
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, nan_dir)
+    for name in ("events_windows", "events_multires_rollup", "event_value_tiers"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, nan_dir), con, spec.oracle)
+        assert ok, (name, msg)
+
+
 def test_session_gap_boundary_semantics(spark):
     # the binding contract, verified against F.session_window itself:
     # an event at EXACTLY prev + gap merges into the session; one

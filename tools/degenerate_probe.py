@@ -35,8 +35,13 @@ events.ts to the minute, so keep-first dedup, as-of joins, and
 sessionization hit mass ties — any ordering that is not fully
 tie-broken shows up as Spark-vs-oracle hash nondeterminism.
 
+A sixth mode injects IEEE SPECIALS: ``gen --nonfinite`` puts NaN /
++inf / -inf into events.value on a sparse row sample — engine NaN
+conventions (ordering, equality, aggregation) are the classic
+cross-engine divergence.
+
 Usage:
-  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode | --ties] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode | --ties | --nonfinite] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
 
 `run` prints one JSON line:
@@ -101,6 +106,7 @@ def generate(
     skew: bool = False,
     unicode_: bool = False,
     ties: bool = False,
+    nonfinite: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -120,6 +126,18 @@ def generate(
                 hot = sliced.agg(F.min(col)).first()[0]
                 sliced = sliced.withColumn(
                     col, F.when(F.col(key) % 3 == 0, F.lit(hot)).otherwise(F.col(col))
+                )
+        elif nonfinite:
+            if table == "events":
+                # IEEE specials in the measure column: NaN / +inf / -inf on
+                # a sparse sample of rows — engine NaN conventions (ordering,
+                # equality, aggregation) are the classic cross-engine trap
+                sliced = sliced.withColumn(
+                    "value",
+                    F.when(F.col("event_id") % 101 == 0, F.lit(float("nan")))
+                    .when(F.col("event_id") % 103 == 0, F.lit(float("inf")))
+                    .when(F.col("event_id") % 107 == 0, F.lit(float("-inf")))
+                    .otherwise(F.col("value")),
                 )
         elif ties:
             if table == "events":
@@ -161,10 +179,10 @@ def generate(
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        tag = 'nulls' if nulls else ('skew' if skew else ('unicode' if unicode_ else ('ties' if ties else rows)))
+        tag = next(t for t, on in [('nulls', nulls), ('skew', skew), ('unicode', unicode_), ('ties', ties), ('nonfinite', nonfinite), (rows, True)] if on)
         print(f"{table}: {tag}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write("nulls" if nulls else ("skew" if skew else ("unicode" if unicode_ else ("ties" if ties else str(rows)))))
+        f.write(str(next(t for t, on in [("nulls", nulls), ("skew", skew), ("unicode", unicode_), ("ties", ties), ("nonfinite", nonfinite), (rows, True)] if on)))
 
 
 def run(out: str, names: list[str]) -> None:
@@ -192,7 +210,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src, nulls, skew, unicode_, ties = OUT, 0, SRC, False, False, False, False
+    out, rows, src, nulls, skew, unicode_, ties, nonfinite = OUT, 0, SRC, False, False, False, False, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -208,12 +226,14 @@ def main() -> int:
             unicode_ = True
         elif a == "--ties":
             ties = True
+        elif a == "--nonfinite":
+            nonfinite = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_, ties=ties)
+        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_, ties=ties, nonfinite=nonfinite)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
