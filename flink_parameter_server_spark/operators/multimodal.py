@@ -223,10 +223,10 @@ SELECT * FROM ({_FRAMES_SQL}) AS frames_part
     "n1=frame_idx, n2=byte_off, n3=frame_bytes, n4=checksum. The decode "
     "is the declared deterministic byte-math stub (no media libs in the "
     "container); the oracle replays the byte math from the source text "
-    "via per-character ascii(), which equals the Spark side's UTF-8 "
-    "byte fold ONLY for ASCII text — a documented fixture assumption "
-    "(the synthetic documents are ASCII-only); an encoding-faithful "
-    "DuckDB byte extraction would need blob indexing DuckDB lacks.",
+    "by expanding per-character codepoints through a SQL utf-8 encoder "
+    "(_UTF8_BYTES_SQL), so it is byte-true for ANY text, not just ASCII "
+    "— multibyte parity pinned by tests/test_degenerate.py's unicode "
+    "fixture.",
 )
 def multimodal_pipeline(spark, sf_dir):
     null_l = F.lit(None).cast("long")

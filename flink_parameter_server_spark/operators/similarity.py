@@ -40,7 +40,24 @@ def _fast_cosine(a, b, na, nb):
     return dot(a, b) / (na * nb)
 
 
-def _with_norm(df, vec_col: str, out: str):
+# one partition-count probe per (session, sf_dir): .rdd.getNumPartitions()
+# compiles the scan plan eagerly, and the four embedding entries (x reps in
+# bench) would otherwise each pay that driver work just to re-learn the
+# same answer
+_SCAN_PARTS: dict[tuple[int, str], int] = {}
+
+
+def embeddings_normed(spark, sf_dir: str):
+    df = t(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n
+    return _with_norm(df, "embedding", "ne", scan_partitions=n)
+
+
+def _with_norm(df, vec_col: str, out: str, scan_partitions: int | None = None):
     # Parallelism guard (r6 third-decade rehearsal finding): every
     # consumer of this table drives a compute-heavy pair stage with NO
     # intervening shuffle on the big side — the brute top-k most of all,
@@ -51,7 +68,8 @@ def _with_norm(df, vec_col: str, out: str):
     # only when the scan is actually under-split (explicit numPartitions
     # is AQE-coalesce-exempt); at real scale the scan splits naturally
     # and this branch never fires.
-    if df.rdd.getNumPartitions() < 16:
+    n = scan_partitions if scan_partitions is not None else df.rdd.getNumPartitions()
+    if n < 16:
         df = df.repartition(32)
     return df.withColumn(out, F.sqrt(norm2(as_double(F.col(vec_col)))))
 
@@ -75,7 +93,7 @@ def embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for sampled query vectors — the
     ANN correctness baseline. Query side broadcasts; cosine is pure
     column math (zip_with+aggregate), fully codegen'd."""
-    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    emb = embeddings_normed(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("ne").alias("nq"),
@@ -124,7 +142,7 @@ def embedding_simhash_ann(spark, sf_dir):
     signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine
     re-rank, top-1. The equi-join on bucket replaces the cross join —
     this is what survives 100 TB; recall tunes via planes/multi-probe."""
-    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    emb = embeddings_normed(spark, sf_dir)
     sig = emb.select(
         "vec_id", "embedding", "ne",
         _bucket_col(as_double(F.col("embedding"))).alias("bucket"),
@@ -218,7 +236,7 @@ def embedding_ivf_ann(spark, sf_dir):
     100 TB: centroids come from sampled k-means (MLlib KMeans), cells
     partition the index, multi-probe tunes recall — the cell join shape
     is identical to this oracle-checked form."""
-    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    emb = embeddings_normed(spark, sf_dir)
     cent = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
         F.col("ne").alias("nc"),
@@ -266,7 +284,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
     discriminates and no pair is within float-rounding of the cut): the
     embedding analog of minhash dedup — bucket join bounds comparisons
     at scale."""
-    emb = _with_norm(t(spark, sf_dir, "embeddings"), "embedding", "ne")
+    emb = embeddings_normed(spark, sf_dir)
     sig = emb.select(
         "vec_id", "embedding", "ne",
         _bucket_col(as_double(F.col("embedding"))).alias("bucket"),

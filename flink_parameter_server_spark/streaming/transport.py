@@ -155,7 +155,7 @@ class FileQueueTransport:
                     "worker_partition",
                     "param_id",
                     "value",
-                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
                 )
                 # idempotent per-batch dir: a replayed batch overwrites itself
                 answers.write.mode("overwrite").parquet(f"{s2w}/bid={batch_id}")
@@ -180,4 +180,10 @@ class FileQueueTransport:
         a read error."""
         if not os.path.isdir(self.s2w):
             return spark.createDataFrame([], S2W_SCHEMA)
-        return spark.read.parquet(self.s2w)
+        # normalize to the declared schema: the bid=<N> layout partition-
+        # discovers an extra `bid` column, and without this select a
+        # push-only topic (empty fallback above) and a real read would
+        # return structurally different frames
+        return spark.read.parquet(self.s2w).select(
+            *[F.col(f.name).cast(f.dataType) for f in S2W_SCHEMA.fields]
+        )

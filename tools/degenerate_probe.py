@@ -111,6 +111,18 @@ def generate(
     from pyspark.sql import functions as F
 
     spark = spark or get_spark("degenerate-probe-gen")
+    tag = next(
+        t
+        for t, on in [
+            ("nulls", nulls),
+            ("skew", skew),
+            ("unicode", unicode_),
+            ("ties", ties),
+            ("nonfinite", nonfinite),
+            (rows, True),
+        ]
+        if on
+    )
     os.makedirs(out, exist_ok=True)
     for table in TABLES:
         sliced = spark.read.parquet(f"{src}/{table}.parquet")
@@ -179,10 +191,9 @@ def generate(
             os.remove(dest)
         shutil.move(part, dest)
         shutil.rmtree(tmpdir)
-        tag = next(t for t, on in [('nulls', nulls), ('skew', skew), ('unicode', unicode_), ('ties', ties), ('nonfinite', nonfinite), (rows, True)] if on)
         print(f"{table}: {tag}", flush=True)
     with open(f"{out}/_rows_per_table", "w") as f:
-        f.write(str(next(t for t, on in [("nulls", nulls), ("skew", skew), ("unicode", unicode_), ("ties", ties), ("nonfinite", nonfinite), (rows, True)] if on)))
+        f.write(str(tag))
 
 
 def run(out: str, names: list[str]) -> None:

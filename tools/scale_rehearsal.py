@@ -158,10 +158,19 @@ def generate(out: str, src: str = SRC, replicas: int = REPLICAS, spark=None) -> 
         _shutil.rmtree(tmpdir)
         n = spark.read.parquet(f"{out}/{table}.parquet").count()
         print(f"{table}: {n} rows", flush=True)
+    with open(f"{out}/_meta.json", "w") as f:
+        json.dump({"src": src, "replicas": replicas}, f)
 
 
 def run(out: str, reps: int, names: list[str]) -> None:
     spark = get_spark("scale-rehearsal-run")
+    # label the artifact with the parameters gen actually used, not the
+    # module defaults — a 5-replica sf0.01 set must not be stamped sfx10
+    try:
+        with open(f"{out}/_meta.json") as f:
+            meta = json.load(f)
+    except OSError:
+        meta = {"src": SRC, "replicas": REPLICAS}
     results = {}
     for name in names:
         samples = []
@@ -174,7 +183,16 @@ def run(out: str, reps: int, names: list[str]) -> None:
                 samples.append(round(dt, 3))
         results[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {results[name]}s  {samples}", file=sys.stderr, flush=True)
-    print(json.dumps({"sf": "sfx10", "src": SRC, "replicas": REPLICAS, "queries": results}))
+    print(
+        json.dumps(
+            {
+                "sf": f"sfx{meta['replicas']}",
+                "src": meta["src"],
+                "replicas": meta["replicas"],
+                "queries": results,
+            }
+        )
+    )
 
 
 def main() -> int:
