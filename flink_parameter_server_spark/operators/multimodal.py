@@ -191,6 +191,76 @@ FROM codes
 """
 
 
+RESIZE_BYTES = 256  # target payload size of the fake "resize"
+RESIZE_W, RESIZE_H = 16, 16  # declared output dimensions
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes_in bigint, out_w bigint, out_h bigint, "
+    "n_bytes_out bigint, checksum bigint"
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Resize plumbing: stride-sample the binary payload down to
+    ``RESIZE_BYTES`` bytes (index i of the output reads input byte
+    ``(i * n) // T``) — the deterministic stand-in for an image resize
+    kernel, same contract as :func:`_fake_decode`: real byte math, swap
+    in PIL's resize in production. Payloads already at or under the
+    target pass through whole (T = min(RESIZE_BYTES, n))."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_bytes_in", "out_w", "out_h", "n_bytes_out", "checksum")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:  # extraction-failed row: no resize
+                    continue
+                n = len(content)
+                if n == 0:
+                    continue
+                t_out = min(RESIZE_BYTES, n)
+                sampled = bytes(content[(i * n) // t_out] for i in range(t_out))
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes_in"].append(n)
+                rows["out_w"].append(RESIZE_W)
+                rows["out_h"].append(RESIZE_H)
+                rows["n_bytes_out"].append(t_out)
+                rows["checksum"].append(sum(sampled) % 1_000_003)
+            yield pd.DataFrame(rows, dtype="int64") if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype="int64") for k in rows}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+_RESIZE_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         {_UTF8_BYTES_SQL.format(cs=_CS_SQL)} AS cs
+  FROM documents WHERE text IS NOT NULL
+),
+sz AS (
+  SELECT doc_id, cs, len(cs) AS n, least({RESIZE_BYTES}, len(cs)) AS t_out
+  FROM codes WHERE len(cs) > 0
+)
+SELECT 'resized' AS part, doc_id, CAST(NULL AS VARCHAR) AS media_type,
+       CAST(n AS BIGINT) AS n1,
+       CAST({RESIZE_W} AS BIGINT) AS n2, CAST({RESIZE_H} AS BIGINT) AS n3,
+       CAST(t_out AS BIGINT) AS n4,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(range(0, t_out), i -> cs[(i * n) // t_out + 1])),
+                   (a, x) -> a + x) % 1000003 AS n5,
+       CAST(NULL AS BIGINT) AS n6, CAST(NULL AS BIGINT) AS n7
+FROM sz
+"""
+
+
+def multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: binary payload stride-sampled to the
+    RESIZE_BYTES target via Arrow-batched mapInPandas (binary in ->
+    resized stats out; swap the byte math for a real resize kernel)."""
+    return resize_media(media_table(spark, sf_dir))
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: binary payload as fixed-size frame
     windows, every FRAME_STRIDE-th frame emitted as its own row via
@@ -211,16 +281,21 @@ def multimodal_decode_features(spark, sf_dir):
 SELECT * FROM ({_FEATURES_SQL}) AS features_part
 UNION ALL
 SELECT * FROM ({_FRAMES_SQL}) AS frames_part
+UNION ALL
+SELECT * FROM ({_RESIZE_SQL}) AS resized_part
 """,
     tags=("north-star", "D22"),
     doc="The multimodal binary-column pipeline in one query discriminated "
     "by `part` (consolidated from multimodal_decode_features / "
-    "multimodal_frame_sample — both run the same media_table through "
-    "Arrow-batched mapInPandas). 'features': decode + feature-extract, "
-    "n1=n_bytes, n2=width, n3=height, n4..n7=f0..f3. 'frames': "
-    "fixed-size frame windows, every FRAME_STRIDE-th frame as its own "
-    "row (1 row in -> N out, the real video-sampler batch shape), "
-    "n1=frame_idx, n2=byte_off, n3=frame_bytes, n4=checksum. The decode "
+    "multimodal_frame_sample / multimodal_resize — all run the same "
+    "media_table through Arrow-batched mapInPandas). 'features': decode "
+    "+ feature-extract, n1=n_bytes, n2=width, n3=height, n4..n7=f0..f3. "
+    "'frames': fixed-size frame windows, every FRAME_STRIDE-th frame as "
+    "its own row (1 row in -> N out, the real video-sampler batch "
+    "shape), n1=frame_idx, n2=byte_off, n3=frame_bytes, n4=checksum. "
+    "'resized': payload stride-sampled to RESIZE_BYTES (the image-resize "
+    "stand-in), n1=n_bytes_in, n2=out_w, n3=out_h, n4=n_bytes_out, "
+    "n5=checksum. The decode "
     "is the declared deterministic byte-math stub (no media libs in the "
     "container); the oracle replays the byte math from the source text "
     "by expanding per-character codepoints through a SQL utf-8 encoder "
@@ -254,4 +329,16 @@ def multimodal_pipeline(spark, sf_dir):
         null_l.alias("n6"),
         null_l.alias("n7"),
     )
-    return features.unionByName(frames)
+    resized = resize_media(media_table(spark, sf_dir)).select(
+        F.lit("resized").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.col("n_bytes_in").alias("n1"),
+        F.col("out_w").alias("n2"),
+        F.col("out_h").alias("n3"),
+        F.col("n_bytes_out").alias("n4"),
+        F.col("checksum").alias("n5"),
+        null_l.alias("n6"),
+        null_l.alias("n7"),
+    )
+    return features.unionByName(frames).unionByName(resized)
