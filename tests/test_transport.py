@@ -166,3 +166,26 @@ def test_send_order_is_deterministic_within_one_mtime_tick(spark, topic_root):
     tp.run_server(spark, init_fn=_init, max_files_per_trigger=1)
     got = _by_key(tp.answers(spark).select("param_id", "value"))
     assert got[3] == [2.5, 3.0]  # init(3)=[1.5,4.0] + [1.0,-1.0]
+
+
+def test_answers_schema_consistent_between_push_only_and_populated(spark, topic_root):
+    """answers() must return the SAME structure whether the topic served
+    pulls (real parquet read, whose bid=N layout partition-discovers an
+    extra column and whose batch_id was written from a python int) or
+    nothing (declared-schema empty frame) — a consumer unionByName-ing
+    the two must not care which path produced each."""
+    from flink_parameter_server_spark.streaming.transport import S2W_SCHEMA
+
+    push_only = FileQueueTransport(topic_root + "/a")
+    push_only.send(push_only.pushes(_deltas(spark, [(7, [1.0, 1.0])])), "000_a")
+    push_only.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    empty_ans = push_only.answers(spark)
+
+    served = FileQueueTransport(topic_root + "/b")
+    served.send(served.pulls(_keys(spark, [3])), "000_p")
+    served.run_server(spark, init_fn=_init, max_files_per_trigger=1)
+    real_ans = served.answers(spark)
+
+    assert empty_ans.schema == S2W_SCHEMA
+    assert real_ans.schema == S2W_SCHEMA
+    assert empty_ans.unionByName(real_ans).count() == real_ans.count()
