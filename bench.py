@@ -27,6 +27,17 @@ reps: the r5 triplets showed first-rep JVM/codegen skew (e.g.
 multimodal_pipeline [1.80, 0.61, 0.61]) that medians absorbed but a
 warmup removes at the source, making the n reps i.i.d.  BASELINE.md
 notes the series change.
+
+Since round 7 (VERDICT r6 next-round #1): the bench is PROBE-GATED.
+Before any timed rep it runs tools/host_health.probe() (two small
+plan-stable entries vs the committed healthy-host medians in
+tools/healthy_baseline.json) and stamps the result into the artifact
+as `host_probe` plus a top-level `host_degraded` flag.  A degraded run
+can therefore never silently become the round's number: the r6 driver
+artifact carried a judge-verified ~1.2-1.9x uniform host factor that
+was only discoverable by cross-referencing BASELINE.md prose.  Warmup
+failures are likewise recorded (`warmup_errors`) instead of vanishing
+into stderr, so a cold-start-only crash is visible in the artifact.
 """
 
 from __future__ import annotations
@@ -78,10 +89,27 @@ def main() -> None:
     # not first-touch classloading
     REGISTRY["revenue_forecast"].fn(spark, sf_dir).count()
 
+    # Probe gate (r7): measure host throughput against the committed
+    # healthy baseline BEFORE timing anything, and stamp the verdict
+    # into the artifact so degraded-host seconds are self-describing.
+    host_probe: dict | None = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import host_health
+
+        host_probe = host_health.probe(spark, reps=3)
+        print(f"# host probe: healthy={host_probe['healthy']} "
+              + " ".join(f"{k}=x{v['factor']}" for k, v in host_probe["entries"].items()),
+              file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - a broken probe must not cost the bench
+        host_probe = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"# host probe failed: {host_probe['error']}", file=sys.stderr)
+
     # headline entries first (metric continuity), then the rest A->Z
     names = HEADLINE + sorted(n for n in REGISTRY if n not in HEADLINE)
     samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
+    warmup_errors: dict[str, str] = {}
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     for rep in range(-warmup, reps):
         timed = rep >= 0
@@ -96,6 +124,10 @@ def main() -> None:
                 # hiccup followed by clean timed reps is a healthy entry
                 if timed:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                else:
+                    # a cold-start-only crash is exactly what the warmup
+                    # rep exists to absorb — keep a trace in the artifact
+                    warmup_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"# ERROR {name}: {type(exc).__name__}: {exc}"[:300], file=sys.stderr)
                 continue
             dt = round(time.time() - t0, 3)
@@ -134,6 +166,11 @@ def main() -> None:
     }
     if errors:
         compact["errors"] = errors
+    if warmup_errors:
+        compact["warmup_errors"] = warmup_errors
+    if host_probe is not None:
+        compact["host_probe"] = host_probe
+        compact["host_degraded"] = not host_probe.get("healthy", True)
 
     # Raw per-rep samples go to a side file, NOT the stdout line: r5's
     # inline samples made the line outgrow the driver's tail-capture
