@@ -419,8 +419,124 @@ NGRAM_BAND = 30  # length-band width == the |n_chars| pairing tolerance
 
 NGRAM_JT = 0.3  # bigram-Jaccard near-dup threshold
 
+# auto-chooser safety margin: prefix filtering pays two extra exchanges
+# (gram-df join + per-doc reassembly) over banding, so it must project
+# CLEARLY fewer candidates before auto picks it
+PREFIX_MARGIN = 0.5
 
-def dedup_ngram_jaccard(spark, sf_dir, tha=None, strategy: str = "band"):
+
+def ngram_grams_frame(tha):
+    """(doc_id, source, n_chars, band, grams) — hashed word-bigram sets
+    per doc, the shared input of both candidate strategies AND the auto
+    profiler (factored out so tests can profile arbitrary corpora)."""
+    n = F.size("th")
+    b1 = F.slice(F.col("th"), F.lit(1), n - F.lit(1))
+    b2 = F.slice(F.col("th"), F.lit(2), n - F.lit(1))
+    return tha.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(f"n_chars div {NGRAM_BAND}").alias("band"),
+        F.array_distinct(
+            F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
+                F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
+            )
+        ).alias("grams"),
+    ).where(F.size("grams") > 0)
+
+
+def choose_ngram_strategy(g) -> tuple[str, dict]:
+    """Pick the n-gram candidate-generation strategy ('band' vs
+    'prefix') from CORPUS STATISTICS instead of a caller-supplied string
+    (VERDICT r6 next-round #3: at 100 TB the right default flips on
+    Zipfian text, and a real user otherwise gets the fixture-tuned one).
+
+    `g` is the grams frame (doc_id, source, n_chars, band,
+    grams array<bigint>). Two cheap bounded profiles estimate each
+    strategy's raw candidate-pair count:
+
+    - band estimate: sum over (source, length-band) blocks of
+      3*c*(c-1)/2 — each doc probes its own and both adjacent bands, so
+      ~3x the intra-block pairs assuming neighbor blocks are similar
+      sized. ONE aggregation, one-row collect.
+    - prefix estimate: prefix filtering indexes each doc's
+      (1-t)*|grams|+1 globally-rarest grams, so its candidate count is
+      dominated by the df-ascending head of the gram-df distribution.
+      Profile = log2-binned df histogram of the gram df table (<= ~40
+      rows collected), walked in ascending-df order accumulating
+      df*(df-1)/2 pairs until the global postings budget
+      (1-t)*total_occurrences + n_docs is spent, pro-rating the last
+      bin. On Zipfian text most grams are df<=2 and this stays tiny; on
+      a small-vocabulary corpus even the rarest grams carry
+      hundreds-of-docs lists and the estimate correctly explodes.
+
+    Both profile jobs are keyed aggregations over the (already scratch-
+    cached) grams frame; the collects are bounded (1 row + <=~40 bins)
+    per the same convention as the star-CC convergence probe. Returns
+    (strategy, profile_dict) so tests/logging can see the evidence.
+    """
+    band_row = (
+        g.groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("3.0 * c * (c - 1) / 2")), F.lit(0.0)).alias("pairs"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.max("c"), F.lit(0)).alias("max_block"),
+        )
+        .collect()[0]
+    )
+    band_est, n_docs = float(band_row["pairs"]), int(band_row["n_docs"])
+
+    flat = g.select(F.explode("grams").alias("gram"))
+    hist = (
+        flat.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy(F.floor(F.log2("df")).alias("bin"))
+        .agg(
+            F.sum("df").alias("postings"),
+            F.sum(F.expr("df * (df - 1) / 2.0")).alias("pairs"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    total_postings = sum(int(r["postings"]) for r in hist)
+    budget = (1.0 - NGRAM_JT) * total_postings + n_docs
+    prefix_est, spent = 0.0, 0.0
+    for r in hist:
+        p, pr = float(r["postings"]), float(r["pairs"])
+        if spent + p <= budget:
+            prefix_est += pr
+            spent += p
+        else:  # pro-rate the bin that crosses the budget (linear in
+            # the fraction of its grams taken)
+            prefix_est += pr * max(0.0, (budget - spent) / p)
+            break
+    strategy = "prefix" if prefix_est < PREFIX_MARGIN * band_est else "band"
+    profile = {
+        "band_est_pairs": band_est,
+        "prefix_est_pairs": prefix_est,
+        "n_docs": n_docs,
+        "max_block": int(band_row["max_block"]),
+        "total_gram_postings": total_postings,
+        "strategy": strategy,
+    }
+    return strategy, profile
+
+
+# Memoized auto decisions, keyed on (applicationId, corpus_key): the
+# choice is a query-COMPILATION property of the corpus (like AQE
+# statistics), so a long-lived session profiles each corpus once, not
+# once per query. applicationId, not id(spark) — a stopped session's
+# address can be reused by a new one and a dict keyed on it would serve
+# stale entries (ADVICE r6 on similarity._SCAN_PARTS). A corpus
+# REWRITTEN in place at the same path within one session keeps its old
+# decision; call choose_ngram_strategy directly to re-profile.
+_NGRAM_STRATEGY_MEMO: dict[tuple[str, str], str] = {}
+
+
+def dedup_ngram_jaccard(
+    spark, sf_dir, tha=None, strategy: str = "auto", corpus_key: str | None = None
+):
     """Word-bigram Jaccard near-dup over hashed bigrams; candidate
     generation selectable, exact verification (source equality,
     |n_chars| <= NGRAM_BAND, Jaccard >= NGRAM_JT) always the same, so
@@ -428,7 +544,22 @@ def dedup_ngram_jaccard(spark, sf_dir, tha=None, strategy: str = "band"):
     tests/test_round2_ops.py::test_ngram_prefix_strategy_same_pairs)
     and the range-join oracle is unchanged.
 
-    ``strategy='band'`` (default): equi-join on (source, n_chars div
+    ``strategy='auto'`` (default since r7, VERDICT r6 #3): profile the
+    corpus with choose_ngram_strategy and pick whichever of the two
+    candidate generators projects fewer raw pairs (prefix must win by
+    PREFIX_MARGIN to pay for its extra exchanges). Auto is a pure
+    strategy SELECTOR — either choice returns the identical pair set —
+    so correctness is strategy-independent and only wall time rides on
+    the decision. The fixture corpus profiles to 'band' (tiny
+    vocabulary, fat inverted lists); Zipfian real text profiles to
+    'prefix' (pinned both ways in tests/test_round2_ops.py). The
+    decision is memoized per (applicationId, corpus_key) — see
+    _NGRAM_STRATEGY_MEMO — so a session profiles each corpus once
+    (~0.6 s of bounded aggregations at sf0.1), not once per query;
+    callers passing a custom `tha` get no memo unless they also pass a
+    `corpus_key` identifying the corpus.
+
+    ``strategy='band'``: equi-join on (source, n_chars div
     NGRAM_BAND), probe side exploded to bands {b-1, b, b+1}, exact
     +-NGRAM_BAND filter post-join (the r3 plan upgrade over the raw
     abs() theta join, which generated |source-block|^2 pairs).
@@ -451,30 +582,26 @@ def dedup_ngram_jaccard(spark, sf_dir, tha=None, strategy: str = "band"):
     vocabulary at sf0.1: even the rarest prefix grams carry
     hundreds-of-docs inverted lists, candidates degenerate (455k vs
     banding's ~74k) and banding wins at every measured scale (0.7 s vs
-    10.6 s at sf0.1; 7 s vs 25 s at ~sf1) — hence the default. Both
+    10.6 s at sf0.1; 7 s vs 25 s at ~sf1) — which is exactly what the
+    auto profile detects without being told. Both
     paths are keyed equi-joins with no unbounded broadcast; the df
     table is one count aggregation, the per-doc ordering one keyed
     reassembly."""
     if tha is None:
         tha = token_hash_arrays(spark, sf_dir)
-    n = F.size("th")
-    b1 = F.slice(F.col("th"), F.lit(1), n - F.lit(1))
-    b2 = F.slice(F.col("th"), F.lit(2), n - F.lit(1))
-    g = (
-        tha.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.expr(f"n_chars div {NGRAM_BAND}").alias("band"),
-            F.array_distinct(
-                F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
-                    F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
-                )
-            ).alias("grams"),
+        corpus_key = corpus_key or sf_dir  # default corpus IS sf_dir's documents
+    g = scratch(ngram_grams_frame(tha))
+
+    if strategy == "auto":
+        memo_key = (
+            (spark.sparkContext.applicationId, corpus_key) if corpus_key else None
         )
-        .where(F.size("grams") > 0)
-    )
-    g = scratch(g)
+        if memo_key is not None and memo_key in _NGRAM_STRATEGY_MEMO:
+            strategy = _NGRAM_STRATEGY_MEMO[memo_key]
+        else:
+            strategy, _ = choose_ngram_strategy(g)
+            if memo_key is not None:
+                _NGRAM_STRATEGY_MEMO[memo_key] = strategy
 
     if strategy == "band":
         probes = g.select(
@@ -595,8 +722,10 @@ SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS e
     "representation instead of once per entry). 'minhash_lsh': banded "
     "bucket equi-join + exact Jaccard verify (score = jaccard). "
     "'simhash': 4-bit-chunk pigeonhole blocking + XOR popcount (score = "
-    "hamming distance). 'ngram_jaccard': (source, length-band) blocking "
-    "+ exact bigram Jaccard. 'embedding': cosine >= 0.40 within "
+    "hamming distance). 'ngram_jaccard': corpus-profiled blocking "
+    "(strategy='auto' since r7 picks (source, length-band) banding vs "
+    "PPJoin prefix filtering from a gram-df profile, memoized per "
+    "corpus) + exact bigram Jaccard. 'embedding': cosine >= 0.40 within "
     "random-hyperplane LSH buckets. Per-method docstrings on the "
     "underlying functions in this module and operators/similarity.py.",
 )
@@ -614,7 +743,7 @@ def dedup_near_dup_pairs(spark, sf_dir):
     return (
         dedup_minhash_lsh(spark, sf_dir, sh=sh)
         .unionByName(dedup_simhash(spark, sf_dir, sh=sh))
-        .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha))
+        .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir))
         .unionByName(emb)
     )
 

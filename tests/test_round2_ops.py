@@ -278,3 +278,60 @@ def test_ngram_prefix_strategy_same_pairs(spark):
             tuple(r) for r in dedup_ngram_jaccard(spark, sf, strategy="prefix").collect()
         }
         assert band == pref and band, (sf, len(band), len(pref))
+
+
+def test_ngram_auto_strategy_profile(spark):
+    """VERDICT r6 #3 done-bar: strategy='auto' (the entry default since
+    r7) must pick 'band' on the fixture corpus (tiny ~1k-gram
+    vocabulary -> prefix inverted lists degenerate) and 'prefix' on a
+    synthetic Zipfian corpus (mostly-unique grams -> df~1 inverted
+    lists, while every doc shares one (source, length-band) block so
+    banding would be quadratic). The chosen strategy must also stay
+    lossless on the Zipfian corpus."""
+    from flink_parameter_server_spark import scratch
+    from flink_parameter_server_spark.operators.dedup import (
+        choose_ngram_strategy,
+        dedup_ngram_jaccard,
+        ngram_grams_frame,
+        token_hash_arrays,
+    )
+
+    # fixture corpus -> band
+    scratch.release()
+    sf = SF_SMALL.replace("0.001", "0.01")
+    g_fix = ngram_grams_frame(token_hash_arrays(spark, sf))
+    strat_fix, prof_fix = choose_ngram_strategy(g_fix)
+    assert strat_fix == "band", prof_fix
+    assert prof_fix["band_est_pairs"] < prof_fix["prefix_est_pairs"], prof_fix
+
+    # synthetic Zipfian-ish corpus: 300 docs, one source, one length
+    # band, each doc 20 near-unique token hashes (df~1 bigrams) except
+    # a handful of genuine near-dup clones so the pair set is nonempty
+    rows = []
+    for d in range(300):
+        base = d * 1000
+        th = [base + i for i in range(20)]
+        rows.append((d, "web", 50, th))
+    for d in range(300, 306):  # clones of doc 0 with one token changed
+        th = [0 + i for i in range(20)]
+        th[5] = d * 1000 + 5
+        rows.append((d, "web", 50, th))
+    tha = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, th array<long>"
+    )
+    g_zipf = ngram_grams_frame(tha)
+    strat_z, prof_z = choose_ngram_strategy(g_zipf)
+    assert strat_z == "prefix", prof_z
+    assert prof_z["prefix_est_pairs"] < prof_z["band_est_pairs"], prof_z
+
+    # auto (resolves to prefix here) is lossless vs forced band
+    scratch.release()
+    auto_pairs = {
+        tuple(r) for r in dedup_ngram_jaccard(spark, sf, tha=tha).collect()
+    }
+    scratch.release()
+    band_pairs = {
+        tuple(r)
+        for r in dedup_ngram_jaccard(spark, sf, tha=tha, strategy="band").collect()
+    }
+    assert auto_pairs == band_pairs and auto_pairs, (len(auto_pairs), len(band_pairs))
