@@ -155,3 +155,63 @@ def test_topk_external_factors_lossless(spark):
     top = brute.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k_rec)
     for r in top.collect():
         assert (r["user"], r["item"]) in got, (r["user"], r["item"], r["score"])
+
+
+def test_topk_trained_factor_pruning_regression(spark):
+    """VERDICT r6 #4: promote the LEMP receipt (tools/lemp_rehearsal.py,
+    BASELINE.md) from tool prose to a regression test. The pruning
+    bound's value is its WORKING-REGIME behavior: on trained factors
+    (norms skewed by item popularity) the seed-theta + Cauchy-Schwarz
+    bound must score a decisively smaller fraction of the U x I pairs
+    than on hash-init factors (uniform norms, the bound's worst case).
+    A future edit to topk_candidates' banding could destroy the pruning
+    while staying lossless-green — this pins the cost contract: trained
+    scored-fraction < 0.5 x init scored-fraction. Measured at sf0.01
+    (1 epoch, user stride 5: init 0.75 vs trained 0.13, ratio 0.17,
+    ~8 s warm) — sf0.001's 6k ratings are too sparse for popularity
+    skew to develop (1-2 epochs there leave norms near-uniform and the
+    ratio near 1), so this test is the one scale-path check that runs
+    at sf0.01."""
+    from flink_parameter_server_spark.ps import mf
+
+    sf = SF_SMALL.replace("0.001", "0.01")
+    stride = 5
+
+    # hash-init scenario: the registry entry's own factor build
+    init_pairs = mf.topk_candidates(
+        spark, sf, user_stride=stride, keep_bound_pairs=True
+    ).count()
+    n_users = t(spark, sf, "customer").where(F.col("c_custkey") % stride == 0).count()
+    n_items = t(spark, sf, "part").count()
+    init_frac = init_pairs / (n_users * n_items)
+
+    # trained scenario: the repo's own bidirectional PS trainer, pivoted
+    # long (side, id, dim, v) -> (id, vec) per side (the
+    # tools/lemp_rehearsal.py shape)
+    long = mf.train_bidirectional(spark, mf.ratings(spark, sf), epochs=1)
+
+    def side(name):
+        return (
+            long.where(F.col("side") == name)
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("vec")
+            )
+            .localCheckpoint()
+        )
+
+    u = side("user").where(F.col("id") % stride == 0)
+    i = side("item")
+    trained_pairs = mf.topk_candidates(
+        spark, sf, user_factors=u, item_factors=i, keep_bound_pairs=True
+    ).count()
+    trained_frac = trained_pairs / (u.count() * i.count())
+
+    assert trained_frac < 0.5 * init_frac, (
+        f"pruning regression: trained scored-frac {trained_frac:.3f} !< "
+        f"0.5 x init {init_frac:.3f} — the LEMP bound stopped biting on "
+        "skewed norms (see topk_candidates' measured cost contract)"
+    )
