@@ -52,7 +52,15 @@ def poly_hash_sql(expr: str, seed: int) -> str:
     The CASE guard keeps null-in-null-out parity with Spark: on a NULL
     input DuckDB's ``list_prepend(seed, NULL)`` yields ``[seed]`` so the
     bare fold would return the seed, while Spark's ``aggregate`` over a
-    NULL array returns NULL (found by the r6 null-injection sweep)."""
+    NULL array returns NULL (found by the r6 null-injection sweep).
+
+    CAVEAT (ADVICE r6): ``{expr}`` is interpolated TWICE (once in the
+    CASE guard, once in the fold), so a parameterized caller must
+    double its ``?`` placeholders, and an expensive ``expr`` is
+    evaluated twice unless the engine CSEs it. Callers that care should
+    pre-project the expression under an alias in a CTE and pass the
+    alias here (the repo's oracle SQL does exactly that via the
+    MATERIALIZED th/sh CTEs)."""
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "

@@ -184,7 +184,7 @@ SELECT 'features' AS part, doc_id, 'image/fake' AS media_type,
        CAST(len(cs) AS BIGINT) AS n1,
        CAST(n_chars % 640 AS BIGINT) AS n2,
        CAST(n_chars % 480 AS BIGINT) AS n3,
-       cs[1] AS n4, cs[len(cs)] AS n5,
+       coalesce(cs[1], 0) AS n4, coalesce(cs[len(cs)], 0) AS n5,
        list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 256 AS n6,
        list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) % 1000003 AS n7
 FROM codes

@@ -43,13 +43,18 @@ def _fast_cosine(a, b, na, nb):
 # one partition-count probe per (session, sf_dir): .rdd.getNumPartitions()
 # compiles the scan plan eagerly, and the four embedding entries (x reps in
 # bench) would otherwise each pay that driver work just to re-learn the
-# same answer
-_SCAN_PARTS: dict[tuple[int, str], int] = {}
+# same answer. Keyed on applicationId, NOT id(spark): a stopped session's
+# address can be reused by a new one and an id() key would serve a stale
+# count (ADVICE r6). Known residual: a fixture dir REWRITTEN with a
+# different file layout under the same path within one application keeps
+# its old count — acceptable for a bench-lifetime process where fixtures
+# are immutable; the dict is tiny (one int per corpus) so no eviction.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
 
 
 def embeddings_normed(spark, sf_dir: str):
     df = t(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     n = _SCAN_PARTS.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

@@ -237,3 +237,30 @@ def test_smoke_entries_complete_on_empty_tables(spark, empty_dir):
     for name in SMOKE:
         n = REGISTRY[name].fn(spark, empty_dir).count()
         assert n == 0, name
+
+
+@pytest.fixture(scope="module")
+def emptytext_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen") / "emptytext")
+    dp.generate(out, rows=0, src=SF_SMALL, spark=spark, emptytext=True)
+    return out
+
+
+def test_empty_string_text_keeps_oracle_parity(spark, emptytext_dir):
+    # EMPTY (not null) text survives `text IS NOT NULL` scan filters, so
+    # the zero-length branches actually run: _fake_decode emits
+    # f0=f1=0 for b'' while cs[1]/cs[len(cs)] on an empty DuckDB list
+    # yield NULL — the features oracle now coalesces both to 0
+    # (ADVICE r6). text_profile rides along to pin the empty token
+    # array / zero-division branches of the text stack.
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    register_duck_views(con, emptytext_dir)
+    for name in ("multimodal_pipeline", "text_profile"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, emptytext_dir), con, spec.oracle)
+        assert ok, (name, msg)

@@ -41,7 +41,7 @@ conventions (ordering, equality, aggregation) are the classic
 cross-engine divergence.
 
 Usage:
-  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode | --ties | --nonfinite] [--out /tmp/sparkgraft_empty]
+  python tools/degenerate_probe.py gen [--rows 0 | --nulls | --skew | --unicode | --ties | --nonfinite | --emptytext] [--out /tmp/sparkgraft_empty]
   python tools/degenerate_probe.py run [--out ...] [entry ...]
 
 `run` prints one JSON line:
@@ -107,6 +107,7 @@ def generate(
     unicode_: bool = False,
     ties: bool = False,
     nonfinite: bool = False,
+    emptytext: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -119,6 +120,7 @@ def generate(
             ("unicode", unicode_),
             ("ties", ties),
             ("nonfinite", nonfinite),
+            ("emptytext", emptytext),
             (rows, True),
         ]
         if on
@@ -160,6 +162,18 @@ def generate(
                 sliced = sliced.withColumn("ts", F.date_trunc("minute", F.col("ts")).cast(
                     sliced.schema["ts"].dataType
                 ))
+        elif emptytext:
+            if table == "documents":
+                # EMPTY (not null) text on a parity class: distinct from the
+                # --nulls axis — empty survives `text IS NOT NULL` scan
+                # filters, so every zero-length branch downstream (empty
+                # token array, empty utf-8 byte list, cs[1]/cs[len(cs)] on
+                # an empty DuckDB list) actually executes (ADVICE r6 on the
+                # multimodal features oracle)
+                sliced = sliced.withColumn(
+                    "text",
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(F.col("text")),
+                ).withColumn("n_chars", F.length("text").cast("long"))
         elif unicode_:
             if table == "documents":
                 # suffix every third token with multibyte text (Latin-1
@@ -221,7 +235,7 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, args = args[0], args[1:]
-    out, rows, src, nulls, skew, unicode_, ties, nonfinite = OUT, 0, SRC, False, False, False, False, False
+    out, rows, src, nulls, skew, unicode_, ties, nonfinite, emptytext = OUT, 0, SRC, False, False, False, False, False, False
     names: list[str] = []
     while args:
         a = args.pop(0)
@@ -239,12 +253,14 @@ def main() -> int:
             ties = True
         elif a == "--nonfinite":
             nonfinite = True
+        elif a == "--emptytext":
+            emptytext = True
         elif a == "--src":
             src = args.pop(0)
         else:
             names.append(a)
     if cmd == "gen":
-        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_, ties=ties, nonfinite=nonfinite)
+        generate(out, rows, src=src, nulls=nulls, skew=skew, unicode_=unicode_, ties=ties, nonfinite=nonfinite, emptytext=emptytext)
     else:
         run(out, names or sorted(REGISTRY))
     return 0
