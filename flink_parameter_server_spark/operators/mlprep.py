@@ -24,10 +24,12 @@ N_TILES = 10  # 8/1/1 -> train/valid/test
 Q_BITS = 127.0
 
 
-@register(
-    "train_test_split",
-    oracle=f"""
-SELECT doc_id, lang, source,
+def _split_oracle() -> str:
+    from .curate import curate_oracle_sql
+    from .dedup import _MINHASH_SQL
+
+    plain = f"""
+SELECT 'split_all' AS part, doc_id, lang, source,
        CASE WHEN tile <= 8 THEN 'train'
             WHEN tile = 9 THEN 'valid'
             ELSE 'test' END AS split
@@ -38,24 +40,45 @@ FROM (
            ORDER BY {int_hash_sql('doc_id', 0, 77)}, doc_id) AS tile
   FROM documents
 ) t
-""",
-    tags=("D12", "D26"),
-    doc="Stratified train/valid/test split: within each (lang, source) "
+"""
+    curated = curate_oracle_sql(_MINHASH_SQL, int_hash_sql("doc_id", 0, 77))
+    return f"""
+SELECT * FROM ({plain}) AS plain_part
+UNION ALL
+SELECT 'curated' AS part, doc_id, lang, source, split
+FROM ({curated}) AS curated_part
+"""
+
+
+@register(
+    "train_test_split",
+    oracle=None,  # installed below (composes dedup's minhash-pair SQL)
+    tags=("D12", "D23", "D24", "D26"),
+    doc="Data-prep split surface, discriminated by `part`. 'split_all': "
+    "stratified train/valid/test split — within each (lang, source) "
     "stratum, rows are ordered by a seeded integer hash (deterministic "
     "pseudo-random permutation, replayed exactly by the oracle) and "
     "ntile(10) assigns 80/10/10 — exact per-stratum proportions, unlike "
     "a plain hash-mod split whose per-stratum fractions drift. One "
     "window shuffle on the stratum key; at 100 TB strata are large and "
     "contiguous so the sort is the only cost, and a sampled-quantile "
-    "assignment (approx ntile) drops the sort if needed.",
+    "assignment (approx ntile) drops the sort if needed. 'curated' "
+    "(r7): the END-TO-END curation pipeline — quality gate -> "
+    "exact-dedup keeper -> MinHash-LSH near-dup canonical -> stratified "
+    "split — one decision per input document ('rejected:quality' | "
+    "'rejected:exact_dup' | 'rejected:near_dup' | train/valid/test); "
+    "see operators/curate.py for the staged design and scale shape.",
 )
 def train_test_split(spark, sf_dir):
+    from .curate import corpus_curate
+
     d = t(spark, sf_dir, "documents")
     win = Window.partitionBy("lang", "source").orderBy(
         int_hash(F.col("doc_id"), 0, 77), F.col("doc_id")
     )
     tile = F.ntile(N_TILES).over(win)
-    return d.select(
+    plain = d.select(
+        F.lit("split_all").alias("part"),
         "doc_id",
         "lang",
         "source",
@@ -64,6 +87,25 @@ def train_test_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+    curated = corpus_curate(spark, sf_dir).select(
+        F.lit("curated").alias("part"), "doc_id", "lang", "source", "split"
+    )
+    return plain.unionByName(curated)
+
+
+def _install_split_oracle() -> None:
+    """Late-bind the oracle: it embeds dedup's _MINHASH_SQL, and doing
+    the import inside @register at module-import time would cycle
+    (dedup imports the registry)."""
+    import dataclasses
+
+    from ..plans.registry import REGISTRY
+
+    spec = REGISTRY["train_test_split"]
+    REGISTRY["train_test_split"] = dataclasses.replace(spec, oracle=_split_oracle())
+
+
+_install_split_oracle()
 
 
 @register(

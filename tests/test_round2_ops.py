@@ -335,3 +335,72 @@ def test_ngram_auto_strategy_profile(spark):
         for r in dedup_ngram_jaccard(spark, sf, tha=tha, strategy="band").collect()
     }
     assert auto_pairs == band_pairs and auto_pairs, (len(auto_pairs), len(band_pairs))
+
+
+def test_corpus_curate_stage_semantics(spark, tmp_path):
+    """The r7 curation pipeline (train_test_split part='curated') on a
+    corpus engineered to fire EVERY stage: short docs (quality), verbatim
+    + whitespace-variant copies (exact dedup — the driver fixture is
+    dup-free so the stage never fires there), near-dup clones (minhash),
+    and clean survivors. Pins stage precedence (quality beats exact:
+    a short doc that is also a copy reports rejected:quality), keeper
+    semantics (min doc_id survives; a COPY of a quality-rejected doc is
+    the keeper of its group, not an exact_dup reject), and oracle
+    parity on the same synthetic corpus."""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    src = SF_SMALL
+    out = str(tmp_path / "curate_corpus")
+    import os
+
+    os.makedirs(out)
+    from flink_parameter_server_spark.sources import TABLES
+
+    for tab in TABLES:
+        if tab != "documents":
+            shutil.copy(f"{src}/{tab}.parquet", f"{out}/{tab}.parquet")
+
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(20))
+    docs = [
+        (1, body + " alpha", "en", "web"),          # clean keeper
+        (2, body + " alpha", "en", "web"),          # verbatim copy -> exact_dup
+        (3, "  " + body.upper() + "   ALPHA ", "en", "web"),  # case/ws variant -> exact_dup
+        (4, body + " alpha beta", "en", "web"),     # near-dup of 1 -> near_dup
+        (5, "short doc", "en", "web"),              # quality reject
+        (6, "short doc", "en", "web"),              # quality reject (copy of 5: quality wins)
+        (7, " ".join(f"uniq{i}x{i * 3}" for i in range(40)), "en", "web"),  # clean
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{out}/_tmp_docs")
+    import glob
+
+    [part] = glob.glob(f"{out}/_tmp_docs/part-*.parquet")
+    shutil.move(part, f"{out}/documents.parquet")
+    shutil.rmtree(f"{out}/_tmp_docs")
+
+    spec = REGISTRY["train_test_split"]
+    df = spec.fn(spark, out)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.where("part = 'curated'").collect()
+    }
+    assert got[5] == "rejected:quality" and got[6] == "rejected:quality"
+    assert got[2] == "rejected:exact_dup" and got[3] == "rejected:exact_dup"
+    assert got[4] == "rejected:near_dup"
+    assert got[1] in ("train", "valid", "test")
+    assert got[7] in ("train", "valid", "test")
+
+    con = duckdb.connect()
+    register_duck_views(con, out)
+    ok, msg = compare(spec.fn(spark, out), con, spec.oracle)
+    assert ok, msg
