@@ -1,0 +1,190 @@
+"""Persistent IVF index: build once, probe many (north-star ANN at
+100 TB).
+
+The registry's `embedding_ann_topk` IVF branch recomputes its coarse
+quantizer inline per query — right for an oracle-checked single-shot
+query, wrong for a serving catalog. This module is the production
+shape its docstring promises:
+
+- :func:`build_ivf_index` — sampled seeded k-means (Lloyd iterations as
+  pure DataFrame ops: broadcast centroids, argmax-cosine assignment,
+  per-dimension mean via posexplode + groupBy) and TWO parquet tables:
+  ``centroids`` (cid, cv, nc) and ``cells`` (vec_id, embedding, ne)
+  written ``partitionBy("cid")`` — the cell IS the partition.
+- :func:`ivf_search` — assign each query to its ``n_probe``
+  best-cosine centroids (one broadcast of the <= n_cells centroid
+  table), then scan ONLY the probed cells: the probed cid set is
+  bounded by n_cells, so it collects to the driver and pushes down as
+  a literal partition filter — the scan's PartitionFilters prune every
+  unprobed cell without listing its files. Exact cosine re-rank inside
+  the probed cells.
+
+Scale shape: the index build is one crossJoin against a broadcast
+centroid table per Lloyd iteration (bounded: n_cells rows) plus one
+partitioned write; a 100 TB catalog shards `cells` across thousands of
+cid partitions and every query batch touches n_probe of them. Recall
+tuning = n_probe (multi-probe) or n_cells; ``n_probe >= n_cells``
+degrades gracefully to exact brute force (pinned losslessly in
+tests/test_ann_index.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import int_hash
+from ..functions.vectors import as_double, norm2
+from .similarity import _fast_cosine
+
+IVF_SEED = 2027
+
+
+def _normed(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.where(norm2(as_double(F.col(vec_col))) > 0).withColumn(
+        out, F.sqrt(norm2(as_double(F.col(vec_col))))
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, ne) x broadcast centroids -> argmax-cosine cid."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "ne",
+            "cid",
+            _fast_cosine(
+                as_double(F.col("embedding")), F.col("cv"), F.col("ne"), F.col("nc")
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ne", "cid")
+    )
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = IVF_SEED,
+) -> None:
+    """Train the coarse quantizer and write the index.
+
+    ``emb``: (vec_id, embedding array<float>). Init = the n_cells
+    vectors first in seeded-hash order (deterministic, replayable —
+    FIXTURES.md discipline; at 100 TB swap for a sampled init, the
+    iterations are unchanged). Each Lloyd iteration: one broadcast
+    assignment pass + one per-dimension mean (posexplode -> groupBy
+    (cid, pos) -> rebuild), i.e. two shuffles per iteration on the
+    exploded (row x dim) relation. Zero-norm vectors are excluded (they
+    have no cosine cell).
+    """
+    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+    cent = (
+        v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id"))
+            .alias("cid"),
+            as_double(F.col("embedding")).alias("cv"),
+            F.col("ne").alias("nc"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign(v, cent)
+        means = (
+            assigned.select("cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+        )
+        cent = (
+            means.where(norm2(F.col("cv")) > 0)
+            .select("cid", "cv", F.sqrt(norm2(F.col("cv"))).alias("nc"))
+            .localCheckpoint()
+        )
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{index_dir}/cells")
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors per query from the persisted index.
+
+    ``queries``: (query_id, qv array<float|double>). The probed cid set
+    is <= n_cells regardless of query count, so it is collected and
+    pushed as a LITERAL `cid IN (...)` filter — static partition
+    pruning on the cells scan (no dynamic-pruning dependency, visible
+    as PartitionFilters in the plan, pinned by tests). Returns
+    (query_id, neighbor_id, cos_sim, rk <= k).
+    """
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    q = _normed(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        "embedding",
+        "ne",
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "ne",
+            "cid",
+            _fast_cosine(
+                as_double(F.col("embedding")), F.col("cv"), F.col("ne"), F.col("nc")
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("ne").alias("nq"),
+            "cid",
+        )
+    )
+    probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+    cells = spark.read.parquet(f"{index_dir}/cells").where(
+        F.col("cid").isin(probed_cids)
+    )
+    scored = (
+        probes.join(cells, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")),
+                    as_double(F.col("embedding")),
+                    F.col("nq"),
+                    F.col("ne"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -1,0 +1,125 @@
+"""Persistent IVF index (operators/ann_index.py): build/load/search
+split. Pins (1) graceful degradation to EXACT brute force at full
+probe, (2) useful recall at n_probe=2, (3) static partition pruning on
+the probed cells — the property that makes the index an index."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.functions.vectors import as_double, norm2
+from flink_parameter_server_spark.operators._util import t
+from flink_parameter_server_spark.operators.ann_index import build_ivf_index, ivf_search
+from flink_parameter_server_spark.operators.similarity import _fast_cosine
+from tests.conftest import SF_SMALL
+
+SF = SF_SMALL.replace("0.001", "0.01")
+K = 10
+N_CELLS = 16
+
+
+def _queries(spark):
+    return (
+        t(spark, SF, "embeddings")
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+def _brute_topk(spark, k):
+    e = t(spark, SF, "embeddings").where(norm2(as_double(F.col("embedding"))) > 0)
+    e = e.withColumn("ne", F.sqrt(norm2(as_double(F.col("embedding")))))
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("ne").alias("nq")
+    )
+    scored = (
+        q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "ne"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _fast_cosine(as_double(F.col("qv")), as_double(F.col("embedding")), F.col("nq"), F.col("ne")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def test_ivf_index_roundtrip_full_probe_is_exact(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in _brute_topk(spark, K).collect()
+    }
+    assert got == want and got
+
+
+def test_ivf_index_partial_probe_recall_and_pruning(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
+    res = ivf_search(spark, idx, _queries(spark), k=K, n_probe=2)
+
+    # pruning: the cells scan must carry a literal cid partition filter
+    # (the probed set is bounded by n_cells, pushed with isin) — this is
+    # what makes the probe read n_probe cells instead of the catalog
+    import re
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cid#\d+ INSET", plan), plan[:4000]
+
+    # recall@K vs brute force: the fixture's embeddings are near-uniform
+    # (IVF's WORST case — cosine neighbors of random vectors spread
+    # across cells), so the measured recall is 0.50 at n_probe=2 / 0.58
+    # at 4 of 16 cells; assert with margin below the measured value.
+    # On clustered real catalogs the same quantizer concentrates recall
+    # — the fixture number is a floor, not the operating point.
+    got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in _brute_topk(spark, K).collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.4, recall
+
+
+def test_ivf_index_clustered_corpus_high_recall(spark, tmp_path):
+    """The operating-point complement to the uniform-fixture floor: on
+    a corpus with real cluster structure (8 well-separated centers,
+    tight noise) the trained quantizer must put same-cluster vectors in
+    the same cell, so even n_probe=1 recalls nearly everything."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 64)) * 10.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.normal(size=64) * 0.1).astype("float32")))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    emb = spark.createDataFrame(pdf)
+
+    idx = str(tmp_path / "ivf_clustered")
+    build_ivf_index(spark, emb, idx, n_cells=8, iters=3)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_search(spark, idx, queries, k=K, n_probe=1).collect()
+    }
+    # ground truth: same-cluster membership — every true top-10 neighbor
+    # of query q is in q's cluster (cluster radius << center separation)
+    bad = [(q, n) for q, n in got if n % 8 != q % 8]
+    assert not bad, bad[:5]
+    # and the probe must actually return k neighbors for every query
+    per_q = {}
+    for q, n in got:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == K for v in per_q.values()), per_q
