@@ -107,10 +107,10 @@ sh AS MATERIALIZED (
 )"""
 
 
-def token_hash_arrays(spark, sf_dir):
-    """Persisted (doc_id, source, n_chars, th array<bigint>) — the token
-    hash sequence per document, shared by minhash, simhash AND ngram
-    dedup (one build instead of three).
+def token_hashes(docs):
+    """(doc_id, th array<bigint>) from any (doc_id, text, ...) frame —
+    the distinct-vocab token hash build, factored so streaming batches
+    (streaming/incremental_dedup.py) reuse the exact batch arithmetic.
 
     The interpreted per-character hash fold runs ONCE PER DISTINCT TOKEN
     (a tiny vocabulary dimension), not once per token occurrence:
@@ -126,7 +126,6 @@ def token_hash_arrays(spark, sf_dir):
     degrades gracefully to a shuffled hash join and the fold work is
     still O(|vocab|), the theoretical minimum.
     """
-    docs = t(spark, sf_dir, "documents")
     # hash-partition by doc_id (not round-robin): spreads the single-file
     # scan the same, and the per-doc reassembly groupBy below then reuses
     # this exchange instead of re-shuffling every token occurrence
@@ -137,7 +136,7 @@ def token_hash_arrays(spark, sf_dir):
     vhash = (
         pos.select("tok").distinct().select("tok", poly_hash(F.col("tok"), 0).alias("h"))
     )
-    th = (
+    return (
         pos.join(F.broadcast(vhash), "tok")
         .groupBy("doc_id")
         .agg(
@@ -146,23 +145,26 @@ def token_hash_arrays(spark, sf_dir):
             ).alias("th")
         )
     )
+
+
+def token_hash_arrays(spark, sf_dir):
+    """Persisted (doc_id, source, n_chars, th array<bigint>) — the token
+    hash sequence per document, shared by minhash, simhash AND ngram
+    dedup (one build instead of three). See :func:`token_hashes` for
+    the distinct-vocab hash design."""
+    docs = t(spark, sf_dir, "documents")
+    th = token_hashes(docs.select("doc_id", "text"))
     return (
         scratch(docs.select("doc_id", "source", "n_chars").join(th, "doc_id"))
     )
 
 
-def hashed_shingles(spark, sf_dir, tha=None):
-    """Persisted (doc_id, shingles array<bigint>) — the shared shingle
-    stage of minhash and simhash dedup, derived map-only from the
-    token-hash arrays (see token_hash_arrays for the hashing design).
+def shingle_sets(th_df):
+    """(doc_id, shingles array<bigint>) from (doc_id, th) — map-only.
     Shingle combination uses slice+zip_with (NOT element_at in a
     positional transform) so Catalyst's projection collapse can only
     inline the hash-array expression a constant number of times,
-    keeping work O(tokens)/doc.
-    """
-    if tha is None:
-        tha = token_hash_arrays(spark, sf_dir)
-    th = tha.select("doc_id", "th")
+    keeping work O(tokens)/doc. Factored for streaming batch reuse."""
     n = F.size("th")
     s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
     s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
@@ -170,8 +172,8 @@ def hashed_shingles(spark, sf_dir, tha=None):
     shingles = F.zip_with(
         F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
     )
-    out = (
-        th.select(
+    return (
+        th_df.select(
             "doc_id",
             F.array_distinct(
                 # guard: Spark sequence(1, 0) would be DESCENDING, not empty
@@ -180,7 +182,39 @@ def hashed_shingles(spark, sf_dir, tha=None):
         )
         .where(F.size("shingles") > 0)
     )
-    return scratch(out)
+
+
+def hashed_shingles(spark, sf_dir, tha=None):
+    """Persisted (doc_id, shingles array<bigint>) — the shared shingle
+    stage of minhash and simhash dedup, derived map-only from the
+    token-hash arrays (see token_hashes/shingle_sets for the design)."""
+    if tha is None:
+        tha = token_hash_arrays(spark, sf_dir)
+    return scratch(shingle_sets(tha.select("doc_id", "th")))
+
+
+def minhash_bands(sh):
+    """(doc_id, b, band_key) LSH band signatures from (doc_id,
+    shingles) — N_BANDS rows per doc. Factored from dedup_minhash_lsh
+    so the incremental signature store persists exactly these keys."""
+    mh = sh.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform(F.col("shingles"), _mixer(seed))) for seed in MINHASH_SEEDS]
+        ).alias("mh"),
+    )
+    return mh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "b",
+        (
+            F.element_at("mh", F.col("b") * 2 + 1) * F.lit(MOD)
+            + F.element_at("mh", F.col("b") * 2 + 2)
+        ).alias("band_key"),
+    )
 
 
 def _mixer(seed):
@@ -228,25 +262,7 @@ def dedup_minhash_lsh(spark, sf_dir, sh=None):
     (non-oracle-reproducible) hash families — see tests."""
     if sh is None:
         sh = hashed_shingles(spark, sf_dir)  # persisted: bands + both verify branches reuse it
-    mh = sh.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[F.array_min(F.transform(F.col("shingles"), _mixer(seed))) for seed in MINHASH_SEEDS]
-        ).alias("mh"),
-    )
-    bands = mh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
-        F.col("mh"),
-    ).select(
-        "doc_id",
-        "b",
-        (
-            F.element_at("mh", F.col("b") * 2 + 1) * F.lit(MOD)
-            + F.element_at("mh", F.col("b") * 2 + 2)
-        ).alias("band_key"),
-    )
+    bands = minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,191 @@
+"""Incremental near-dup dedup against a persisted signature store —
+the continuous-ingestion form of D24 (north-star: a 100 TB corpus is
+not deduped once, it GROWS; every arriving batch must be checked
+against everything already accepted without recomputing the corpus).
+
+State = two append-only parquet tables under ``store_dir``:
+
+- ``bands``    (doc_id, b, band_key) — MinHash-LSH band signatures of
+  every ACCEPTED doc (N_BANDS rows/doc), written ``partitionBy("b")``
+  so the candidate probe scans band-by-band.
+- ``shingles`` (doc_id, shingles)    — the exact-verify sets.
+
+Per batch (:func:`process_batch`):
+
+1. signature the batch with the SAME seeded pipeline as the batch
+   operators (operators/dedup.py token_hashes -> shingle_sets ->
+   minhash_bands — bit-identical keys, so incremental and batch modes
+   agree by construction);
+2. ``dup_of_store``: batch bands equi-join store bands on (b,
+   band_key), exact Jaccard >= JACCARD_T verify against store
+   shingles;
+3. ``dup_in_batch``: survivors near-dup-clustered within the batch
+   (star connected components over the verified pair graph); only each
+   cluster's min-doc_id canonical is accepted;
+4. accepted docs' signatures APPEND to the store; decisions return.
+
+Semantics vs batch `dedup_cluster_canonical` — greedy keep-first, NOT
+connected components across batches: a doc is rejected only if it
+matches an ACCEPTED doc; rejected docs' signatures are not retained,
+so a transitive chain A~B, B~C (A !~ C) split across batches keeps A
+AND C, where whole-corpus CC keeps only A. That is the standard
+streaming-dedup contract (the store stays bounded by accepted docs,
+the decision for a doc never changes retroactively) and exactly
+matches batch mode on chain-free corpora — both pinned in
+tests/test_incremental_dedup.py.
+
+Scale shape: the probe is a keyed equi-join against a partition-pruned
+band scan; no step depends on batch count, and the store grows only
+with ACCEPTED (unique) content. Wire into Structured Streaming with
+:func:`dedup_stream_writer` (foreachBatch — the right tool when a
+micro-batch must join mutable external state and append to it
+transactionally per batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    JACCARD_T,
+    minhash_bands,
+    shingle_sets,
+    star_connected_components,
+    token_hashes,
+)
+
+_BANDS_SCHEMA = "doc_id bigint, b int, band_key bigint"
+_SH_SCHEMA = "doc_id bigint, shingles array<bigint>"
+
+
+def _store(spark, store_dir: str, name: str, schema: str) -> DataFrame:
+    path = os.path.join(store_dir, name)
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands) for a (doc_id, text) batch — the exact batch
+    pipeline arithmetic (seeded, oracle-replayable)."""
+    sh = shingle_sets(token_hashes(docs.select("doc_id", "text"))).localCheckpoint()
+    return sh, minhash_bands(sh)
+
+
+def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
+    """Run one batch through the store; returns decisions
+    (doc_id, decision, dup_of) with decision in
+    'accepted' | 'dup_of_store' | 'dup_in_batch' | 'no_shingles'.
+
+    ``dup_of`` is the (min) accepted doc the rejection traces to;
+    'no_shingles' marks docs too short to signature (< 3 tokens) —
+    they pass through un-deduped, mirroring the batch operators'
+    len >= SHINGLE_N gate.
+    """
+    docs = docs.select("doc_id", "text").localCheckpoint()
+    sh, bands = signatures(docs)
+    bands = bands.localCheckpoint()
+
+    store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
+    store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
+
+    # --- stage 1: against the store ---
+    cand_store = (
+        bands.alias("n")
+        .join(
+            store_bands.alias("s"),
+            (F.col("n.b") == F.col("s.b")) & (F.col("n.band_key") == F.col("s.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("s.doc_id").alias("old_id"))
+        .distinct()
+    )
+    store_dups = (
+        cand_store.join(sh.select(F.col("doc_id"), F.col("shingles").alias("sh_n")), "doc_id")
+        .join(
+            store_sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_s")),
+            "old_id",
+        )
+        .where(
+            F.size(F.array_intersect("sh_n", "sh_s")).cast("double")
+            / F.size(F.array_union("sh_n", "sh_s"))
+            >= JACCARD_T
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .localCheckpoint()
+    )
+
+    # --- stage 2: within the batch, among store-survivors ---
+    surv = sh.join(store_dups.select("doc_id"), "doc_id", "left_anti").localCheckpoint()
+    sbands = minhash_bands(surv)
+    a, b = sbands.alias("a"), sbands.alias("b")
+    cand_in = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        cand_in.join(surv.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(surv.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= JACCARD_T
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    parents, _ = star_connected_components(pairs)
+    batch_dups = parents.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("dup_of")
+    ).localCheckpoint()
+
+    accepted = surv.join(batch_dups.select("doc_id"), "doc_id", "left_anti")
+
+    # --- persist accepted signatures (append-only) ---
+    acc_bands = minhash_bands(accepted)
+    acc_bands.write.mode("append").partitionBy("b").parquet(os.path.join(store_dir, "bands"))
+    accepted.select("doc_id", "shingles").write.mode("append").parquet(
+        os.path.join(store_dir, "shingles")
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(sh.select("doc_id", F.lit(True).alias("has_sh")), "doc_id", "left")
+        .join(store_dups.select("doc_id", F.col("dup_of").alias("d_store")), "doc_id", "left")
+        .join(batch_dups.select("doc_id", F.col("dup_of").alias("d_batch")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("has_sh").isNull(), F.lit("no_shingles"))
+            .when(F.col("d_store").isNotNull(), F.lit("dup_of_store"))
+            .when(F.col("d_batch").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("decision"),
+            F.coalesce("d_store", "d_batch").alias("dup_of"),
+        )
+    )
+
+
+def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions_dir: str):
+    """Wire :func:`process_batch` into a Structured Streaming query:
+    foreachBatch joins each micro-batch against the mutable store and
+    appends decisions to ``decisions_dir`` (doc_id, decision, dup_of,
+    batch_id). Returns the started StreamingQuery."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        process_batch(spark, batch_df, store_dir).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(decisions_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .start()
+    )

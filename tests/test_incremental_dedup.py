@@ -1,0 +1,108 @@
+"""Incremental near-dup dedup (streaming/incremental_dedup.py).
+
+Pins: (1) single-batch incremental == batch dedup_cluster_canonical
+EXACTLY on the driver fixture (same pair set, same CC canonical rule);
+(2) cross-batch store semantics — a later duplicate of an ACCEPTED doc
+is rejected with the right provenance, a later duplicate of a REJECTED
+doc is accepted (greedy keep-first, the documented divergence from
+whole-corpus CC); (3) the foreachBatch streaming wire-up produces the
+same decisions per micro-batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.operators._util import t
+from flink_parameter_server_spark.plans import REGISTRY
+from flink_parameter_server_spark.streaming.incremental_dedup import (
+    dedup_stream_writer,
+    process_batch,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_single_batch_matches_batch_cluster_canonical(spark, tmp_path):
+    store = str(tmp_path / "store")
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    dec = process_batch(spark, docs, store)
+    accepted = {r["doc_id"] for r in dec.where("decision IN ('accepted', 'no_shingles')").collect()}
+    batch = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
+    canonical = {r["doc_id"] for r in batch.where("is_canonical = 1").collect()}
+    assert accepted == canonical
+    # provenance: every in-batch reject points at its cluster canonical
+    rej = {r["doc_id"]: r["dup_of"] for r in dec.where("decision = 'dup_in_batch'").collect()}
+    roots = {r["doc_id"]: r["cluster"] for r in batch.collect()}
+    assert rej and all(roots[d] == p for d, p in rej.items()), rej
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_store_semantics(spark, tmp_path):
+    store = str(tmp_path / "store")
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(30))
+    other = " ".join(f"zz{i} yy{i * 3} xx{i % 5}" for i in range(30))
+
+    # batch 1: A=1 and its clone 2 (one in-batch cluster), unrelated 3
+    d1 = process_batch(
+        spark,
+        _mkdocs(spark, [(1, body), (2, body + " tail"), (3, other)]),
+        store,
+    )
+    got1 = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in d1.collect()}
+    assert got1[1] == ("accepted", None)
+    assert got1[2] == ("dup_in_batch", 1)
+    assert got1[3] == ("accepted", None)
+
+    # batch 2: 10 clones ACCEPTED doc 1 -> dup_of_store(1);
+    # 11 clones REJECTED doc 2's tail variant but not doc 1 closely
+    # enough -> greedy keep-first accepts it only if it misses doc 1;
+    # 12 is fresh
+    d2 = process_batch(
+        spark,
+        _mkdocs(
+            spark,
+            [(10, body), (11, " ".join(f"q{i}w{i}" for i in range(30))), (12, other + " more")],
+        ),
+        store,
+    )
+    got2 = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in d2.collect()}
+    assert got2[10] == ("dup_of_store", 1)
+    assert got2[11] == ("accepted", None)
+    assert got2[12] == ("dup_of_store", 3)  # near-dup of accepted 3
+
+    # the store holds exactly the accepted docs' signatures
+    import os
+
+    sh = spark.read.parquet(os.path.join(store, "shingles"))
+    assert {r["doc_id"] for r in sh.select("doc_id").collect()} == {1, 3, 11}
+
+
+def test_streaming_foreachbatch_wireup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(30))
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _mkdocs(spark, [(1, body)]).coalesce(1).write.parquet(f"{src}/f1")
+    _mkdocs(spark, [(2, body + " tail")]).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = dedup_stream_writer(spark, stream, store, decisions)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = {r["doc_id"]: r["decision"] for r in spark.read.parquet(decisions).collect()}
+    # file order is lexicographic (f1 then f2): 1 accepted, 2 rejected
+    # against the store — i.e. the store carried state ACROSS micro-batches
+    assert dec == {1: "accepted", 2: "dup_of_store"}
+    n_batches = spark.read.parquet(decisions).select("batch_id").distinct().count()
+    assert n_batches == 2
