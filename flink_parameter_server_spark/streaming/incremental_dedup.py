@@ -173,6 +173,79 @@ def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
     )
 
 
+def build_signature_store(spark, docs: DataFrame, store_dir: str) -> None:
+    """Seed a store from a static corpus WITHOUT dedup semantics: every
+    doc's signatures persist (the store = that corpus verbatim). The
+    decontamination primitive: build the store from the EVAL/BENCHMARK
+    set, then :func:`contamination_check` any training corpus against
+    it — the GPT-3/Pile decontamination shape, reusing the identical
+    probe join."""
+    sh, bands = signatures(docs)
+    bands.write.mode("append").partitionBy("b").parquet(os.path.join(store_dir, "bands"))
+    sh.select("doc_id", "shingles").write.mode("append").parquet(
+        os.path.join(store_dir, "shingles")
+    )
+
+
+def contamination_check(spark, docs: DataFrame, store_dir: str) -> DataFrame:
+    """(doc_id, contaminated_by) — training docs that near-duplicate a
+    store (eval-set) doc; clean docs are absent. Read-only: unlike
+    :func:`process_batch` nothing appends, so the same eval store
+    screens any number of corpora."""
+    sh, bands = signatures(docs)
+    store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
+    store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
+    cand = (
+        bands.alias("n")
+        .join(
+            store_bands.alias("s"),
+            (F.col("n.b") == F.col("s.b")) & (F.col("n.band_key") == F.col("s.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("s.doc_id").alias("old_id"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.select("doc_id", F.col("shingles").alias("sh_n")), "doc_id")
+        .join(
+            store_sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_s")),
+            "old_id",
+        )
+        .where(
+            F.size(F.array_intersect("sh_n", "sh_s")).cast("double")
+            / F.size(F.array_union("sh_n", "sh_s"))
+            >= JACCARD_T
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("contaminated_by"))
+    )
+
+
+def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None:
+    """Rewrite the append-only store coalesced: every micro-batch
+    appends one file per touched band partition, so a long-lived store
+    accumulates thousands of small files (the classic streaming-sink
+    pathology — at 100 TB the band scan becomes metadata-bound).
+    Rewrites into a sibling dir then swaps atomically-enough for a
+    single-writer store (run between batches, not concurrently with
+    one)."""
+    import shutil
+
+    for name, part in (("bands", "b"), ("shingles", None)):
+        path = os.path.join(store_dir, name)
+        if not os.path.isdir(path):
+            continue
+        tmp = path + "_compacting"
+        df = spark.read.parquet(path)
+        if part:
+            df.repartition(target_files_per_band, part).write.mode(
+                "overwrite"
+            ).partitionBy(part).parquet(tmp)
+        else:
+            df.coalesce(max(1, target_files_per_band)).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+
 def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions_dir: str):
     """Wire :func:`process_batch` into a Structured Streaming query:
     foreachBatch joins each micro-batch against the mutable store and

@@ -106,3 +106,62 @@ def test_streaming_foreachbatch_wireup(spark, tmp_path):
     assert dec == {1: "accepted", 2: "dup_of_store"}
     n_batches = spark.read.parquet(decisions).select("batch_id").distinct().count()
     assert n_batches == 2
+
+
+def test_decontamination_and_compaction(spark, tmp_path):
+    import os
+
+    from flink_parameter_server_spark.streaming.incremental_dedup import (
+        build_signature_store,
+        compact_store,
+        contamination_check,
+    )
+
+    store = str(tmp_path / "eval_store")
+    eval_body = " ".join(f"ev{i} benchmark{i % 5} item{i % 9}" for i in range(30))
+    # seed the store from the "eval set" (two appends -> small files)
+    build_signature_store(spark, _mkdocs(spark, [(900, eval_body)]), store)
+    build_signature_store(
+        spark, _mkdocs(spark, [(901, " ".join(f"other{i}" for i in range(30)))]), store
+    )
+
+    # training corpus: 1 contaminated (near-clone of eval 900), 2 clean
+    corpus = _mkdocs(
+        spark,
+        [
+            (1, eval_body + " suffix"),
+            (2, " ".join(f"clean{i}x{i * 7}" for i in range(30))),
+            (3, "short"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["contaminated_by"]
+        for r in contamination_check(spark, corpus, store).collect()
+    }
+    assert got == {1: 900}
+
+    # read-only: the store is unchanged by the check
+    n_before = spark.read.parquet(os.path.join(store, "shingles")).count()
+    assert n_before == 2
+
+    # compaction halves the file count and preserves content exactly
+    bands_before = spark.read.parquet(os.path.join(store, "bands"))
+    rows_before = {tuple(r) for r in bands_before.collect()}
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(os.path.join(store, "bands"))
+    )
+    compact_store(spark, store)
+    bands_after = spark.read.parquet(os.path.join(store, "bands"))
+    assert {tuple(r) for r in bands_after.collect()} == rows_before
+    files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(os.path.join(store, "bands"))
+    )
+    assert files_after < files_before
+    # and the check still works against the compacted store
+    got2 = {
+        r["doc_id"]: r["contaminated_by"]
+        for r in contamination_check(spark, corpus, store).collect()
+    }
+    assert got2 == {1: 900}
