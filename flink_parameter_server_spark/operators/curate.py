@@ -43,8 +43,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import int_hash
 from ..functions.text import tokens
+from ._dedup_core import star_connected_components
 from ._util import t
-from .dedup import dedup_minhash_lsh, star_connected_components
 
 CURATE_MIN_CHARS = 100
 CURATE_MIN_TOKENS = 15
@@ -79,6 +79,11 @@ def corpus_curate(spark, sf_dir):
     surv2 = surv1k.where("e_ok").select("doc_id", "lang", "source")
 
     # stage 3 — near-dup canonical among remaining survivors
+    # (dedup imported lazily: at registration time this module loads
+    # while operators.dedup may still be initializing — _dedup_core
+    # holds the cycle-free primitives, dedup.py the registered ops)
+    from .dedup import dedup_minhash_lsh
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )

@@ -25,8 +25,8 @@ Q_BITS = 127.0
 
 
 def _split_oracle() -> str:
+    from ._dedup_core import _MINHASH_SQL
     from .curate import curate_oracle_sql
-    from .dedup import _MINHASH_SQL
 
     plain = f"""
 SELECT 'split_all' AS part, doc_id, lang, source,

@@ -49,7 +49,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (
+from ..operators._dedup_core import (
     JACCARD_T,
     minhash_bands,
     shingle_sets,
