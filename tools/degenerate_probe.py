@@ -169,10 +169,16 @@ def generate(
                 # filters, so every zero-length branch downstream (empty
                 # token array, empty utf-8 byte list, cs[1]/cs[len(cs)] on
                 # an empty DuckDB list) actually executes (ADVICE r6 on the
-                # multimodal features oracle)
+                # multimodal features oracle). A second parity class gets
+                # WHITESPACE-ONLY text with a tab: the space-only tokenizer
+                # keeps '\t' as a "token" (messy-input realism), while the
+                # normalized-dedup regex collapses it — the two paths must
+                # disagree identically in both engines.
                 sliced = sliced.withColumn(
                     "text",
-                    F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(F.col("text")),
+                    F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+                    .when(F.col("doc_id") % 4 == 2, F.lit(" \t  "))
+                    .otherwise(F.col("text")),
                 ).withColumn("n_chars", F.length("text").cast("long"))
         elif unicode_:
             if table == "documents":
