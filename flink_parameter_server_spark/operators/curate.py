@@ -14,12 +14,12 @@ repo's own proven stages so the whole pipeline stays oracle-checkable:
   normalized content hash (casefold + whitespace-collapse + trim +
   sha256 — dedup_exact's 'normalized' form, recomputed over the
   survivor set so a rejected doc can't crowd out a surviving copy).
-- stage 3 near-dup: MinHash-LSH pairs (dedup_minhash_lsh, computed on
-  the full corpus — pair membership depends only on the two docs'
-  signatures, so the full pair set filtered to survivor endpoints IS
-  the survivor-induced pair graph), clustered with the alternating
-  star connected-components operator; only each cluster's min-doc_id
-  canonical survives.
+- stage 3 near-dup: MinHash-LSH pairs computed on the SURVIVOR subset
+  (pair membership depends only on the two docs' signatures, so this
+  equals the full-corpus pair set filtered to survivor endpoints —
+  which is exactly what the oracle computes), clustered with the
+  alternating star connected-components operator; only each cluster's
+  min-doc_id canonical survives.
 - stage 4 split: the stratified seeded-ntile train/valid/test split
   over the final survivors (train_test_split's exact mechanics).
 
@@ -78,18 +78,27 @@ def corpus_curate(spark, sf_dir):
     )
     surv2 = surv1k.where("e_ok").select("doc_id", "lang", "source")
 
-    # stage 3 — near-dup canonical among remaining survivors
+    # stage 3 — near-dup canonical among remaining survivors. The
+    # minhash build runs on the SURVIVOR subset only (pair membership
+    # depends only on the two docs' signatures, so signaturing fewer
+    # docs changes nothing about which survivor pairs verify — the
+    # oracle computes the full-corpus pair set and filters endpoints,
+    # provably the same set); at 100 TB the quality+exact stages have
+    # already dropped the junk before the expensive banding pays for it.
     # (dedup imported lazily: at registration time this module loads
     # while operators.dedup may still be initializing — _dedup_core
     # holds the cycle-free primitives, dedup.py the registered ops)
+    from ..scratch import scratch
+    from ._dedup_core import shingle_sets, token_hashes
     from .dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+    surv_docs = d.select("doc_id", "text").join(
+        surv2.select("doc_id"), "doc_id", "left_semi"
+    )
+    sh2 = scratch(shingle_sets(token_hashes(surv_docs)))
+    edges = dedup_minhash_lsh(spark, sf_dir, sh=sh2).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    ids_a = surv2.select(F.col("doc_id").alias("a"))
-    ids_b = surv2.select(F.col("doc_id").alias("b"))
-    edges = pairs.join(ids_a, "a", "left_semi").join(ids_b, "b", "left_semi")
     parents, _ = star_connected_components(edges)
     rooted = surv2.join(
         parents.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
