@@ -1,0 +1,212 @@
+"""`fpsqueue` — a Spark 4 Python Data Source over file-queue topics.
+
+The A10 transport (streaming/transport.py) models a Kafka topic as an
+append-only directory of parquet message files. Its consumer uses
+Spark's builtin file source, which orders files by MTIME — forcing the
+producer to stamp every send with utime to make arrival order explicit.
+This module is the native-API upgrade: a custom
+``spark.read/readStream.format("fpsqueue")`` source whose offset IS the
+explicit arrival sequence (the sorted file list), so consumers get
+Kafka-like semantics from the DataSource API itself:
+
+- **batch read**: every message currently on the topic;
+- **stream read**: ``initialOffset = 0`` files; each micro-batch covers
+  files ``[start, end)`` in (mtime, name) order — exactly-once per file
+  under checkpointing, like Kafka offsets (the engine persists the
+  offset JSON; ``commit`` is a no-op because the topic is immutable);
+- **stream write**: each epoch appends one parquet file per non-empty
+  task, then stamps it into the global arrival order (the transport's
+  monotonic-utime contract) — a Kafka producer's append.
+
+Usage:
+    df = (spark.readStream.format("fpsqueue")
+          .option("path", topic_dir).option("ddl", "k long, v string")
+          .load())
+
+Registration: ``spark.dataSource.register(FPSQueueDataSource)`` (done
+lazily by :func:`register`). The reader runs on Python workers and
+reads parquet via pyarrow — Arrow-batched, not row-at-a-time parsing;
+one InputPartition per message file, so a wide topic scan parallelizes
+across executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _topic_files(path: str) -> list[str]:
+    """Message files in arrival order: (mtime, relpath) — mtime is the
+    transport's stamped monotonic sequence, relpath the tiebreak.
+    Spark-convention hidden/staging entries (any path component starting
+    with '_' or '.', e.g. an in-flight writer's _temporary dir) and
+    empty files are invisible — a concurrent producer must never expose
+    a half-written message to the offset listing."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                if st.st_size > 0:
+                    out.append((st.st_mtime, os.path.relpath(p, path), p))
+    return [p for _, _, p in sorted(out)]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+def _read_files(paths: list[str], schema: StructType):
+    import pyarrow.parquet as pq
+
+    cols = schema.fieldNames()
+    for p in paths:
+        tbl = pq.read_table(p, columns=cols)
+        for batch in tbl.to_batches():
+            yield from zip(*(batch.column(c).to_pylist() for c in cols))
+
+
+class FPSQueueBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self._schema = schema
+        self._files = _topic_files(path)
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self._files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _read_files([partition.path], self._schema)
+
+
+class FPSQueueStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self._path = path
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(_topic_files(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _topic_files(self._path)[start["n"] : end["n"]]
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _read_files([partition.path], self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # topic files are immutable; the engine persists the offset
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str | None) -> None:
+        self.path = path
+
+
+class FPSQueueStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self._path = path
+        self._schema = schema
+
+    def write(self, iterator) -> _WroteFile:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        if not rows:
+            return _WroteFile(None)
+        ctx = TaskContext.get()
+        cols = self._schema.fieldNames()
+        data = {c: [getattr(r, c) for r in rows] for c in cols}
+        os.makedirs(self._path, exist_ok=True)
+        # staged name: commit() renames into arrival order
+        p = os.path.join(
+            self._path, f"_staged_{uuid.uuid4().hex}_{ctx.partitionId()}.parquet"
+        )
+        pq.write_table(pa.table(data), p)
+        return _WroteFile(p)
+
+    def commit(self, messages, batch_id: int) -> None:
+        # stamp committed files strictly after everything on the topic
+        # (the transport's monotonic arrival contract), then publish by
+        # rename — readers never see a staged file
+        latest = 0.0
+        for f in _topic_files(self._path):
+            latest = max(latest, os.stat(f).st_mtime)
+        for i, m in enumerate(messages):
+            if m.path is None:
+                continue
+            final = os.path.join(
+                self._path, f"batch_{batch_id:08d}_{i:04d}.parquet"
+            )
+            os.rename(m.path, final)
+            stamp = max(latest + 2.0, os.stat(final).st_mtime)
+            os.utime(final, (stamp, stamp))
+            latest = stamp
+
+    def abort(self, messages, batch_id: int) -> None:
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class FPSQueueDataSource(DataSource):
+    """format("fpsqueue"): options `path` (topic dir) and `ddl` (schema)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fpsqueue"
+
+    def schema(self):
+        ddl = self.options.get("ddl")
+        if not ddl:
+            raise ValueError("fpsqueue requires .option('ddl', '<schema ddl>')")
+        return ddl
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("fpsqueue requires .option('path', <topic dir>)")
+        return path
+
+    def reader(self, schema: StructType) -> FPSQueueBatchReader:
+        return FPSQueueBatchReader(self._path(), schema)
+
+    def streamReader(self, schema: StructType) -> FPSQueueStreamReader:
+        return FPSQueueStreamReader(self._path(), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> FPSQueueStreamWriter:
+        return FPSQueueStreamWriter(self._path(), schema)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for this session."""
+    spark.dataSource.register(FPSQueueDataSource)
+
+
+# keep json import visible for offset (de)serialization contract readers
+_ = json
