@@ -95,17 +95,56 @@ class FPSQueueBatchReader(DataSourceReader):
 
 
 class FPSQueueStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: StructType) -> None:
+    """Offset = count of topic files consumed, in stamped arrival order.
+
+    ``max_files_per_batch`` rate-limits admission the only way the
+    Python DataSource API allows: the JVM admission-control interface
+    (latestOffset(start, limit)) is not exposed to Python sources, so
+    the reader SELF-TRACKS the last batch boundary it handed out.
+    Measured engine behavior (this repo, Spark 4.1): latestOffset is
+    called BEFORE initialOffset on a fresh query, so the tracker seeds
+    to 0 at construction — correct for fresh runs. Two consequences,
+    both explicit rather than silent:
+
+    - ``trigger(availableNow=True)`` computes ONE target offset up
+      front (latestOffset is called once), so the drain lands in one
+      coarse batch regardless of the limit — drain with
+      processAllAvailable when per-file batches matter (run_server's
+      fpsqueue path does).
+    - RESUMING a checkpoint with the limit set would hand the engine an
+      end offset BEHIND the checkpointed start (the committed offset is
+      not visible to the reader until partitions()), whose empty batch
+      would move the offset log backwards and replay files on the next
+      restart; partitions() RAISES on that underrun instead of
+      corrupting the checkpoint. Restart paths keep the builtin file
+      source (exact admission control) — see
+      FileQueueTransport.run_server."""
+
+    def __init__(self, path: str, schema: StructType, max_files_per_batch: int | None) -> None:
         self._path = path
         self._schema = schema
+        self._mfb = max_files_per_batch
+        self._last_end = 0
 
     def initialOffset(self) -> dict:
+        self._last_end = 0
         return {"n": 0}
 
     def latestOffset(self) -> dict:
-        return {"n": len(_topic_files(self._path))}
+        total = len(_topic_files(self._path))
+        if self._mfb is None:
+            return {"n": total}
+        return {"n": min(total, self._last_end + self._mfb)}
 
     def partitions(self, start: dict, end: dict):
+        if end["n"] < start["n"]:
+            raise ValueError(
+                "fpsqueue: maxFilesPerBatch cannot resume from a checkpoint "
+                f"(committed offset {start['n']} is ahead of the rate-limited "
+                f"target {end['n']}); restart without maxFilesPerBatch or use "
+                "the builtin file source for restartable rate-limited reads"
+            )
+        self._last_end = end["n"]
         files = _topic_files(self._path)[start["n"] : end["n"]]
         return [_FilePartition(p) for p in files] or [_FilePartition("")]
 
@@ -197,7 +236,12 @@ class FPSQueueDataSource(DataSource):
         return FPSQueueBatchReader(self._path(), schema)
 
     def streamReader(self, schema: StructType) -> FPSQueueStreamReader:
-        return FPSQueueStreamReader(self._path(), schema)
+        mfb = self.options.get("maxFilesPerBatch") or self.options.get(
+            "maxfilesperbatch"
+        )
+        return FPSQueueStreamReader(
+            self._path(), schema, int(mfb) if mfb is not None else None
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> FPSQueueStreamWriter:
         return FPSQueueStreamWriter(self._path(), schema)
