@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import int_hash, int_hash_sql
+from ..functions.hashing import MOD, int_hash, int_hash_sql
+from ..functions.text import tokens, tokens_sql
 from ..functions.vectors import as_double, norm2, norm2_sql
 from ..plans.registry import register
 from ._util import t
@@ -22,6 +23,10 @@ from ._util import t
 SPLIT_SEED = 77
 N_TILES = 10  # 8/1/1 -> train/valid/test
 Q_BITS = 127.0
+PACK_SHARDS = 8  # at 100 TB set ~= cluster parallelism
+PACK_BUDGET = 256  # whitespace tokens per training pack
+MIX_GRID = 1 << 20  # integer grid for sqrt(n_g) so the group sum is exact
+MIX_MAX_COPIES = 4  # upsampling cap (guards tiny-group blowup)
 
 
 def _split_oracle() -> str:
@@ -42,11 +47,59 @@ FROM (
 ) t
 """
     curated = curate_oracle_sql(_MINHASH_SQL, int_hash_sql("doc_id", 0, 77))
+    packed = f"""
+SELECT 'packed' AS part, doc_id, lang, source,
+       'pack_' || CAST(shard AS VARCHAR) || '_'
+               || CAST(CAST(floor((cum - tok) / {PACK_BUDGET}) AS BIGINT) AS VARCHAR) AS split
+FROM (
+  SELECT doc_id, lang, source, tok, shard,
+         sum(tok) OVER (PARTITION BY shard
+                        ORDER BY hk NULLS FIRST, doc_id NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (
+    SELECT doc_id, lang, source,
+           COALESCE(len({tokens_sql('text')}), 0) AS tok,
+           {int_hash_sql('doc_id', 4, SPLIT_SEED)} AS hk,
+           ({int_hash_sql('doc_id', 4, SPLIT_SEED)}) % {PACK_SHARDS} AS shard
+    FROM documents) raw) packed_win
+"""
+    mixture = f"""
+WITH cnts AS (
+  SELECT lang AS g_lang, count(*) AS n_g,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {MIX_GRID}) AS BIGINT) AS s_g,
+         sum(count(*)) OVER () AS n_tot,
+         sum(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {MIX_GRID}) AS BIGINT)) OVER () AS s_tot
+  FROM documents GROUP BY lang
+),
+rated AS (
+  SELECT d.doc_id, d.lang, d.source,
+         (CAST(c.n_tot AS DOUBLE) * CAST(c.s_g AS DOUBLE))
+           / (CAST(c.n_g AS DOUBLE) * CAST(c.s_tot AS DOUBLE)) AS r,
+         {int_hash_sql('d.doc_id', 3, SPLIT_SEED)} AS h
+  FROM documents d JOIN cnts c ON d.lang IS NOT DISTINCT FROM c.g_lang
+),
+cop AS (
+  SELECT doc_id, lang, source,
+         least(CAST(floor(r) AS BIGINT)
+               + CASE WHEN h < CAST(floor((r - floor(r)) * {MOD}) AS BIGINT)
+                      THEN 1 ELSE 0 END,
+               {MIX_MAX_COPIES}) AS copies
+  FROM rated
+)
+SELECT 'mixture' AS part, doc_id, lang, source,
+       'mix' || CAST(ci AS VARCHAR) AS split
+FROM cop, unnest(generate_series(1, CAST(copies AS BIGINT))) AS u(ci)
+WHERE copies >= 1
+"""
     return f"""
 SELECT * FROM ({plain}) AS plain_part
 UNION ALL
 SELECT 'curated' AS part, doc_id, lang, source, split
 FROM ({curated}) AS curated_part
+UNION ALL
+SELECT * FROM ({packed}) AS packed_part
+UNION ALL
+SELECT * FROM ({mixture}) AS mixture_part
 """
 
 
