@@ -120,7 +120,21 @@ SELECT * FROM ({mixture}) AS mixture_part
     "exact-dedup keeper -> MinHash-LSH near-dup canonical -> stratified "
     "split — one decision per input document ('rejected:quality' | "
     "'rejected:exact_dup' | 'rejected:near_dup' | train/valid/test); "
-    "see operators/curate.py for the staged design and scale shape.",
+    "see operators/curate.py for the staged design and scale shape. "
+    "'packed' (r8): token-budget training packs — docs are sharded by a "
+    "seeded hash (PACK_SHARDS ~= cluster parallelism at 100 TB), ordered "
+    "pseudo-randomly within the shard, and a running token sum assigns "
+    "pack id floor((cum-tok)/PACK_BUDGET): each shard's running-sum "
+    "window is an independent partition, so the only shuffle is the "
+    "shard exchange and packing parallelizes across the cluster. "
+    "'mixture' (r8): sqrt-scaled language upsampling (the multilingual "
+    "sampling-temperature shape, tau=2) — per-lang copy counts are "
+    "computed on an integer grid (floor(sqrt(n_g)*2^20)) so the group "
+    "sum is exact in both engines, fractional copies resolve by seeded "
+    "per-doc hash vs the fraction on the same integer grid, capped at "
+    "MIX_MAX_COPIES, and rows are exploded via sequence(). The lang "
+    "histogram is a tiny aggregate broadcast back to documents — one "
+    "scan, no extra shuffle at any scale.",
 )
 def train_test_split(spark, sf_dir):
     from .curate import corpus_curate
@@ -143,7 +157,97 @@ def train_test_split(spark, sf_dir):
     curated = corpus_curate(spark, sf_dir).select(
         F.lit("curated").alias("part"), "doc_id", "lang", "source", "split"
     )
-    return plain.unionByName(curated)
+    return (
+        plain.unionByName(curated)
+        .unionByName(_packed_part(d))
+        .unionByName(_mixture_part(d))
+    )
+
+
+def _packed_part(d):
+    """Spark twin of the 'packed' oracle half (_split_oracle): greedy
+    token-budget packing by running sum within seeded-hash shards."""
+    hk = int_hash(F.col("doc_id"), 4, SPLIT_SEED)
+    raw = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).cast("long").alias("tok"),
+        hk.alias("hk"),
+        (hk % F.lit(PACK_SHARDS)).alias("shard"),
+    )
+    cum_win = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("hk").asc_nulls_first(), F.col("doc_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = raw.withColumn("cum", F.sum("tok").over(cum_win))
+    pack_id = F.floor((F.col("cum") - F.col("tok")) / F.lit(PACK_BUDGET)).cast("long")
+    return packed.select(
+        F.lit("packed").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit("pack_"),
+            F.col("shard").cast("string"),
+            F.lit("_"),
+            pack_id.cast("string"),
+        ).alias("split"),
+    )
+
+
+def _mixture_part(d):
+    """Spark twin of the 'mixture' oracle half: per-language sqrt-scaled
+    copy counts (sampling-temperature tau=2 upsampling) on an exact
+    integer grid, resolved per-doc by seeded hash, exploded via
+    sequence(). cnts is a |langs|-row aggregate — broadcast back."""
+    cnts = (
+        d.groupBy(F.col("lang").alias("g_lang"))
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn(
+            "s_g",
+            F.floor(F.sqrt(F.col("n_g").cast("double")) * F.lit(MIX_GRID)).cast("long"),
+        )
+    )
+    totals = cnts.agg(
+        F.sum("n_g").alias("n_tot"), F.sum("s_g").alias("s_tot")
+    )
+    cnts = cnts.crossJoin(F.broadcast(totals))
+    rated = d.join(
+        F.broadcast(cnts), d["lang"].eqNullSafe(cnts["g_lang"]), "inner"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            (F.col("n_tot").cast("double") * F.col("s_g").cast("double"))
+            / (F.col("n_g").cast("double") * F.col("s_tot").cast("double"))
+        ).alias("r"),
+        int_hash(F.col("doc_id"), 3, SPLIT_SEED).alias("h"),
+    )
+    frac_grid = F.floor((F.col("r") - F.floor(F.col("r"))) * F.lit(MOD)).cast("long")
+    copies = F.least(
+        F.floor("r").cast("long")
+        + F.when(F.col("h") < frac_grid, F.lit(1)).otherwise(F.lit(0)),
+        F.lit(MIX_MAX_COPIES).cast("long"),
+    )
+    cop = rated.select("doc_id", "lang", "source", copies.alias("copies")).where(
+        F.col("copies") >= 1
+    )
+    return cop.select(
+        F.lit("mixture").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))).alias("ci"),
+    ).select(
+        "part",
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(F.lit("mix"), F.col("ci").cast("string")).alias("split"),
+    )
 
 
 def _install_split_oracle() -> None:

@@ -181,6 +181,7 @@ def test_stratified_split_proportions_exact(spark):
     rows = REGISTRY["train_test_split"].fn(spark, SF_SMALL).collect()
     per_stratum = Counter()
     per_split = Counter()
+    rows = [r for r in rows if r.part == "split_all"]
     for r in rows:
         per_stratum[(r.lang, r.source)] += 1
         per_split[(r.lang, r.source, r.split)] += 1
