@@ -31,8 +31,10 @@ notes the series change.
 Since round 7 (VERDICT r6 next-round #1): the bench is PROBE-GATED.
 Before any timed rep it runs tools/host_health.probe() (two small
 plan-stable entries vs the committed healthy-host medians in
-tools/healthy_baseline.json) and stamps the result into the artifact
-as `host_probe` plus a top-level `host_degraded` flag.  A degraded run
+tools/healthy_baseline.json) and stamps a top-level `host_degraded`
+boolean into the compact stdout artifact; the full `host_probe`
+payload goes to the BENCH_samples side file (r8 — the inline payload
+re-created the r5 parsed:null truncation).  A degraded run
 can therefore never silently become the round's number: the r6 driver
 artifact carried a judge-verified ~1.2-1.9x uniform host factor that
 was only discoverable by cross-referencing BASELINE.md prose.  Warmup
@@ -169,12 +171,14 @@ def main() -> None:
     if warmup_errors:
         compact["warmup_errors"] = warmup_errors
     if host_probe is not None:
-        compact["host_probe"] = host_probe
         compact["host_degraded"] = not host_probe.get("healthy", True)
 
-    # Raw per-rep samples go to a side file, NOT the stdout line: r5's
-    # inline samples made the line outgrow the driver's tail-capture
-    # window and the artifact came back parsed:null.
+    # Raw per-rep samples AND the full host_probe payload go to a side
+    # file, NOT the stdout line: r5's inline samples made the line
+    # outgrow the driver's tail-capture window (parsed:null), and r7's
+    # inline host_probe re-created the same failure with a different
+    # field (VERDICT r7 wrong-#2/next-#3). Only the boolean
+    # `host_degraded` stamp rides inline.
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(f[len("BENCH_r"):-len(".json")])
@@ -185,7 +189,7 @@ def main() -> None:
     n_round = (max(rounds) + 1) if rounds else 0
     side = os.path.join(here, f"BENCH_samples_r{n_round:02d}.json")
     with open(side, "w") as fh:
-        json.dump({"samples": samples, **compact}, fh)
+        json.dump({"samples": samples, "host_probe": host_probe, **compact}, fh)
     print(f"# samples written to {side}", file=sys.stderr)
 
     # The compact medians-only object is the single final stdout line.

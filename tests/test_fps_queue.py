@@ -175,3 +175,41 @@ def test_server_answers_equivalent_across_consumers(fpsq, spark, tmp_path):
     batches = sorted(by_batch)
     assert by_batch[batches[0]] == {(0.0, 0.0)}
     assert by_batch[batches[-1]] == {(1.5, -2.0)}
+
+
+def test_offset_boundary_contract_violation_raises(fpsq, spark, tmp_path):
+    """ADVICE r7: positional offsets are only stable under the
+    producer's monotonic-utime contract. The offset JSON pins the
+    boundary file's (mtime, relpath); if a contract-breaking producer
+    re-orders the listing between latestOffset and partitions, the
+    slice RAISES instead of silently skipping/replaying files."""
+    from flink_parameter_server_spark.sources.fps_queue import (
+        FPSQueueStreamReader,
+        _topic_files,
+    )
+
+    topic = str(tmp_path / "topic")
+    _produce(spark, topic, [(1, "a")], "1")
+    _produce(spark, topic, [(2, "b")], "2")
+    # stamp an explicit arrival order: f1 before f2
+    files = _topic_files(topic)
+    for i, f in enumerate(files):
+        os.utime(f, (1000.0 + i, 1000.0 + i))
+
+    reader = FPSQueueStreamReader(topic, None, None)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end["n"] == 2 and "last" in end
+
+    # contract violation: the boundary file's arrival stamp changes
+    # (an un-stamped producer rewriting mtimes), re-ordering the listing
+    last_file = _topic_files(topic)[-1]
+    os.utime(last_file, (10.0, 10.0))  # now sorts FIRST, not last
+
+    with pytest.raises(ValueError, match="boundary mismatch"):
+        reader.partitions(start, end)
+
+    # clean listing (re-stamped to match the recorded boundary) slices fine
+    os.utime(last_file, (1001.0, 1001.0))
+    parts = reader.partitions(start, end)
+    assert len(parts) == 2

@@ -108,6 +108,66 @@ def test_streaming_foreachbatch_wireup(spark, tmp_path):
     assert n_batches == 2
 
 
+def test_replay_idempotency(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch against
+    the store (the replay shape) must not self-reject accepted docs,
+    must not duplicate store signature rows, and the per-batch
+    decision overwrite must keep exactly one row per doc (ADVICE r7)."""
+    import os
+
+    store = str(tmp_path / "store")
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(30))
+    batch = _mkdocs(spark, [(1, body), (2, body + " tail"), (3, "short")])
+
+    d1 = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in process_batch(spark, batch, store).collect()}
+    sh_rows = spark.read.parquet(os.path.join(store, "shingles")).count()
+    band_rows = spark.read.parquet(os.path.join(store, "bands")).count()
+
+    # replay: the store already holds this batch's accepted docs
+    d2 = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in process_batch(spark, batch, store).collect()}
+    assert d2[1] == ("accepted", None), d2  # NOT dup_of_store of itself
+    assert d2[3] == ("no_shingles", None)
+    # 2 stays rejected with the same provenance (decision label may move
+    # from dup_in_batch to dup_of_store — its canonical is stored now)
+    assert d2[2][1] == 1 and d2[2][0] in ("dup_in_batch", "dup_of_store")
+    assert d1[2][1] == 1
+    # no duplicate signature rows appended by the replay
+    assert spark.read.parquet(os.path.join(store, "shingles")).count() == sh_rows
+    assert spark.read.parquet(os.path.join(store, "bands")).count() == band_rows
+
+
+def test_streaming_decisions_overwrite_per_batch(spark, tmp_path):
+    """The sink writes each batch's decisions under bid=<batch_id> with
+    overwrite — simulate a replay by calling the inner write path twice
+    and assert one decision row per doc survives."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(30))
+    _mkdocs(spark, [(1, body), (2, body + " tail")]).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = dedup_stream_writer(spark, stream, store, decisions)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # manual replay of batch 0 (same docs, same bid)
+    replay = _mkdocs(spark, [(1, body), (2, body + " tail")])
+    process_batch(spark, replay, store).withColumn("batch_id", F.lit(0)).write.mode(
+        "overwrite"
+    ).parquet(f"{decisions}/bid=0")
+
+    rows = spark.read.parquet(decisions).collect()
+    assert len(rows) == 2  # one row per doc, not four
+    dec = {r["doc_id"]: r["decision"] for r in rows}
+    assert dec[1] == "accepted" and dec[2] in ("dup_in_batch", "dup_of_store")
+
+
 def test_decontamination_and_compaction(spark, tmp_path):
     import os
 
