@@ -1,11 +1,17 @@
 """End-to-end corpus curation pipeline (north-star LLM-data surface):
 
-    quality gate -> exact-dedup keeper -> near-dup canonical -> split
+    quality gate -> exact-dedup keeper -> eval decontamination ->
+    near-dup canonical -> split
 
 One DataFrame out with a per-document DECISION — the composition a
 100 TB training-data pipeline actually runs, built entirely from this
 repo's own proven stages so the whole pipeline stays oracle-checkable:
 
+- stage 0 eval holdout (r8): a deterministic seeded-hash subset of the
+  corpus plays the held-out EVAL/BENCHMARK set (1/CURATE_EVAL_MOD of
+  docs — replayable by the oracle, standing in for the external eval
+  suite a real pipeline loads). Eval docs bypass curation with
+  decision 'eval_holdout'.
 - stage 1 quality: structural gate (n_chars >= CURATE_MIN_CHARS and
   whitespace-token count >= CURATE_MIN_TOKENS; null text fails). The
   thresholds are deliberately simple length signals — the richer
@@ -14,26 +20,39 @@ repo's own proven stages so the whole pipeline stays oracle-checkable:
   normalized content hash (casefold + whitespace-collapse + trim +
   sha256 — dedup_exact's 'normalized' form, recomputed over the
   survivor set so a rejected doc can't crowd out a surviving copy).
-- stage 3 near-dup: MinHash-LSH pairs computed on the SURVIVOR subset
-  (pair membership depends only on the two docs' signatures, so this
-  equals the full-corpus pair set filtered to survivor endpoints —
-  which is exactly what the oracle computes), clustered with the
-  alternating star connected-components operator; only each cluster's
-  min-doc_id canonical survives.
-- stage 4 split: the stratified seeded-ntile train/valid/test split
+- stage 3 decontamination (r8): the GPT-3/Pile shape — any surviving
+  training doc that NEAR-DUPLICATES an eval doc (MinHash-LSH band
+  match + exact Jaccard >= JACCARD_T, the identical probe
+  streaming/incremental_dedup.contamination_check runs against a
+  persisted store; equivalence pinned in
+  tests/test_incremental_dedup.py) is 'rejected:contaminated'. Runs
+  after the cheap structural gates, before the expensive CC.
+- stage 4 near-dup: MinHash-LSH pairs computed on the needed subset
+  only — decontaminated survivors plus the eval set (pair membership
+  depends only on the two docs' signatures, so this equals the
+  full-corpus pair set filtered to those endpoints — which is exactly
+  what the oracle computes), clustered with the alternating star
+  connected-components operator; only each cluster's min-doc_id
+  canonical survives.
+- stage 5 split: the stratified seeded-ntile train/valid/test split
   over the final survivors (train_test_split's exact mechanics).
 
 Decision vocabulary (the `split` column of part='curated' rows):
-'rejected:quality' | 'rejected:exact_dup' | 'rejected:near_dup' |
-'train' | 'valid' | 'test'. Every input document appears exactly once.
+'eval_holdout' | 'rejected:quality' | 'rejected:exact_dup' |
+'rejected:contaminated' | 'rejected:near_dup' | 'train' | 'valid' |
+'test'. Every input document appears exactly once.
 
-Scale shape: stage 1 is map-only; stage 2 one shuffle on the content
-hash; stage 3 is the banded-LSH equi-join plus ~log n CC rounds (two
-shuffles/round); stage 4 one window shuffle on the stratum key. No
-stage materializes to the driver beyond CC's bounded convergence probe.
-At 100 TB each stage's survivor set only shrinks, so the expensive
-stages run on ever-smaller inputs — the pipeline is strictly cheaper
-than running its stages standalone.
+Scale shape: stages 0-1 are map-only; stage 2 one shuffle on the
+content hash; stage 3 is a banded equi-join against the SMALL eval
+side (at 100 TB the eval set is a few benchmark suites — the probe is
+effectively a broadcast-sized band store, same shape as
+contamination_check's partition-pruned scan); stage 4 the banded-LSH
+equi-join plus ~log n CC rounds (two shuffles/round); stage 5 one
+window shuffle on the stratum key. No stage materializes to the
+driver beyond CC's bounded convergence probe. At 100 TB each stage's
+survivor set only shrinks, so the expensive stages run on
+ever-smaller inputs — the pipeline is strictly cheaper than running
+its stages standalone.
 """
 
 from __future__ import annotations
@@ -50,18 +69,32 @@ CURATE_MIN_CHARS = 100
 CURATE_MIN_TOKENS = 15
 N_TILES = 10  # 8/1/1 like train_test_split
 CURATE_SEED = 77  # same seeded permutation as the plain split
+CURATE_EVAL_J = 5  # hash stream for the eval-holdout draw
+CURATE_EVAL_MOD = 13  # ~1/13 of docs act as the held-out eval set
+
+
+def is_eval_holdout():
+    """The seeded eval-set membership predicate (Column<bool> over
+    doc_id) — the single definition both the Spark pipeline and the
+    store-equivalence test use."""
+    return int_hash(F.col("doc_id"), CURATE_EVAL_J, CURATE_SEED) % CURATE_EVAL_MOD == 0
 
 
 def corpus_curate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    base = d.select(
+    full = d.select(
         "doc_id",
         "lang",
         "source",
         "text",
         "n_chars",
         F.size(tokens(F.col("text"))).alias("n_toks"),
+        is_eval_holdout().alias("is_eval"),
     )
+
+    # stage 0 — eval holdout: the seeded subset is the benchmark set;
+    # it bypasses curation and screens the training side below
+    base = full.where(~F.col("is_eval"))
 
     # stage 1 — quality gate (null text: both comparisons go NULL and
     # the filter/CASE treat non-true as reject, identically in DuckDB)
@@ -78,13 +111,14 @@ def corpus_curate(spark, sf_dir):
     )
     surv2 = surv1k.where("e_ok").select("doc_id", "lang", "source")
 
-    # stage 3 — near-dup canonical among remaining survivors. The
-    # minhash build runs on the SURVIVOR subset only (pair membership
-    # depends only on the two docs' signatures, so signaturing fewer
-    # docs changes nothing about which survivor pairs verify — the
-    # oracle computes the full-corpus pair set and filters endpoints,
-    # provably the same set); at 100 TB the quality+exact stages have
-    # already dropped the junk before the expensive banding pays for it.
+    # stages 3+4 share ONE signature build over exactly the docs whose
+    # pairs matter: decontamination needs (survivor x eval) pairs,
+    # near-dup CC needs (survivor x survivor) — so signature the
+    # survivors plus the eval set and filter endpoints per stage (pair
+    # membership depends only on the two docs' signatures, so
+    # signaturing a subset changes nothing about which of its pairs
+    # verify — the oracle computes the full-corpus pair set and
+    # filters endpoints, provably the same sets).
     # (dedup imported lazily: at registration time this module loads
     # while operators.dedup may still be initializing — _dedup_core
     # holds the cycle-free primitives, dedup.py the registered ops)
@@ -92,15 +126,41 @@ def corpus_curate(spark, sf_dir):
     from ._dedup_core import shingle_sets, token_hashes
     from .dedup import dedup_minhash_lsh
 
-    surv_docs = d.select("doc_id", "text").join(
-        surv2.select("doc_id"), "doc_id", "left_semi"
+    eval_ids = full.where("is_eval").select("doc_id")
+    sig_docs = d.select("doc_id", "text").join(
+        surv2.select("doc_id").unionByName(eval_ids),
+        "doc_id",
+        "left_semi",
     )
-    sh2 = scratch(shingle_sets(token_hashes(surv_docs)))
-    edges = dedup_minhash_lsh(spark, sf_dir, sh=sh2).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    sh2 = scratch(shingle_sets(token_hashes(sig_docs)))
+    pairs = scratch(dedup_minhash_lsh(spark, sf_dir, sh=sh2))
+
+    # stage 3 — decontamination: survivors that near-dup an eval doc.
+    # Same probe semantics as incremental_dedup.contamination_check
+    # (band equi-join + exact Jaccard verify, already folded into the
+    # verified `pairs` set) — equivalence pinned in tests.
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("peer")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("peer"))
+    )
+    contam = (
+        sym.join(eval_ids.withColumnRenamed("doc_id", "peer"), "peer", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .join(surv2.select("doc_id"), "doc_id", "left_semi")
+    )
+    surv2d = surv2.join(contam, "doc_id", "left_anti")
+
+    # stage 4 — near-dup canonical among decontaminated survivors
+    ids2d = surv2d.select("doc_id")
+    edges = (
+        pairs.join(ids2d.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(ids2d.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     parents, _ = star_connected_components(edges)
-    rooted = surv2.join(
+    rooted = surv2d.join(
         parents.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
         "doc_id",
         "left",
@@ -109,7 +169,7 @@ def corpus_curate(spark, sf_dir):
     )
     surv3 = rooted.where(F.col("root") == F.col("doc_id"))
 
-    # stage 4 — stratified seeded split over the final survivors
+    # stage 5 — stratified seeded split over the final survivors
     win = Window.partitionBy("lang", "source").orderBy(
         int_hash(F.col("doc_id"), 0, CURATE_SEED), F.col("doc_id")
     )
@@ -124,16 +184,19 @@ def corpus_curate(spark, sf_dir):
 
     # assemble one decision per input document
     return (
-        base.select("doc_id", "lang", "source", q_ok.alias("q_ok"))
+        full.select("doc_id", "lang", "source", "is_eval", q_ok.alias("q_ok"))
         .join(surv1k.select("doc_id", "e_ok"), "doc_id", "left")
+        .join(contam.withColumn("is_contam", F.lit(True)), "doc_id", "left")
         .join(rooted.select("doc_id", "root"), "doc_id", "left")
         .join(tiles, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
             "source",
-            F.when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
+            F.when(F.col("is_eval"), F.lit("eval_holdout"))
+            .when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
             .when(~F.col("e_ok"), F.lit("rejected:exact_dup"))
+            .when(F.coalesce("is_contam", F.lit(False)), F.lit("rejected:contaminated"))
             .when(F.col("root") != F.col("doc_id"), F.lit("rejected:near_dup"))
             .otherwise(F.col("final_split"))
             .alias("split"),
@@ -145,18 +208,25 @@ def curate_oracle_sql(minhash_pairs_sql: str, int_hash_sql_expr: str) -> str:
     """DuckDB twin of :func:`corpus_curate`, staged CTE for CTE.
 
     ``minhash_pairs_sql`` is dedup's _MINHASH_SQL verbatim (single
-    source of truth for the pair set); ``int_hash_sql_expr`` the seeded
-    integer hash of doc_id used by the split ordering."""
+    source of truth for the pair set — it covers the FULL corpus, so
+    the decontamination and CC stages filter its endpoints exactly as
+    the Spark side's subset-signature build does); ``int_hash_sql_expr``
+    the seeded integer hash of doc_id used by the split ordering."""
+    from ..functions.hashing import int_hash_sql
+
+    eval_pred = f"({int_hash_sql('doc_id', CURATE_EVAL_J, CURATE_SEED)}) % {CURATE_EVAL_MOD} = 0"
     return f"""
 WITH RECURSIVE
 curate_base AS (
   SELECT doc_id, lang, source, text, n_chars,
-         len(list_filter(string_split(text, ' '), tk -> tk <> '')) AS n_toks
+         len(list_filter(string_split(text, ' '), tk -> tk <> '')) AS n_toks,
+         {eval_pred} AS is_eval
   FROM documents
 ),
 surv1 AS (
   SELECT * FROM curate_base
-  WHERE n_chars >= {CURATE_MIN_CHARS} AND n_toks >= {CURATE_MIN_TOKENS}
+  WHERE NOT is_eval
+    AND n_chars >= {CURATE_MIN_CHARS} AND n_toks >= {CURATE_MIN_TOKENS}
 ),
 surv1k AS (
   SELECT *,
@@ -167,21 +237,34 @@ surv1k AS (
 ),
 surv2 AS (SELECT doc_id, lang, source FROM surv1k WHERE e_ok),
 mh_pairs AS ({minhash_pairs_sql}),
+contam AS (
+  SELECT DISTINCT s.doc_id FROM surv2 s
+  JOIN (
+    SELECT doc_a AS did, doc_b AS peer FROM mh_pairs
+    UNION ALL
+    SELECT doc_b AS did, doc_a AS peer FROM mh_pairs
+  ) sym ON s.doc_id = sym.did
+  JOIN curate_base e ON sym.peer = e.doc_id AND e.is_eval
+),
+surv2d AS (
+  SELECT * FROM surv2
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
 curate_edges AS (
   SELECT p.doc_a AS a, p.doc_b AS b FROM mh_pairs p
-  JOIN surv2 sa ON p.doc_a = sa.doc_id JOIN surv2 sb ON p.doc_b = sb.doc_id
+  JOIN surv2d sa ON p.doc_a = sa.doc_id JOIN surv2d sb ON p.doc_b = sb.doc_id
   UNION ALL
   SELECT p.doc_b AS a, p.doc_a AS b FROM mh_pairs p
-  JOIN surv2 sa ON p.doc_a = sa.doc_id JOIN surv2 sb ON p.doc_b = sb.doc_id
+  JOIN surv2d sa ON p.doc_a = sa.doc_id JOIN surv2d sb ON p.doc_b = sb.doc_id
 ),
 reach AS (
-  SELECT doc_id AS src, doc_id AS dst FROM surv2
+  SELECT doc_id AS src, doc_id AS dst FROM surv2d
   UNION
   SELECT r.src, e.b AS dst FROM reach r JOIN curate_edges e ON r.dst = e.a
 ),
 cc AS (SELECT src AS doc_id, min(dst) AS root FROM reach GROUP BY src),
 surv3 AS (
-  SELECT s.doc_id, s.lang, s.source FROM surv2 s
+  SELECT s.doc_id, s.lang, s.source FROM surv2d s
   JOIN cc ON s.doc_id = cc.doc_id AND cc.root = s.doc_id
 ),
 tiles AS (
@@ -198,15 +281,18 @@ tiles AS (
 )
 SELECT b.doc_id, b.lang, b.source,
        CASE
+         WHEN b.is_eval THEN 'eval_holdout'
          WHEN NOT coalesce(b.n_chars >= {CURATE_MIN_CHARS}
                            AND b.n_toks >= {CURATE_MIN_TOKENS}, FALSE)
            THEN 'rejected:quality'
          WHEN NOT k.e_ok THEN 'rejected:exact_dup'
+         WHEN ct.doc_id IS NOT NULL THEN 'rejected:contaminated'
          WHEN cc.root <> b.doc_id THEN 'rejected:near_dup'
          ELSE ti.final_split
        END AS split
 FROM curate_base b
 LEFT JOIN surv1k k ON b.doc_id = k.doc_id
+LEFT JOIN contam ct ON b.doc_id = ct.doc_id
 LEFT JOIN cc ON b.doc_id = cc.doc_id
 LEFT JOIN tiles ti ON b.doc_id = ti.doc_id
 """

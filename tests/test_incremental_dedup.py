@@ -225,3 +225,47 @@ def test_decontamination_and_compaction(spark, tmp_path):
         for r in contamination_check(spark, corpus, store).collect()
     }
     assert got2 == {1: 900}
+
+
+def test_curate_contamination_equals_store_probe(spark, tmp_path):
+    """VERDICT r7 #5: the curated pipeline's 'rejected:contaminated'
+    stage must equal contamination_check against a store built from
+    the SAME eval subset — the inline (oracle-checked) form and the
+    persisted-store (serving) form are one operator."""
+    from flink_parameter_server_spark.operators._util import t as _t
+    from flink_parameter_server_spark.operators.curate import (
+        corpus_curate,
+        is_eval_holdout,
+    )
+    from flink_parameter_server_spark.streaming.incremental_dedup import (
+        build_signature_store,
+        contamination_check,
+    )
+
+    d = _t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    eval_docs = d.where(is_eval_holdout())
+    store = str(tmp_path / "eval_store")
+    build_signature_store(spark, eval_docs, store)
+
+    # the store probe flags contaminated docs among ALL training docs;
+    # the curated stage only marks those that survived quality+exact —
+    # compare on that same survivor scope by intersecting decisions
+    dec = corpus_curate(spark, SF_SMALL)
+    curated_contam = {
+        r["doc_id"] for r in dec.where("split = 'rejected:contaminated'").collect()
+    }
+    assert curated_contam, "fixture must exercise the contaminated branch"
+
+    probe = contamination_check(spark, d.where(~is_eval_holdout()), store)
+    probe_hits = {r["doc_id"] for r in probe.collect()}
+    # every curated-contaminated doc is a store-probe hit...
+    assert curated_contam <= probe_hits
+    # ...and the only probe hits NOT marked contaminated are docs the
+    # pipeline rejected EARLIER (quality/exact precede decontamination)
+    earlier = {
+        r["doc_id"]
+        for r in dec.where(
+            "split IN ('rejected:quality', 'rejected:exact_dup')"
+        ).collect()
+    }
+    assert probe_hits - curated_contam <= earlier

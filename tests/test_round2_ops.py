@@ -369,6 +369,10 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
             shutil.copy(f"{src}/{tab}.parquet", f"{out}/{tab}.parquet")
 
     body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(20))
+    bench = " ".join(f"bench{i} eval{i % 5} item{i % 9}" for i in range(25))
+    # doc_id 13 is in the seeded eval holdout (int_hash(13,5,77)%13==0 —
+    # see curate.is_eval_holdout); 8 near-duplicates it -> contaminated,
+    # and contamination must take precedence over near-dup CC
     docs = [
         (1, body + " alpha", "en", "web"),          # clean keeper
         (2, body + " alpha", "en", "web"),          # verbatim copy -> exact_dup
@@ -377,6 +381,8 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
         (5, "short doc", "en", "web"),              # quality reject
         (6, "short doc", "en", "web"),              # quality reject (copy of 5: quality wins)
         (7, " ".join(f"uniq{i}x{i * 3}" for i in range(40)), "en", "web"),  # clean
+        (8, bench + " tail", "en", "web"),          # near-dup of eval 13 -> contaminated
+        (13, bench, "en", "web"),                   # eval holdout member
     ]
     import pandas as pd
 
@@ -398,6 +404,8 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
     assert got[5] == "rejected:quality" and got[6] == "rejected:quality"
     assert got[2] == "rejected:exact_dup" and got[3] == "rejected:exact_dup"
     assert got[4] == "rejected:near_dup"
+    assert got[13] == "eval_holdout"
+    assert got[8] == "rejected:contaminated"
     assert got[1] in ("train", "valid", "test")
     assert got[7] in ("train", "valid", "test")
 
