@@ -210,6 +210,10 @@ def _mixture_part(d):
             F.floor(F.sqrt(F.col("n_g").cast("double")) * F.lit(MIX_GRID)).cast("long"),
         )
     )
+    # 1-row totals broadcast onto the |langs|-row histogram — a bounded
+    # BroadcastNestedLoopJoin, whitelisted in the registry plan sweep
+    # (a constant-key equi-join is no escape: Catalyst folds the
+    # literal keys away and plans BNLJ regardless)
     totals = cnts.agg(
         F.sum("n_g").alias("n_tot"), F.sum("s_g").alias("s_tot")
     )

@@ -44,6 +44,9 @@ BOUNDED_BNLJ = {
     "sketch_point_queries": (3, "constant sketch probe grids"),
     # BM25/TF-IDF broadcast the 1-row (N, avgdl) corpus statistics
     "text_retrieval": (2, "1-row corpus-statistic aggs"),
+    # the mixture part attaches the 1-row (n_tot, s_tot) totals agg to
+    # the |langs|-row histogram before broadcasting it to documents
+    "train_test_split": (1, "1-row lang-histogram totals agg"),
 }
 
 
