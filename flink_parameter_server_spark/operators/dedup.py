@@ -271,6 +271,112 @@ def dedup_simhash(spark, sf_dir, sh=None):
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr shape, re-cast
+# as DataFrame ops: a shared k-token span IS an exact repeated
+# substring, up to rolling-hash collision at 1/MOD)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per span (paper uses 50; fixture docs are 10-99 toks)
+SPAN_DF_CAP = 50  # drop spans present in more docs (boilerplate guard)
+
+
+def _span_roll_sql() -> str:
+    """Rolling polynomial combine of K consecutive token hashes —
+    identical nesting to the Spark zip_with chain; exact int64 (token
+    hashes < MOD=1e6, so MOD*31^7 ~ 2.7e16 stays far under 2^63)."""
+    expr = "th[i]"
+    for k in range(1, SPAN_K):
+        expr = f"({expr} * 31 + th[i + {k}])"
+    return f"({expr}) % {MOD}"
+
+
+_SUBSTR_SQL = f"""
+WITH th AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - {SPAN_K - 1} + 1),
+           i -> {_span_roll_sql()})) AS spans
+  FROM th WHERE len(th) >= {SPAN_K}
+),
+se AS (SELECT doc_id, unnest(spans) AS sp FROM spans),
+sdf AS (SELECT sp, count(*) AS c FROM se GROUP BY sp),
+sef AS (
+  SELECT se.doc_id, se.sp FROM se JOIN sdf ON se.sp = sdf.sp
+  WHERE sdf.c BETWEEN 2 AND {SPAN_DF_CAP}
+),
+sp_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sef a JOIN sef b ON a.sp = b.sp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ns AS (SELECT doc_id, len(spans) AS n FROM spans)
+SELECT 'substring' AS method, doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6) AS score
+FROM sp_pairs
+JOIN ns na ON doc_a = na.doc_id JOIN ns nb ON doc_b = nb.doc_id
+"""
+
+
+def dedup_substring_spans(spark, sf_dir, tha=None):
+    """Exact-substring near-dup: two docs pair iff they share >= 1
+    k-token span (rolling hash of k consecutive token hashes — an
+    exact repeated substring up to 1/MOD collisions); score = shared
+    distinct spans / min(spans_a, spans_b), a containment measure that
+    hits 1.0 when one doc's text is contained in the other.
+
+    Scale shape: span build is map-only over the shared token-hash
+    arrays; ONE groupBy(span) computes document frequency and the
+    DF cap (2..SPAN_DF_CAP) both drops boilerplate spans (the
+    quadratic hot keys — headers, licenses — exactly what the paper
+    trims) and bounds per-span fan-out to cap^2/2 pairs, so the
+    pair-generating equi-join never degenerates; final pair agg is one
+    shuffle on (doc_a, doc_b). No all-pairs path at any scale.
+    """
+    if tha is None:
+        tha = token_hash_arrays(spark, sf_dir)
+    n = F.size("th")
+    m = n - F.lit(SPAN_K - 1)
+    acc = F.slice(F.col("th"), F.lit(1), m)
+    for k in range(1, SPAN_K):
+        acc = F.zip_with(
+            acc, F.slice(F.col("th"), F.lit(1 + k), m), lambda x, y: x * 31 + y
+        )
+    spans_col = F.array_distinct(F.transform(acc, lambda x: x % F.lit(MOD)))
+    spans = scratch(
+        tha.select("doc_id", "th")
+        .where(n >= SPAN_K)
+        .select("doc_id", spans_col.alias("spans"))
+    )
+    se = spans.select("doc_id", F.explode("spans").alias("sp"))
+    sdf = se.groupBy("sp").agg(F.count(F.lit(1)).alias("c"))
+    sef = se.join(
+        sdf.where((F.col("c") >= 2) & (F.col("c") <= SPAN_DF_CAP)).select("sp"), "sp"
+    )
+    a = sef.select(F.col("doc_id").alias("doc_a"), "sp")
+    b = sef.select(F.col("doc_id").alias("doc_b"), "sp")
+    pairs = (
+        a.join(b, ["sp"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ns = spans.select("doc_id", F.size("spans").alias("n_spans"))
+    return (
+        pairs.join(ns.select(F.col("doc_id").alias("doc_a"), F.col("n_spans").alias("na")), "doc_a")
+        .join(ns.select(F.col("doc_id").alias("doc_b"), F.col("n_spans").alias("nb")), "doc_b")
+        .select(
+            F.lit("substring").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard within blocks (exact verification metric)
 # ---------------------------------------------------------------------------
 
@@ -587,6 +693,8 @@ SELECT * FROM ({_SIMHASH_PAIRS_SQL}) AS simhash_part
 UNION ALL
 SELECT * FROM ({_NGRAM_SQL}) AS ngram_part
 UNION ALL
+SELECT * FROM ({_SUBSTR_SQL}) AS substr_part
+UNION ALL
 SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS emb_part
 """
 
@@ -606,9 +714,13 @@ SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS e
     "hamming distance). 'ngram_jaccard': corpus-profiled blocking "
     "(strategy='auto' since r7 picks (source, length-band) banding vs "
     "PPJoin prefix filtering from a gram-df profile, memoized per "
-    "corpus) + exact bigram Jaccard. 'embedding': cosine >= 0.40 within "
-    "random-hyperplane LSH buckets. Per-method docstrings on the "
-    "underlying functions in this module and operators/similarity.py.",
+    "corpus) + exact bigram Jaccard. 'substring' (r8): the "
+    "ExactSubstr shape of Lee et al. 2022 — shared k-token rolling-"
+    "hash spans with a document-frequency cap on hot (boilerplate) "
+    "spans, score = span containment. 'embedding': cosine >= 0.40 "
+    "within random-hyperplane LSH buckets. Per-method docstrings on "
+    "the underlying functions in this module and "
+    "operators/similarity.py.",
 )
 def dedup_near_dup_pairs(spark, sf_dir):
     from .similarity import embedding_near_dup_pairs
@@ -619,12 +731,13 @@ def dedup_near_dup_pairs(spark, sf_dir):
         F.col("vec_b").alias("doc_b"),
         F.col("cos_sim").alias("score"),
     )
-    tha = token_hash_arrays(spark, sf_dir)  # one hash build for all 3 methods
+    tha = token_hash_arrays(spark, sf_dir)  # one hash build for all 4 text methods
     sh = hashed_shingles(spark, sf_dir, tha=tha)
     return (
         dedup_minhash_lsh(spark, sf_dir, sh=sh)
         .unionByName(dedup_simhash(spark, sf_dir, sh=sh))
         .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir))
+        .unionByName(dedup_substring_spans(spark, sf_dir, tha=tha))
         .unionByName(emb)
     )
 

@@ -413,3 +413,53 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
     register_duck_views(con, out)
     ok, msg = compare(spec.fn(spark, out), con, spec.oracle)
     assert ok, msg
+
+
+def test_substring_span_dedup_semantics(spark):
+    """The r8 ExactSubstr method (dedup.dedup_substring_spans) on an
+    engineered corpus: (1) two docs sharing one 8-token run pair up
+    even when the rest differs completely (MinHash-Jaccard would miss
+    them at ~0.15 sim); (2) containment score hits 1.0 when one doc's
+    span set is a subset of the other's; (3) a boilerplate span
+    occurring in > SPAN_DF_CAP docs generates NO pairs (the hot-key
+    guard that keeps the join bounded at scale)."""
+    from flink_parameter_server_spark.operators.dedup import (
+        SPAN_DF_CAP,
+        dedup_substring_spans,
+    )
+
+    span = " ".join(f"quoted{i}" for i in range(8))  # the shared 8-token run
+    filler_a = " ".join(f"aa{i}" for i in range(40))
+    filler_b = " ".join(f"bb{i}" for i in range(40))
+    boiler = " ".join(f"license{i}" for i in range(8))
+    rows = [
+        (1, f"{filler_a} {span}"),
+        (2, f"{span} {filler_b}"),
+        (3, f"{span}"),  # exactly the span: contained in 1 and 2
+        (4, " ".join(f"solo{i}" for i in range(40))),  # shares nothing
+    ]
+    # boilerplate: the same 8-token run in CAP+2 other docs
+    rows += [
+        (100 + i, f"{boiler} uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e uniq{i}f uniq{i}g")
+        for i in range(SPAN_DF_CAP + 2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = docs.withColumn("source", F.lit("web")).withColumn(
+        "n_chars", F.length("text")
+    )
+    tha = docs.select("doc_id", "source", "n_chars").join(
+        __import__(
+            "flink_parameter_server_spark.operators._dedup_core",
+            fromlist=["token_hashes"],
+        ).token_hashes(docs.select("doc_id", "text")),
+        "doc_id",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["score"]
+        for r in dedup_substring_spans(spark, None, tha=tha).collect()
+    }
+    assert (1, 2) in out and (1, 3) in out and (2, 3) in out
+    assert out[(1, 3)] == 1.0 and out[(2, 3)] == 1.0  # doc 3 fully contained
+    assert not any(4 in p for p in out)
+    # every boilerplate-only pair is suppressed by the DF cap
+    assert not any(a >= 100 and b >= 100 for a, b in out)
