@@ -180,6 +180,83 @@ def predict_binary(inst: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Model-based document quality filtering (r8) — the CCNet/fastText shape:
+# featurize documents, train a linear model on WEAK structural labels,
+# score the corpus with the learned weights. Reuses the PA kernels
+# unchanged because the doc feature space is deliberately N_FEATURES-dim.
+# ---------------------------------------------------------------------------
+
+_DEC28 = "decimal(28,15)"
+
+
+def doc_quality_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(row_id, y, x) PA instances from `documents`: x = 64-dim hashed
+    bag-of-tokens term-frequency vector (token char-fold hash mod
+    N_FEATURES — the fastText hashing trick on the repo's deterministic
+    hash), y = weak structural label (+1 iff the curation quality gate
+    passes: n_chars >= CURATE_MIN_CHARS and tokens >= CURATE_MIN_TOKENS).
+
+    Map-only featurization (no shuffle): the per-feature count is a
+    filter/size over the token-hash array. Token-less docs (empty/null
+    text) carry no features and are excluded, mirroring the oracle's
+    len(th) >= 1 guard."""
+    from ..operators._dedup_core import token_hashes
+    from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
+
+    docs = t(spark, sf_dir, "documents")
+    th = token_hashes(docs.select("doc_id", "text"))
+    j = docs.select("doc_id", "n_chars").join(th, "doc_id")
+    n = F.size("th")
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(N_FEATURES - 1)),
+        lambda f: F.size(
+            F.filter(F.col("th"), lambda h: h % N_FEATURES == f)
+        ).cast("double")
+        / n,
+    )
+    y = (
+        F.when(
+            (F.col("n_chars") >= CURATE_MIN_CHARS) & (n >= CURATE_MIN_TOKENS),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+    return j.where(n >= 1).select(
+        F.col("doc_id").alias("row_id"), y.alias("y"), x.alias("x")
+    )
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score: one aggregated PA-I batch step from w0 over the
+    weak-labeled corpus (w1 = w0 + sum tau_i y_i x_i — :func:`binary_step`
+    verbatim), then every doc scored under the LEARNED w1. Returns
+    (row_id, y, y_pred, margin) like :func:`predict_binary`, margin
+    under w1.
+
+    Scale shape: featurize map-only; the step shuffles (feat_id) with
+    map-side combine (N_FEATURES keys); scoring joins the 64-row w1
+    broadcast against the exploded triplets and folds per doc with
+    exact decimal sums (order-independent, oracle-identical). At 100 TB
+    the weak-label seed set would be a sample, w1 still broadcast."""
+    from ..scratch import scratch
+
+    inst = scratch(doc_quality_instances(spark, sf_dir))
+    w1 = binary_step(inst, "pa1")  # (feat_id, w) — unrounded weights
+    tri = inst.select("row_id", "y", F.posexplode("x").alias("feat_id", "x_f"))
+    sc = (
+        tri.join(F.broadcast(w1), "feat_id")
+        .groupBy("row_id", "y")
+        .agg(F.sum((F.col("x_f") * F.col("w")).cast(_DEC28)).alias("ms"))
+    )
+    m1 = F.col("ms").cast("double")
+    return sc.select(
+        "row_id",
+        F.col("y").cast("long").alias("y"),
+        F.signum(m1).cast("long").alias("y_pred"),
+        F.round(m1, 6).alias("margin"),
+    )
+
+
 def multiclass_step(inst: DataFrame) -> DataFrame:
     """B9 one mini-batch multiclass PA step: for each row, score all
     classes, find the top violating class v != y; tau = loss/(2||x||^2);

@@ -640,21 +640,92 @@ _PA_BINARY_STEPS_SQL = " UNION ALL ".join(
 )
 
 
+def _doc_quality_sql() -> str:
+    """DuckDB twin of pa.doc_quality_filter — featurize documents into
+    the N_FEATURES hashed-tf space, one PA-I batch step from w0 on the
+    weak structural labels, score every doc under the learned w1."""
+    from ..operators._dedup_core import _TOKHASH_SQL
+    from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
+
+    nf = pa.N_FEATURES
+    return f"""
+WITH dq_th AS MATERIALIZED (
+  SELECT doc_id, n_chars, {_TOKHASH_SQL} AS th FROM documents
+),
+dq_inst AS MATERIALIZED (
+  SELECT doc_id AS row_id,
+         CASE WHEN n_chars >= {CURATE_MIN_CHARS} AND len(th) >= {CURATE_MIN_TOKENS}
+              THEN 1.0 ELSE -1.0 END AS y,
+         list_transform(range(0, {nf}),
+           f -> CAST(len(list_filter(th, h -> h % {nf} = f)) AS DOUBLE) / len(th)) AS x
+  FROM dq_th WHERE len(th) >= 1
+),
+dq_m AS (
+  SELECT row_id, y, x, {dot_sql('x', W0_ARR_SQL)} AS margin, {norm2_sql('x')} AS xn
+  FROM dq_inst
+),
+dq_tri AS (
+  SELECT {pa.tau_sql('pa1')} * y AS coef,
+         unnest(x) AS x_f, generate_subscripts(x, 1) - 1 AS feat_id
+  FROM dq_m
+),
+dq_w AS (
+  SELECT CAST(feat_id AS BIGINT) AS feat_id,
+         {W0_SQL('feat_id')}
+           + CAST(sum(CAST(coef * x_f AS DECIMAL(28,15))) AS DOUBLE) AS w
+  FROM dq_tri GROUP BY 1
+),
+dq_tri2 AS (
+  SELECT row_id, y, unnest(x) AS x_f, generate_subscripts(x, 1) - 1 AS feat_id
+  FROM dq_inst
+),
+dq_sc AS (
+  SELECT t.row_id, t.y, sum(CAST(t.x_f * w.w AS DECIMAL(28,15))) AS ms
+  FROM dq_tri2 t JOIN dq_w w ON t.feat_id = w.feat_id
+  GROUP BY 1, 2
+)
+SELECT row_id, CAST(y AS BIGINT) AS y,
+       CAST(sign(CAST(ms AS DOUBLE)) AS BIGINT) AS y_pred,
+       round(CAST(ms AS DOUBLE), 6) + 0.0 AS margin
+FROM dq_sc
+"""
+
+
 @register(
     "pa_predict_binary",
     oracle=f"""
-WITH inst AS ({PA_INST_SQL})
-SELECT row_id, CAST(y AS BIGINT) AS y,
-       CAST(sign({dot_sql('x', W0_ARR_SQL)}) AS BIGINT) AS y_pred,
-       round({dot_sql('x', W0_ARR_SQL)}, 6) + 0.0 AS margin
-FROM inst
+SELECT 'embeddings' AS task, * FROM (
+  WITH inst AS ({PA_INST_SQL})
+  SELECT row_id, CAST(y AS BIGINT) AS y,
+         CAST(sign({dot_sql('x', W0_ARR_SQL)}) AS BIGINT) AS y_pred,
+         round({dot_sql('x', W0_ARR_SQL)}, 6) + 0.0 AS margin
+  FROM inst
+) emb_task
+UNION ALL
+SELECT 'doc_quality' AS task, * FROM ({_doc_quality_sql()}) AS dq_task
 """,
-    tags=("B10",),
-    doc="PA predict: sign of margin under the (deterministic) weights "
-    "(reference: algorithm predict [C-high]).",
+    tags=("B10", "D26"),
+    doc="PA predict surface, discriminated by `task`. 'embeddings': "
+    "sign of margin under the (deterministic) init weights (reference: "
+    "algorithm predict [C-high]). 'doc_quality' (r8): MODEL-BASED "
+    "document quality filtering — the CCNet/fastText shape — documents "
+    "featurized into the same N_FEATURES space via the hashing trick "
+    "(token char-fold hash mod 64, tf-normalized), weak labels from "
+    "the curation structural gate, ONE aggregated PA-I batch step "
+    "learns w1, and every doc is scored under the LEARNED weights "
+    "(margin + sign). The whole train-then-score pipeline is "
+    "hash-checked against the DuckDB twin; ps/pa.py "
+    "doc_quality_filter documents the 100 TB shape (map-only "
+    "featurize, 64-key step shuffle, broadcast-w1 scoring).",
 )
 def pa_predict_binary(spark, sf_dir):
-    return pa.predict_binary(pa.instances(spark, sf_dir))
+    base = pa.predict_binary(pa.instances(spark, sf_dir)).select(
+        F.lit("embeddings").alias("task"), "row_id", "y", "y_pred", "margin"
+    )
+    dq = pa.doc_quality_filter(spark, sf_dir).select(
+        F.lit("doc_quality").alias("task"), "row_id", "y", "y_pred", "margin"
+    )
+    return base.unionByName(dq)
 
 
 @register(

@@ -22,7 +22,7 @@ import pytest
 from flink_parameter_server_spark.plans import REGISTRY
 from tests.conftest import SF_SMALL, register_duck_views
 
-DISCRIMINATORS = ("part", "op", "sketch", "method", "strategy", "kind", "stage")
+DISCRIMINATORS = ("part", "op", "sketch", "method", "strategy", "kind", "stage", "task")
 
 
 def _discriminated_specs():

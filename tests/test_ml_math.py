@@ -116,3 +116,31 @@ def test_pa_multiclass_step_untouched_cells_keep_init(spark):
         by_class.setdefault(r.class_id, []).append(abs(r.w - init) > 1e-12)
     changed_classes = [c for c, flags in by_class.items() if any(flags)]
     assert len(changed_classes) == 2 and 3 in changed_classes
+
+
+def test_doc_quality_filter_learns(spark):
+    """The r8 model-based quality filter (pa.doc_quality_filter): one
+    PA-I batch step on weak structural labels must IMPROVE weak-label
+    agreement over the init weights (0.904 vs 0.866 measured on the
+    sf0.001 fixture) — i.e. the train-then-score pipeline actually
+    learns, it does not just rename predict_binary. Also pins the
+    feature contract: x is a 64-dim tf vector summing to ~1."""
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.ps import pa
+    from tests.conftest import SF_SMALL
+
+    inst = pa.doc_quality_instances(spark, SF_SMALL)
+    row = inst.select(
+        F.size("x").alias("d"),
+        F.round(F.aggregate("x", F.lit(0.0), lambda a, b: a + b), 6).alias("s"),
+    ).first()
+    assert row["d"] == pa.N_FEATURES and abs(row["s"] - 1.0) < 1e-6
+
+    def acc(df):
+        return df.where(F.col("y") == F.col("y_pred")).count() / df.count()
+
+    a_init = acc(pa.predict_binary(inst))
+    a_trained = acc(pa.doc_quality_filter(spark, SF_SMALL))
+    assert a_trained > a_init, (a_trained, a_init)
+    assert a_trained >= 0.88
