@@ -209,6 +209,137 @@ def inverted_index(spark, sf_dir, tf=None):
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-vocabulary training (r8) — learn a byte-pair-encoding merge
+# table FROM the corpus (Sennrich et al. 2016), as DataFrame ops
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 10
+
+
+def _bpe_state0_sql() -> str:
+    # word-frequency table + initial symbol state: characters joined by
+    # DOUBLE spaces, double-space padded — see bpe_merge_vocab for why
+    return f"""
+  SELECT word, count(*) AS freq,
+         '  ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), '  ') || '  ' AS state
+  FROM (SELECT unnest({tokens_sql('text')}) AS word FROM documents)
+  GROUP BY word
+"""
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_merge_vocab`: n chained CTE stages, each
+    = pair count -> argmax (cnt desc, a, b) -> literal replace."""
+    ctes = [f"w0 AS MATERIALIZED ({_bpe_state0_sql()})"]
+    outs = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""
+p{k} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(s)), i -> [s[i], s[i + 1]])) AS pr
+    FROM (SELECT freq, string_split(trim(state), '  ') AS s FROM w{k - 1}) t0
+  ) t1 GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(state,
+                 ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
+                 ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS state
+  FROM w{k - 1}
+)""")
+        outs.append(
+            f"SELECT 'bpe_merges' AS part, CAST({k} AS BIGINT) AS doc_id, "
+            f"(SELECT a || b FROM b{k}) AS tok, "
+            f"(SELECT CAST(cnt AS BIGINT) FROM b{k}) AS n1, "
+            f"CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS score, "
+            f"CAST({k} AS INTEGER) AS rk, "
+            f"(SELECT a || ' ' || b FROM b{k}) AS postings"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Train a BPE merge table on the corpus: start from characters,
+    repeatedly merge the most frequent adjacent symbol pair (weighted
+    by corpus word frequency; ties break lexicographically). Returns
+    (rank, a, b, merged, cnt) — the merge table a tokenizer ships.
+
+    Spark-first shape: the vocab-dimension (word, freq, state) table is
+    distributed; each round is ONE groupBy(pair) count (map-side
+    combine) plus a 1-row argmax collect — the same bounded-driver-probe
+    pattern as star-CC convergence — and the merge application is a
+    map-only literal replace. n_merges rounds total; at 100 TB the word
+    table is millions of rows (shuffle on word once, then per-round
+    pair shuffles over the shrinking symbol sequences).
+
+    Symbol encoding: symbols are joined and padded with DOUBLE spaces,
+    and the merge replaces ' a  b ' -> ' ab '. The single outer spaces
+    of the pattern each consume one space of a double gap, so two
+    ADJACENT occurrences ('x a b a b y') both match in one left-to-right
+    replace pass while self-overlapping runs ('a a a') merge only the
+    leftmost pair — exactly classic BPE's scan semantics — and plain
+    literal replace() behaves identically in Spark and DuckDB (no
+    regex, no lookarounds, which RE2/DuckDB lacks)."""
+    d = t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  ")).alias("state"),
+        )
+        # the word table is vocab-sized (tiny vs the corpus): collapse to
+        # few partitions so each of the n_merges driver-probe jobs pays
+        # 4 tasks, not 32 (measured 9.3s -> ~4s at sf0.01); at 100 TB
+        # keep it partitioned — the loop shape is unchanged
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    merges = []
+    for k in range(1, n_merges + 1):
+        s = F.split(F.trim(F.col("state")), "  ")
+        # guard: Spark sequence(1, 0) is DESCENDING, not empty (same
+        # gotcha as shingle_sets) — single-symbol words have no pairs
+        prs = F.when(F.size(s) < 2, F.array().cast("array<array<string>>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.array(
+                    F.element_at(s, i.cast("int")), F.element_at(s, (i + 1).cast("int"))
+                ),
+            )
+        )
+        pair_counts = (
+            words.select("freq", F.explode(prs).alias("pr"))
+            .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pair_counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            raise RuntimeError(f"bpe: no pairs left after {k - 1} merges")
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((k, a, b, a + b, cnt))
+        # no per-round checkpoint: the lineage is <= n_merges cheap map
+        # replaces over the checkpointed base — replaying k of them on
+        # the tiny vocab table is faster than materializing each round
+        words = words.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("state"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("state"),
+        )
+    return spark.createDataFrame(
+        merges, "rank long, a string, b string, merged string, cnt long"
+    )
+
+
 @register(
     "text_retrieval",
     oracle=f"""
@@ -217,6 +348,8 @@ UNION ALL
 SELECT * FROM ({_BM25_SQL_TMPL}) AS bm25_part
 UNION ALL
 SELECT * FROM ({_INVERTED_SQL_TMPL}) AS inverted_part
+UNION ALL
+SELECT * FROM ({_bpe_sql()}) AS bpe_part
 """,
     tags=("D26", "D12", "D13", "D16"),
     doc="The text-retrieval surface in one query discriminated by `part` "
@@ -226,9 +359,15 @@ SELECT * FROM ({_INVERTED_SQL_TMPL}) AS inverted_part
     "'bm25': ranked search over a fixed query-term set, n1=n_terms_hit, "
     "score=BM25 (k1=1.2, b=0.75, Lucene idf). 'inverted': posting-list "
     "index, n1=df, n2=total occurrences, postings=sorted doc-id list. "
-    "Per-part shuffle/broadcast design documented on the underlying "
-    "functions above — the shapes are the minimal (doc,term) + term "
-    "shuffles with N/avgdl/df broadcast.",
+    "'bpe_merges' (r8): a TRAINED byte-pair-encoding merge table "
+    "(Sennrich et al.) — doc_id/rk=merge rank, tok=merged symbol, "
+    "n1=weighted pair frequency, postings=the merged pair — learned "
+    "from the corpus by iterative most-frequent-pair merging (see "
+    "bpe_merge_vocab for the bounded-probe loop and the double-space "
+    "encoding that makes the merge a plain literal replace in both "
+    "engines). Per-part shuffle/broadcast design documented on the "
+    "underlying functions above — the shapes are the minimal "
+    "(doc,term) + term shuffles with N/avgdl/df broadcast.",
 )
 def text_retrieval(spark, sf_dir):
     tf = scratch(_tf(spark, sf_dir))  # one (doc, term) build for all 3 parts
@@ -263,4 +402,14 @@ def text_retrieval(spark, sf_dir):
         F.lit(None).cast("int").alias("rk"),
         "postings",
     )
-    return tfidf.unionByName(bm25).unionByName(inv)
+    bpe = bpe_merge_vocab(spark, sf_dir).select(
+        F.lit("bpe_merges").alias("part"),
+        F.col("rank").alias("doc_id"),
+        F.col("merged").alias("tok"),
+        F.col("cnt").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rk"),
+        F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("postings"),
+    )
+    return tfidf.unionByName(bm25).unionByName(inv).unionByName(bpe)

@@ -61,3 +61,62 @@ def test_pii_signals_match_duckdb(spark, duck):
         """
     ).fetchone()
     assert (n_emails, n_urls, digit_ratio) == got
+
+
+def test_bpe_merge_vocab_classic_example(spark, tmp_path):
+    """The r8 BPE trainer on the textbook corpus ('low' x5 + 'lower' x2
+    + 'newest' x6) must reproduce a driver-side reference BPE
+    implementation (Sennrich-style: most frequent adjacent pair,
+    leftmost-scan merge, lexicographic tie-break) merge for merge."""
+    import glob
+    import shutil
+
+    from flink_parameter_server_spark.operators.retrieval import bpe_merge_vocab
+    from flink_parameter_server_spark.sources import TABLES
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "bpe_corpus")
+    import os
+
+    os.makedirs(out)
+    for tab in TABLES:
+        if tab != "documents":
+            shutil.copy(f"{SF_SMALL}/{tab}.parquet", f"{out}/{tab}.parquet")
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(f"{out}/_tmp")
+    [part] = glob.glob(f"{out}/_tmp/part-*.parquet")
+    shutil.move(part, f"{out}/documents.parquet")
+    shutil.rmtree(f"{out}/_tmp")
+
+    # reference BPE on the same corpus
+    vocab = {"low": 5, "lower": 2, "newest": 6}
+    state = {w: list(w) for w in vocab}
+    want = []
+    for rank in range(1, 5):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + vocab[w]
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, cnt))
+        for w, syms in state.items():
+            i, outsyms = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    outsyms.append(a + b)
+                    i += 2
+                else:
+                    outsyms.append(syms[i])
+                    i += 1
+            state[w] = outsyms
+
+    got = [
+        (r["rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in bpe_merge_vocab(spark, out, n_merges=4).collect()
+    ]
+    assert got == want, (got, want)
