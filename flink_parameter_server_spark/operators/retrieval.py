@@ -340,6 +340,32 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     )
 
 
+def bpe_apply(words_df, merges):
+    """Tokenize under a LEARNED merge table — the serving half of
+    :func:`bpe_merge_vocab` (train once, apply everywhere, like
+    ann_index's build/probe split). ``words_df``: any frame with a
+    `word` column; ``merges``: [(a, b), ...] in rank order (from the
+    trained table). Returns the frame plus `subwords array<string>`
+    and `n_subwords`.
+
+    Scale shape: apply the merge chain once per DISTINCT word and join
+    back — the same vocab-dimension amortization as token_hashes; the
+    chain itself is n_merges map-only literal replaces on the
+    double-space encoding (identical scan semantics as training)."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    state = F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  "))
+    for a, b in merges:
+        state = F.replace(state, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    vocab = (
+        words_df.select("word")
+        .distinct()
+        .select("word", F.split(F.trim(state), "  ").alias("subwords"))
+    )
+    return words_df.join(F.broadcast(vocab), "word").withColumn(
+        "n_subwords", F.size("subwords")
+    )
+
+
 @register(
     "text_retrieval",
     oracle=f"""

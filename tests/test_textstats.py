@@ -120,3 +120,38 @@ def test_bpe_merge_vocab_classic_example(spark, tmp_path):
         for r in bpe_merge_vocab(spark, out, n_merges=4).collect()
     ]
     assert got == want, (got, want)
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    """bpe_apply (the serving half) must segment words exactly as the
+    reference leftmost-scan merge application does, including merged
+    symbols composing across ranks and unseen words passing through as
+    characters."""
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.operators.retrieval import bpe_apply
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+
+    def ref(word):
+        syms = list(word)
+        for a, b in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = ["low", "lower", "newest", "lowest", "slow", "zzz", "t"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (list(r["subwords"]), r["n_subwords"])
+        for r in bpe_apply(df, merges).collect()
+    }
+    for w in words:
+        assert got[w] == (ref(w), len(ref(w))), (w, got[w], ref(w))
