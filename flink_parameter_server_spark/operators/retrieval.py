@@ -284,6 +284,8 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     leftmost pair — exactly classic BPE's scan semantics — and plain
     literal replace() behaves identically in Spark and DuckDB (no
     regex, no lookarounds, which RE2/DuckDB lacks)."""
+    from ..scratch import persistent_rdd_ids, track_checkpoint_ids
+
     d = t(spark, sf_dir, "documents")
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
     words = (
@@ -300,8 +302,13 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
         # 4 tasks, not 32 (measured 9.3s -> ~4s at sf0.01); at 100 TB
         # keep it partitioned — the loop shape is unchanged
         .coalesce(4)
-        .localCheckpoint()
     )
+    # tracked localCheckpoint (scratch discipline): a raw checkpoint
+    # would leave an untracked persisted RDD behind the registry run —
+    # the storage-leak tripwire caught exactly that (r8)
+    before = persistent_rdd_ids(spark)
+    words = words.localCheckpoint()
+    track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
     merges = []
     for k in range(1, n_merges + 1):
         s = F.split(F.trim(F.col("state")), "  ")
