@@ -59,6 +59,21 @@ chunks AS (
   FROM pos GROUP BY doc_id, p // {FP_WINDOW}
 ),
 fp AS (SELECT doc_id, min(chunk_hash) AS fingerprint FROM chunks GROUP BY doc_id),
+bigr AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> [toks[i], toks[i + 1]])) AS pr FROM tk) tb
+),
+bg AS (SELECT w1, w2, count(*) AS cb FROM bigr GROUP BY 1, 2),
+ug AS (SELECT w1, count(*) AS cu FROM bigr GROUP BY 1),
+vs AS (SELECT count(DISTINCT tok) AS v FROM pos),
+docx AS (
+  SELECT b.doc_id,
+         round(CAST(sum(CAST(round(-ln((bg.cb + 1.0) / (ug.cu + vs.v)), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lm_xent
+  FROM bigr b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vs
+  GROUP BY b.doc_id
+),
 sc AS (
   SELECT doc_id, lang, text, n_chars, toks,
     {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
@@ -96,9 +111,11 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN length(sc.text) > 0 THEN
     round(CAST(len(regexp_extract_all(sc.text, '[0-9]')) AS DOUBLE) / length(sc.text), 6)
   END AS digit_ratio,
+  docx.lm_xent,
   fp.fingerprint,
   {poly_hash_sql('sc.text', 1)} AS full_hash
 FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
+LEFT JOIN docx ON docx.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
     doc="The full per-document text-analysis profile in ONE pass over the "
@@ -115,11 +132,16 @@ FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
     "most-common-token fraction and duplicate-bigram fraction, the "
     "Gopher-style degenerate-text signals a pretraining pipeline gates "
     "on); PII/contamination signals (r5: email and URL hit counts, "
-    "digit fraction — redaction-gate inputs); winnowing-style fingerprint "
-    "(position-weighted rolling hash per 8-token chunk, min chunk hash) "
-    "plus a full-text polynomial hash. Everything except the fingerprint "
-    "aggregation is codegen'd array math; the fingerprint is one "
-    "explode+groupBy joined back — two shuffles total at any scale.",
+    "digit fraction — redaction-gate inputs); bigram-LM cross-entropy "
+    "(r8: the CCNet perplexity-filtering signal — an add-1 bigram model "
+    "trained on the corpus scores each doc, lm_xent = mean -ln "
+    "p(w2|w1), ppl = exp(lm_xent); per-term 6dp round + decimal sum "
+    "keeps the fold order-independent across engines); winnowing-style "
+    "fingerprint (position-weighted rolling hash per 8-token chunk, min "
+    "chunk hash) plus a full-text polynomial hash. The per-doc columns "
+    "are codegen'd array math; fingerprint and the LM are explode+"
+    "groupBy joined back — four shuffles total at any scale, V a 1-row "
+    "broadcast.",
 )
 def text_profile(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -127,6 +149,44 @@ def text_profile(spark, sf_dir):
 
     # fingerprint: position-weighted rolling hash per FP_WINDOW-token chunk
     pos = tk.select("doc_id", F.posexplode("toks").alias("p", "tok"))
+
+    # bigram-LM cross-entropy (r8): the CCNet-style perplexity signal —
+    # an add-1-smoothed bigram model TRAINED ON THE CORPUS ITSELF scores
+    # each doc: xent = mean over doc bigrams of -ln p(w2|w1),
+    # p = (c(w1,w2)+1)/(c(w1,·)+V). In-domain docs score low, outliers
+    # high (ppl = exp(xent)). Float discipline: each -ln term is rounded
+    # to 6dp then decimal-summed (order-independent, the exact_sum
+    # pattern), so both engines fold identically. One bigram shuffle +
+    # one context shuffle; V is a 1-row aggregate broadcast
+    # (plan-sweep-whitelisted bounded BNLJ).
+    t1 = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    t2 = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+    bigr_arr = F.when(
+        F.size("toks") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(t1, t2, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    )
+    pairs = tk.select("doc_id", F.explode(bigr_arr).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vsz = pos.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    probs = big.join(uni.crossJoin(F.broadcast(vsz)), "w1")
+    nll = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))), 6
+    )
+    docx = (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(nll.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("raw_xent")
+        )
+        .select("doc_id", F.round("raw_xent", 6).alias("lm_xent"))
+    )
     chunks = (
         pos.select(
             "doc_id",
@@ -227,10 +287,10 @@ def text_profile(spark, sf_dir):
         ).alias("digit_ratio"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
-    return wide.join(fp, "doc_id", "left").select(
+    return wide.join(fp, "doc_id", "left").join(docx, "doc_id", "left").select(
         "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
         "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
         "stopword_ratio", "quality_score", "max_token_ratio",
-        "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
+        "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio", "lm_xent",
         "fingerprint", "full_hash",
     )

@@ -47,6 +47,9 @@ BOUNDED_BNLJ = {
     # the mixture part attaches the 1-row (n_tot, s_tot) totals agg to
     # the |langs|-row histogram before broadcasting it to documents
     "train_test_split": (1, "1-row lang-histogram totals agg"),
+    # the bigram-LM smoothing denominator attaches the 1-row vocab-size
+    # aggregate to the unigram context counts
+    "text_profile": (1, "1-row vocab-size agg"),
 }
 
 

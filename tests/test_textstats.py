@@ -155,3 +155,48 @@ def test_bpe_apply_matches_reference_tokenization(spark):
     }
     for w in words:
         assert got[w] == (ref(w), len(ref(w))), (w, got[w], ref(w))
+
+
+def test_lm_xent_separates_outliers(spark, tmp_path):
+    """The r8 bigram-LM signal: on a corpus of same-domain docs plus one
+    gibberish outlier, the outlier must carry the highest lm_xent (the
+    CCNet perplexity-filtering property), in-domain docs cluster low,
+    and a 1-token doc gets NULL (no bigrams)."""
+    import glob
+    import os
+    import shutil
+
+    from flink_parameter_server_spark.plans import REGISTRY
+    from flink_parameter_server_spark.sources import TABLES
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "lm_corpus")
+    os.makedirs(out)
+    for tab in TABLES:
+        if tab != "documents":
+            shutil.copy(f"{SF_SMALL}/{tab}.parquet", f"{out}/{tab}.parquet")
+    domain = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (i, domain + f" round{i % 3}", "en", "web") for i in range(1, 9)
+    ] + [
+        (9, "zxq vbn wklm qprt zxcv bnma qwer tyui asdf ghjk", "en", "web"),
+        (10, "solo", "en", "web"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{out}/_tmp")
+    [part] = glob.glob(f"{out}/_tmp/part-*.parquet")
+    shutil.move(part, f"{out}/documents.parquet")
+    shutil.rmtree(f"{out}/_tmp")
+
+    got = {
+        r["doc_id"]: r["lm_xent"]
+        for r in REGISTRY["text_profile"].fn(spark, out).collect()
+    }
+    assert got[10] is None
+    xents = {k: v for k, v in got.items() if v is not None}
+    assert max(xents, key=xents.get) == 9, xents
+    # in-domain docs sit well below the outlier
+    assert all(v < xents[9] * 0.8 for k, v in xents.items() if k != 9), xents
