@@ -329,7 +329,12 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
         )
         top = pair_counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
         if not top:
-            raise RuntimeError(f"bpe: no pairs left after {k - 1} merges")
+            # pair supply exhausted (empty/degenerate corpus): emit
+            # NULL-filled rows for the remaining ranks, matching the
+            # oracle's empty-scalar-subquery rows — the degenerate
+            # sweep contract is "every entry runs", not "raises"
+            merges.extend((j, None, None, None, None) for j in range(k, n_merges + 1))
+            break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         merges.append((k, a, b, a + b, cnt))
         # no per-round checkpoint: the lineage is <= n_merges cheap map

@@ -238,7 +238,12 @@ class FPSQueueStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batch_id: int) -> None:
         # stamp committed files strictly after everything on the topic
         # (the transport's monotonic arrival contract), then publish by
-        # rename — readers never see a staged file
+        # rename. Order matters: utime the STAGED file (invisible to
+        # the listing) BEFORE the rename — stamping after publish left
+        # a window where a reader saw the file with its natural
+        # wallclock mtime, which sorts BEFORE already-stamped files
+        # once the stamp clock runs ahead, shifting the listing and
+        # tripping the r8 offset-boundary verification (review r8).
         latest = 0.0
         for f in _topic_files(self._path):
             latest = max(latest, os.stat(f).st_mtime)
@@ -248,9 +253,9 @@ class FPSQueueStreamWriter(DataSourceStreamWriter):
             final = os.path.join(
                 self._path, f"batch_{batch_id:08d}_{i:04d}.parquet"
             )
+            stamp = max(latest + 2.0, os.stat(m.path).st_mtime)
+            os.utime(m.path, (stamp, stamp))
             os.rename(m.path, final)
-            stamp = max(latest + 2.0, os.stat(final).st_mtime)
-            os.utime(final, (stamp, stamp))
             latest = stamp
 
     def abort(self, messages, batch_id: int) -> None:

@@ -166,16 +166,20 @@ def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
     # Skip docs already in the store: on an at-least-once replay the
     # prior attempt's accepted docs are present, and re-appending would
     # duplicate their signature rows (every later probe would then see
-    # doubled candidates). The anti-join is against the store's doc_id
-    # column only — same partition-pruned scan the probe already does.
-    new_accepted = accepted.join(
-        store_sh.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
-    acc_bands = minhash_bands(new_accepted)
-    acc_bands.write.mode("append").partitionBy("b").parquet(os.path.join(store_dir, "bands"))
-    new_accepted.select("doc_id", "shingles").write.mode("append").parquet(
-        os.path.join(store_dir, "shingles")
+    # doubled candidates). The presence check is the UNION of both
+    # store tables' doc ids, not shingles alone: bands are written
+    # first, so a crash between the two writes leaves a doc
+    # bands-only — a shingles-only check would re-append its band rows
+    # on replay (review r8). Each table then skips what IT already has.
+    present_bands = store_bands.select("doc_id").distinct()
+    present_sh = store_sh.select("doc_id")
+    new_for_bands = accepted.join(present_bands, "doc_id", "left_anti").localCheckpoint()
+    minhash_bands(new_for_bands).write.mode("append").partitionBy("b").parquet(
+        os.path.join(store_dir, "bands")
     )
+    accepted.join(present_sh, "doc_id", "left_anti").select(
+        "doc_id", "shingles"
+    ).write.mode("append").parquet(os.path.join(store_dir, "shingles"))
 
     return (
         docs.select("doc_id")
@@ -281,6 +285,23 @@ def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions
     batch may re-decide a former 'dup_in_batch' as 'dup_of_store' (its
     canonical is in the store by then) — same ``dup_of``, and the
     overwrite keeps exactly one decision row per doc."""
+
+    # migration guard: a pre-r8 decisions dir holds FLAT part-files
+    # (plain append mode). Mixing flat files with bid=<n> subdirs makes
+    # Spark's partition discovery silently drop every flat row from
+    # reads (verified empirically in review) — fail loudly instead of
+    # losing history; the operator migrates once, explicitly.
+    if os.path.isdir(decisions_dir) and any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(decisions_dir)
+    ):
+        raise ValueError(
+            f"decisions dir {decisions_dir!r} contains flat (pre-bid-layout) "
+            "parquet files; reading a mixed flat+bid=<n> layout silently "
+            "drops the flat rows. Migrate them first, e.g. "
+            "spark.read.parquet(dir).write.parquet(dir + '/bid=-1') "
+            "and remove the flat files."
+        )
 
     def _sink(batch_df, batch_id: int) -> None:
         process_batch(spark, batch_df, store_dir).withColumn(

@@ -88,18 +88,31 @@ class FileQueueTransport:
         (via utime) strictly later than every file already on the topic,
         i.e. an explicit monotonic sequence encoded in the mtime the
         source already sorts by."""
+        # stage -> stamp -> publish: writing straight to the live dir
+        # left a window where part-files were visible with natural
+        # wallclock mtimes BEFORE the stamp, which sorts them before
+        # already-stamped files once the stamp clock runs ahead — a
+        # listing shift the fpsqueue offset-boundary check (r8) rightly
+        # raises on. The '_'-prefixed staging dir is invisible to both
+        # the builtin file source and _topic_files until the rename.
         target = os.path.join(self.w2s, f"msgs_{file_tag}")
+        staging = os.path.join(self.w2s, f"_staged_msgs_{file_tag}")
         messages.select("kind", "worker_partition", "param_id", "delta").coalesce(
             1
-        ).write.mode("overwrite").parquet(target)
+        ).write.mode("overwrite").parquet(staging)
         latest = 0.0
         for entry in os.scandir(self.w2s):
-            if entry.is_dir() and entry.path != target:
+            if entry.is_dir() and not entry.name.startswith(("_", ".")):
                 for f in os.scandir(entry.path):
                     latest = max(latest, f.stat().st_mtime)
-        stamp = max(latest + 2.0, os.stat(target).st_mtime)
-        for f in os.scandir(target):
+        stamp = max(latest + 2.0, os.stat(staging).st_mtime)
+        for f in os.scandir(staging):
             os.utime(f.path, (stamp, stamp))
+        if os.path.isdir(target):
+            import shutil
+
+            shutil.rmtree(target)  # mode("overwrite") semantics preserved
+        os.rename(staging, target)
 
     def pulls(self, keys: DataFrame, worker_partition: int = 0) -> DataFrame:
         return keys.select(
