@@ -1,0 +1,197 @@
+"""Streaming corpus curation — the continuous-ingestion form of the
+batch pipeline in operators/curate.py (which is the one-shot form of
+THIS operator: at 100 TB a corpus is not curated once, it arrives).
+
+Per micro-batch (:func:`curate_batch`), one decision per input doc, in
+the batch pipeline's stage order:
+
+1. quality gate (map-only; the same CURATE_MIN_CHARS/MIN_TOKENS
+   structural gate) -> 'rejected:quality';
+2. exact dedup, batch-then-store: min-doc_id keeper per normalized
+   content hash within the batch ('rejected:exact_dup'), then keepers
+   probe the store's persisted hash set ('rejected:exact_dup_store');
+3. eval decontamination: survivors that near-duplicate a doc in a
+   READ-ONLY eval signature store (built once from the benchmark set
+   via incremental_dedup.build_signature_store) ->
+   'rejected:contaminated';
+4. near-dup vs the accepted-content store + within-batch star-CC
+   (incremental_dedup.process_batch verbatim) -> 'rejected:near_dup'
+   with store/batch provenance folded into `dup_of`;
+5. survivors -> 'accepted'; their exact hashes and minhash signatures
+   APPEND to the store (replay-idempotent: per-table presence skip,
+   same discipline as process_batch).
+
+Greedy keep-first semantics across batches, exactly like the near-dup
+store (a doc is rejected only against ACCEPTED content; decisions
+never change retroactively). Too-short docs that pass the quality gate
+but cannot be signatured keep process_batch's 'no_shingles'
+passthrough.
+
+State = incremental_dedup's (bands, shingles) tables plus one
+``hashes`` table (doc_id, h) under ``store_dir``; the eval store is a
+SEPARATE directory, never written by this module.
+
+Scale shape: stage 1 map-only; stage 2 one shuffle on the content hash
+plus a keyed probe of the hash store; stages 3-4 the partition-pruned
+band probes; appends grow only with accepted unique content. Wire into
+Structured Streaming with :func:`curate_stream_writer` (foreachBatch,
+per-batch decision overwrite under bid=<batch_id> — at-least-once
+replay safe for the same reasons as dedup_stream_writer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .incremental_dedup import contamination_check, process_batch
+
+_HASH_SCHEMA = "doc_id bigint, h string"
+
+
+def _norm_hash():
+    return F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256)
+
+
+def curate_batch(
+    spark,
+    docs: DataFrame,
+    store_dir: str,
+    eval_store_dir: str | None = None,
+    min_chars: int | None = None,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Run one (doc_id, text, n_chars) batch through the curation
+    stages; returns (doc_id, decision, dup_of). Thresholds default to
+    the batch pipeline's CURATE_MIN_CHARS / CURATE_MIN_TOKENS."""
+    from ..functions.text import tokens
+    from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
+
+    min_chars = CURATE_MIN_CHARS if min_chars is None else min_chars
+    min_tokens = CURATE_MIN_TOKENS if min_tokens is None else min_tokens
+
+    docs = docs.select("doc_id", "text", "n_chars").localCheckpoint()
+
+    # stage 1 — quality gate
+    q_ok = (F.col("n_chars") >= min_chars) & (
+        F.size(tokens(F.col("text"))) >= min_tokens
+    )
+    gated = docs.select("doc_id", "text", q_ok.alias("q_ok"))
+    surv_q = gated.where("q_ok")
+
+    # stage 2 — exact dedup: batch keeper, then store probe
+    hashed = surv_q.select("doc_id", "text", _norm_hash().alias("h"))
+    hashed = hashed.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    ).localCheckpoint()
+    exact_batch = hashed.where(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id", F.col("keeper").alias("dup_of")
+    )
+    keepers = hashed.where(F.col("doc_id") == F.col("keeper"))
+    hash_path = os.path.join(store_dir, "hashes")
+    store_h = (
+        spark.read.schema(_HASH_SCHEMA).parquet(hash_path)
+        if os.path.isdir(hash_path)
+        else spark.createDataFrame([], _HASH_SCHEMA)
+    )
+    exact_store = (
+        keepers.join(
+            store_h.select(F.col("h"), F.col("doc_id").alias("dup_of")), "h"
+        )
+        # replay self-guard, same id-space contract as the band store
+        .where(F.col("doc_id") != F.col("dup_of"))
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .localCheckpoint()
+    )
+    surv_e = keepers.join(exact_store.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 3 — eval decontamination (read-only probe)
+    if eval_store_dir is not None:
+        contam = (
+            contamination_check(
+                spark, surv_e.select("doc_id", "text"), eval_store_dir
+            )
+            .select("doc_id", F.col("contaminated_by").alias("dup_of"))
+            .localCheckpoint()
+        )
+    else:
+        contam = spark.createDataFrame([], "doc_id bigint, dup_of bigint")
+    surv_c = surv_e.join(contam.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 4 — near-dup vs store + within batch (process_batch verbatim;
+    # it also appends accepted signatures to the band/shingle store)
+    near = process_batch(spark, surv_c.select("doc_id", "text"), store_dir)
+
+    # persist accepted exact hashes (replay-idempotent presence skip)
+    accepted_ids = near.where("decision IN ('accepted', 'no_shingles')").select("doc_id")
+    new_hashes = (
+        keepers.join(accepted_ids, "doc_id", "left_semi")
+        .select("doc_id", "h")
+        .join(store_h.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_hashes.write.mode("append").parquet(hash_path)
+
+    # assemble one decision per input doc, stage precedence preserved
+    return (
+        docs.select("doc_id")
+        .join(gated.select("doc_id", "q_ok"), "doc_id", "left")
+        .join(exact_batch.select("doc_id", F.col("dup_of").alias("d_eb")), "doc_id", "left")
+        .join(exact_store.select("doc_id", F.col("dup_of").alias("d_es")), "doc_id", "left")
+        .join(contam.select("doc_id", F.col("dup_of").alias("d_ct")), "doc_id", "left")
+        .join(
+            near.select("doc_id", F.col("decision").alias("nd"), F.col("dup_of").alias("d_nd")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
+            .when(F.col("d_eb").isNotNull(), F.lit("rejected:exact_dup"))
+            .when(F.col("d_es").isNotNull(), F.lit("rejected:exact_dup_store"))
+            .when(F.col("d_ct").isNotNull(), F.lit("rejected:contaminated"))
+            .when(F.col("nd") == "dup_of_store", F.lit("rejected:near_dup"))
+            .when(F.col("nd") == "dup_in_batch", F.lit("rejected:near_dup"))
+            .when(F.col("nd") == "no_shingles", F.lit("accepted"))
+            .otherwise(F.lit("accepted"))
+            .alias("decision"),
+            F.coalesce("d_eb", "d_es", "d_ct", "d_nd").alias("dup_of"),
+        )
+    )
+
+
+def curate_stream_writer(
+    spark,
+    docs_stream: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    eval_store_dir: str | None = None,
+):
+    """foreachBatch wire-up: each micro-batch curates against the
+    mutable store and writes decisions under bid=<batch_id> with
+    overwrite (at-least-once replay keeps one decision row per doc;
+    store writes are presence-skipped — the dedup_stream_writer
+    discipline)."""
+    if os.path.isdir(decisions_dir) and any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(decisions_dir)
+    ):
+        raise ValueError(
+            f"decisions dir {decisions_dir!r} contains flat parquet files; "
+            "mixed flat+bid=<n> layouts silently drop the flat rows on read"
+        )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        curate_batch(spark, batch_df, store_dir, eval_store_dir).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"bid={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .start()
+    )
