@@ -255,7 +255,9 @@ def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None
     one)."""
     import shutil
 
-    for name, part in (("bands", "b"), ("shingles", None)):
+    # "hashes" is the streaming-curation exact-dup table
+    # (incremental_curate.py) — same append-per-batch small-file growth
+    for name, part in (("bands", "b"), ("shingles", None), ("hashes", None)):
         path = os.path.join(store_dir, name)
         if not os.path.isdir(path):
             continue
