@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -264,6 +265,45 @@ class FPSQueueStreamWriter(DataSourceStreamWriter):
                 os.remove(m.path)
 
 
+class FPSQueueBatchWriter(DataSourceWriter):
+    """Batch producer: ``df.write.format("fpsqueue").mode("append")`` —
+    one topic message file per non-empty task, published atomically in
+    arrival order via the SAME stage->stamp->rename discipline as the
+    stream writer (each save gets a unique id so repeated saves append
+    distinct messages). ``overwrite`` is rejected: a topic is
+    append-only by contract."""
+
+    def __init__(self, path: str, schema: StructType) -> None:
+        import uuid
+
+        self._path = path
+        self._schema = schema
+        self._save_id = uuid.uuid4().hex[:12]
+
+    # staging is identical to the stream writer's
+    write = FPSQueueStreamWriter.write
+
+    def commit(self, messages) -> None:
+        latest = 0.0
+        for f in _topic_files(self._path):
+            latest = max(latest, os.stat(f).st_mtime)
+        for i, m in enumerate(messages):
+            if m.path is None:
+                continue
+            final = os.path.join(
+                self._path, f"send_{self._save_id}_{i:04d}.parquet"
+            )
+            stamp = max(latest + 2.0, os.stat(m.path).st_mtime)
+            os.utime(m.path, (stamp, stamp))
+            os.rename(m.path, final)
+            latest = stamp
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class FPSQueueDataSource(DataSource):
     """format("fpsqueue"): options `path` (topic dir) and `ddl` (schema)."""
 
@@ -296,6 +336,13 @@ class FPSQueueDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> FPSQueueStreamWriter:
         return FPSQueueStreamWriter(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> FPSQueueBatchWriter:
+        if overwrite:
+            raise ValueError(
+                "fpsqueue topics are append-only; use mode('append')"
+            )
+        return FPSQueueBatchWriter(self._path(), schema)
 
 
 def register(spark) -> None:

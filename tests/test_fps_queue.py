@@ -213,3 +213,33 @@ def test_offset_boundary_contract_violation_raises(fpsq, spark, tmp_path):
     os.utime(last_file, (1001.0, 1001.0))
     parts = reader.partitions(start, end)
     assert len(parts) == 2
+
+
+def test_batch_writer_appends_in_arrival_order(fpsq, spark, tmp_path):
+    """r8: the batch producer — df.write.format('fpsqueue') appends
+    topic messages that land AFTER everything already on the topic in
+    stamped arrival order; repeated saves append (never clobber), and
+    overwrite mode is rejected (topics are append-only)."""
+    topic = str(tmp_path / "topic")
+    _produce(spark, topic, [(1, "a")], "1")
+
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], DDL)
+    df2.write.format("fpsqueue").option("path", topic).mode("append").save()
+    df3 = spark.createDataFrame([(4, "d")], DDL)
+    df3.write.format("fpsqueue").option("path", topic).mode("append").save()
+
+    got = (
+        spark.read.format("fpsqueue").option("path", topic).option("ddl", DDL).load()
+    )
+    assert sorted((r.k, r.v) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    # arrival order: the second save's files are stamped after the first's
+    from flink_parameter_server_spark.sources.fps_queue import _topic_files_meta
+
+    meta = _topic_files_meta(topic)
+    assert meta == sorted(meta)
+    assert "send_" in meta[-1][1] and meta[-1][0] > meta[0][0]
+
+    with pytest.raises(Exception, match="append-only"):
+        df3.write.format("fpsqueue").option("path", topic).mode("overwrite").save()
