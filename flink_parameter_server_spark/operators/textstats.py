@@ -68,11 +68,19 @@ bg AS (SELECT w1, w2, count(*) AS cb FROM bigr GROUP BY 1, 2),
 ug AS (SELECT w1, count(*) AS cu FROM bigr GROUP BY 1),
 vs AS (SELECT count(DISTINCT tok) AS v FROM pos),
 docx AS (
-  SELECT b.doc_id,
-         round(CAST(sum(CAST(round(-ln((bg.cb + 1.0) / (ug.cu + vs.v)), 6)
-                        AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lm_xent
-  FROM bigr b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vs
-  GROUP BY b.doc_id
+  -- mean rounded in exact integer math: (2p + q) // (2q) is
+  -- round-half-up of p/q, immune to the double-round half-tie split
+  -- between engines (see the Spark twin's comment)
+  SELECT doc_id,
+         CAST((2 * pm + nb) // (2 * nb) AS DOUBLE) / 1000000.0 AS lm_xent
+  FROM (
+    SELECT b.doc_id,
+           CAST(sum(CAST(round(-ln((bg.cb + 1.0) / (ug.cu + vs.v)), 6)
+                    AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS pm,
+           count(*) AS nb
+    FROM bigr b JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vs
+    GROUP BY b.doc_id
+  ) micro
 ),
 sc AS (
   SELECT doc_id, lang, text, n_chars, toks,
@@ -176,16 +184,35 @@ def text_profile(spark, sf_dir):
     nll = F.round(
         -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))), 6
     )
+    # the mean is rounded in EXACT integer arithmetic: sum_micro/n can
+    # land on an exact 6dp half-tie (e.g. 34.078655/10), where the
+    # nearest double sits a hair BELOW the tie and Spark's
+    # BigDecimal-exact round and DuckDB's multiply-based round break it
+    # differently (found by the sf0.1 oracle spot check — 2 docs in
+    # 50k). round-half-up of the rational p/q = (2p + q) div (2q),
+    # identical bigint math in both engines; the final /1e6 of an
+    # integer is exact.
     docx = (
         pairs.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            (
-                F.sum(nll.cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("raw_xent")
+            (F.sum(nll.cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("pm"),
+            F.count(F.lit(1)).alias("nb"),
         )
-        .select("doc_id", F.round("raw_xent", 6).alias("lm_xent"))
+        .select(
+            "doc_id",
+            (
+                F.try_divide(
+                    (F.lit(2) * F.col("pm") + F.col("nb"))
+                    - ((F.lit(2) * F.col("pm") + F.col("nb")) % (F.lit(2) * F.col("nb"))),
+                    F.lit(2) * F.col("nb"),
+                ).cast("long")
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("lm_xent"),
+        )
     )
     chunks = (
         pos.select(
