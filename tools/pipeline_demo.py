@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""End-to-end LLM-training-data pipeline demo — one runnable artifact
+composing the engine's data-prep surface into the journey a real
+pretraining corpus takes, on the driver fixture:
+
+  1. curate      — quality gate -> exact dedup -> eval decontamination
+                   -> near-dup canonical -> stratified split
+                   (operators/curate.py, the oracle-checked pipeline)
+  2. pack        — token-budget training packs over the curated TRAIN
+                   docs (mlprep's packed mechanics)
+  3. mix         — sqrt-scaled language upsampling plan (mixture)
+  4. tokenize    — train a BPE merge vocabulary on the curated corpus,
+                   then tokenize under the LEARNED merges (retrieval.py
+                   bpe_merge_vocab + bpe_apply)
+  5. score       — model-based quality scores (PA-trained on weak
+                   labels, ps/pa.py doc_quality_filter) and the
+                   bigram-LM cross-entropy signal (text_profile)
+
+Prints one human-readable summary per stage plus a final JSON line.
+
+Usage: python tools/pipeline_demo.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf = "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    if args and args[0] == "--sf":
+        sf = args[1]
+
+    from flink_parameter_server_spark.operators.curate import corpus_curate
+    from flink_parameter_server_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_merge_vocab,
+    )
+    from flink_parameter_server_spark.plans import REGISTRY
+    from flink_parameter_server_spark.ps.pa import doc_quality_filter
+    from flink_parameter_server_spark.session import get_spark
+
+    spark = get_spark("fps-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    out: dict = {"sf_dir": sf}
+
+    # 1. curate
+    decisions = corpus_curate(spark, sf).cache()
+    by_decision = {
+        r["split"]: r["n"]
+        for r in decisions.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out["curate"] = by_decision
+    print(f"# curate: {by_decision}")
+
+    # 2+3. pack + mix (the registered split entry carries both parts)
+    split_parts = REGISTRY["train_test_split"].fn(spark, sf)
+    packs = (
+        split_parts.where("part = 'packed'")
+        .select("split")
+        .distinct()
+        .count()
+    )
+    mix = {
+        r["split"]: r["n"]
+        for r in split_parts.where("part = 'mixture'")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out["packed_pack_count"] = packs
+    out["mixture_copies"] = mix
+    print(f"# pack: {packs} token-budget packs; mix: {mix}")
+
+    # 4. tokenize: train merges on the corpus, apply to the train docs
+    merges_df = bpe_merge_vocab(spark, sf)
+    merges = [
+        (r["a"], r["b"]) for r in merges_df.orderBy("rank").collect() if r["a"]
+    ]
+    out["bpe_merges"] = ["".join(p) for p in merges]
+    train_ids = decisions.where("split = 'train'").select("doc_id")
+    from flink_parameter_server_spark.operators._util import t as _t
+    from flink_parameter_server_spark.functions.text import tokens
+
+    train_words = (
+        _t(spark, sf, "documents")
+        .join(train_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    )
+    tok = bpe_apply(train_words, merges)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("words"),
+        F.sum("n_subwords").alias("subwords"),
+    ).collect()[0]
+    out["tokenize"] = {
+        "train_words": stats["words"],
+        "subwords_under_learned_vocab": stats["subwords"],
+        "compression": round(stats["subwords"] / max(1, stats["words"]), 3),
+    }
+    print(f"# tokenize: {out['tokenize']}")
+
+    # 5. score: learned quality model + LM signal over the train split
+    dq = doc_quality_filter(spark, sf).cache()
+    agree = dq.where("y = y_pred").count() / max(1, dq.count())
+    lm = (
+        REGISTRY["text_profile"]
+        .fn(spark, sf)
+        .join(train_ids, "doc_id", "left_semi")
+        .agg(
+            F.round(F.avg("lm_xent"), 3).alias("mean_xent"),
+            F.round(F.max("lm_xent"), 3).alias("max_xent"),
+        )
+        .collect()[0]
+    )
+    out["score"] = {
+        "quality_model_weak_label_agreement": round(agree, 3),
+        "train_mean_lm_xent": lm["mean_xent"],
+        "train_max_lm_xent": lm["max_xent"],
+    }
+    print(f"# score: {out['score']}")
+
+    out["wall_sec"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
