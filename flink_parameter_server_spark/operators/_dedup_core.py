@@ -25,6 +25,14 @@ MINHASH_SEEDS = (11, 13, 17, 19, 23, 29, 31, 37)  # 8 hashes -> 4 bands x 2 rows
 N_BANDS = 4
 JACCARD_T = 0.4
 
+
+def norm_content_hash(text_col: str = "text"):
+    """sha256 of the casefold + whitespace-collapse + trim normal form —
+    dedup_exact's 'normalized' content identity, shared by the batch
+    curation pipeline and the streaming curation exact-dup store (one
+    definition, r8 simplify pass)."""
+    return F.sha2(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), 256)
+
 # Shingle hashing is two-level for speed: each token is char-fold-hashed
 # ONCE (seed 0), then each of the 8 minhash families is an integer affine
 # mix of the combined shingle hash — 8 int ops per shingle instead of 8

@@ -184,21 +184,18 @@ def ivf_search(
     scored = probes.join(cells, "cid")
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
-    scored = (
-        scored
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _fast_cosine(
-                    as_double(F.col("qv")),
-                    as_double(F.col("embedding")),
-                    F.col("nq"),
-                    F.col("ne"),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _fast_cosine(
+                as_double(F.col("qv")),
+                as_double(F.col("embedding")),
+                F.col("nq"),
+                F.col("ne"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

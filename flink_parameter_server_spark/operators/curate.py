@@ -104,7 +104,9 @@ def corpus_curate(spark, sf_dir):
     surv1 = base.where(q_ok)
 
     # stage 2 — exact-dup keeper among quality survivors
-    nh = F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256)
+    from ._dedup_core import norm_content_hash
+
+    nh = norm_content_hash("text")
     surv1k = surv1.withColumn(
         "e_ok",
         F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(nh)),

@@ -79,12 +79,13 @@ GROUP BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     "embarrassingly parallel.",
 )
 def dedup_exact(spark, sf_dir):
+    from ._dedup_core import norm_content_hash
+
     d = t(spark, sf_dir, "documents")
     raw = d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
-    norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    normalized = d.groupBy(F.sha2(norm_text, 256).alias("content_hash")).agg(
+    normalized = d.groupBy(norm_content_hash("text").alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
     return raw.select(F.lit("raw").alias("form"), "*").unionByName(

@@ -203,13 +203,14 @@ def text_profile(spark, sf_dir):
         )
         .select(
             "doc_id",
+            # floor of the double quotient is exact here: the rational
+            # (2p+q)/(2q) is either exactly divisible (ints <= 2^53
+            # divide exactly) or >= 1/(2q) ~ 5e-5 away from any
+            # integer, far beyond double rounding error
             (
-                F.try_divide(
-                    (F.lit(2) * F.col("pm") + F.col("nb"))
-                    - ((F.lit(2) * F.col("pm") + F.col("nb")) % (F.lit(2) * F.col("nb"))),
-                    F.lit(2) * F.col("nb"),
-                ).cast("long")
-                .cast("double")
+                F.floor(
+                    (F.lit(2) * F.col("pm") + F.col("nb")) / (F.lit(2) * F.col("nb"))
+                ).cast("double")
                 / F.lit(1000000.0)
             ).alias("lm_xent"),
         )

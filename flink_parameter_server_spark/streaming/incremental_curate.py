@@ -51,10 +51,6 @@ from .incremental_dedup import contamination_check, process_batch
 _HASH_SCHEMA = "doc_id bigint, h string"
 
 
-def _norm_hash():
-    return F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256)
-
-
 def curate_batch(
     spark,
     docs: DataFrame,
@@ -82,7 +78,9 @@ def curate_batch(
     surv_q = gated.where("q_ok")
 
     # stage 2 — exact dedup: batch keeper, then store probe
-    hashed = surv_q.select("doc_id", "text", _norm_hash().alias("h"))
+    from ..operators._dedup_core import norm_content_hash
+
+    hashed = surv_q.select("doc_id", "text", norm_content_hash("text").alias("h"))
     hashed = hashed.withColumn(
         "keeper", F.min("doc_id").over(Window.partitionBy("h"))
     ).localCheckpoint()
@@ -108,11 +106,19 @@ def curate_batch(
     )
     surv_e = keepers.join(exact_store.select("doc_id"), "doc_id", "left_anti")
 
+    # stages 3+4 signature the batch ONCE (the token-hash build is the
+    # expensive part) and share the (sh, bands) pair: decontamination
+    # probes with the exact-survivor superset, the near-dup stage
+    # filters it to its own survivors (r8 simplify pass)
+    from .incremental_dedup import signatures
+
+    sigs = signatures(surv_e.select("doc_id", "text"))
+
     # stage 3 — eval decontamination (read-only probe)
     if eval_store_dir is not None:
         contam = (
             contamination_check(
-                spark, surv_e.select("doc_id", "text"), eval_store_dir
+                spark, surv_e.select("doc_id", "text"), eval_store_dir, sigs=sigs
             )
             .select("doc_id", F.col("contaminated_by").alias("dup_of"))
             .localCheckpoint()
@@ -123,7 +129,7 @@ def curate_batch(
 
     # stage 4 — near-dup vs store + within batch (process_batch verbatim;
     # it also appends accepted signatures to the band/shingle store)
-    near = process_batch(spark, surv_c.select("doc_id", "text"), store_dir)
+    near = process_batch(spark, surv_c.select("doc_id", "text"), store_dir, sigs=sigs)
 
     # persist accepted exact hashes (replay-idempotent presence skip)
     accepted_ids = near.where("decision IN ('accepted', 'no_shingles')").select("doc_id")
@@ -174,14 +180,9 @@ def curate_stream_writer(
     overwrite (at-least-once replay keeps one decision row per doc;
     store writes are presence-skipped — the dedup_stream_writer
     discipline)."""
-    if os.path.isdir(decisions_dir) and any(
-        f.endswith(".parquet") and not f.startswith(("_", "."))
-        for f in os.listdir(decisions_dir)
-    ):
-        raise ValueError(
-            f"decisions dir {decisions_dir!r} contains flat parquet files; "
-            "mixed flat+bid=<n> layouts silently drop the flat rows on read"
-        )
+    from .incremental_dedup import guard_decisions_dir
+
+    guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
         curate_batch(spark, batch_df, store_dir, eval_store_dir).withColumn(

@@ -80,7 +80,7 @@ def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sh, minhash_bands(sh)
 
 
-def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
+def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFrame:
     """Run one batch through the store; returns decisions
     (doc_id, decision, dup_of) with decision in
     'accepted' | 'dup_of_store' | 'dup_in_batch' | 'no_shingles'.
@@ -89,9 +89,19 @@ def process_batch(spark, docs: DataFrame, store_dir: str) -> DataFrame:
     'no_shingles' marks docs too short to signature (< 3 tokens) —
     they pass through un-deduped, mirroring the batch operators'
     len >= SHINGLE_N gate.
+
+    ``sigs``: optional precomputed ``(sh, bands)`` from
+    :func:`signatures` over a SUPERSET of ``docs`` (filtered here by
+    doc_id) — lets a composing pipeline (incremental_curate) signature
+    each batch once instead of once per stage.
     """
     docs = docs.select("doc_id", "text").localCheckpoint()
-    sh, bands = signatures(docs)
+    if sigs is None:
+        sh, bands = signatures(docs)
+    else:
+        ids = docs.select("doc_id")
+        sh = sigs[0].join(ids, "doc_id", "left_semi")
+        bands = sigs[1].join(ids, "doc_id", "left_semi")
     bands = bands.localCheckpoint()
 
     store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
@@ -212,12 +222,13 @@ def build_signature_store(spark, docs: DataFrame, store_dir: str) -> None:
     )
 
 
-def contamination_check(spark, docs: DataFrame, store_dir: str) -> DataFrame:
+def contamination_check(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFrame:
     """(doc_id, contaminated_by) — training docs that near-duplicate a
     store (eval-set) doc; clean docs are absent. Read-only: unlike
     :func:`process_batch` nothing appends, so the same eval store
-    screens any number of corpora."""
-    sh, bands = signatures(docs)
+    screens any number of corpora. ``sigs``: optional precomputed
+    ``(sh, bands)`` for ``docs`` (see :func:`process_batch`)."""
+    sh, bands = signatures(docs) if sigs is None else sigs
     store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
     store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
     cand = (
@@ -273,6 +284,25 @@ def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None
         os.rename(tmp, path)
 
 
+def guard_decisions_dir(decisions_dir: str) -> None:
+    """Refuse a decisions dir holding FLAT (pre-bid-layout) parquet:
+    partition discovery over a mixed flat+bid=<n> layout silently
+    drops every flat row from reads (verified empirically, review r8)
+    — fail loudly instead of losing history. Shared by both stream
+    writers (dedup + curation)."""
+    if os.path.isdir(decisions_dir) and any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(decisions_dir)
+    ):
+        raise ValueError(
+            f"decisions dir {decisions_dir!r} contains flat (pre-bid-layout) "
+            "parquet files; reading a mixed flat+bid=<n> layout silently "
+            "drops the flat rows. Migrate them first, e.g. "
+            "spark.read.parquet(dir).write.parquet(dir + '/bid=-1') "
+            "and remove the flat files."
+        )
+
+
 def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions_dir: str):
     """Wire :func:`process_batch` into a Structured Streaming query:
     foreachBatch joins each micro-batch against the mutable store and
@@ -288,22 +318,7 @@ def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions
     canonical is in the store by then) — same ``dup_of``, and the
     overwrite keeps exactly one decision row per doc."""
 
-    # migration guard: a pre-r8 decisions dir holds FLAT part-files
-    # (plain append mode). Mixing flat files with bid=<n> subdirs makes
-    # Spark's partition discovery silently drop every flat row from
-    # reads (verified empirically in review) — fail loudly instead of
-    # losing history; the operator migrates once, explicitly.
-    if os.path.isdir(decisions_dir) and any(
-        f.endswith(".parquet") and not f.startswith(("_", "."))
-        for f in os.listdir(decisions_dir)
-    ):
-        raise ValueError(
-            f"decisions dir {decisions_dir!r} contains flat (pre-bid-layout) "
-            "parquet files; reading a mixed flat+bid=<n> layout silently "
-            "drops the flat rows. Migrate them first, e.g. "
-            "spark.read.parquet(dir).write.parquet(dir + '/bid=-1') "
-            "and remove the flat files."
-        )
+    guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
         process_batch(spark, batch_df, store_dir).withColumn(
