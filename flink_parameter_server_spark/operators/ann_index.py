@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import int_hash
 from ..functions.vectors import as_double, norm2
+from ..scratch import persistent_rdd_ids, tracked_checkpoint, unpersist_rdd_ids
 from .similarity import _fast_cosine
 
 IVF_SEED = 2027
@@ -85,6 +86,11 @@ def build_ivf_index(
     exploded (row x dim) relation. Zero-norm vectors are excluded (they
     have no cosine cell).
     """
+    # the build consumes every iteration checkpoint by the final writes,
+    # so its scratch is self-contained: diff the persisted-RDD set at
+    # entry and free exactly what the build pinned (ADVICE r8 —
+    # untracked checkpoints linger until driver GC)
+    before = persistent_rdd_ids(spark)
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
     cent = (
         v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
@@ -120,6 +126,7 @@ def build_ivf_index(
     _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(f"{index_dir}/cells")
+    unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
 
 
 def ivf_search(
@@ -172,11 +179,14 @@ def ivf_search(
             F.col("ne").alias("nq"),
             "cid",
         )
-        # the probed_cids collect below would otherwise trigger the full
-        # broadcast-cosine assignment a SECOND time when the scored join
-        # recomputes the same uncached plan (ADVICE r7) — pin it once
-        .localCheckpoint()
     )
+    # the probed_cids collect below would otherwise trigger the full
+    # broadcast-cosine assignment a SECOND time when the scored join
+    # recomputes the same uncached plan (ADVICE r7) — pin it once.
+    # Tracked (ADVICE r8): the result plan depends on this checkpoint,
+    # so it frees at scratch.release() / the next registry entry, not
+    # here — a bare localCheckpoint would linger until driver GC.
+    probes = tracked_checkpoint(probes)
     probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
     cells = spark.read.parquet(f"{index_dir}/cells").where(
         F.col("cid").isin(probed_cids)
@@ -222,8 +232,20 @@ def add_vectors(spark, index_dir: str, emb: DataFrame) -> None:
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     existing = spark.read.parquet(f"{index_dir}/cells").select("vec_id")
-    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne").join(
-        existing, "vec_id", "left_anti"
+    # one row per vec_id WITHIN the batch too (ADVICE r8): the
+    # left_anti below only guards against ids already indexed, so an
+    # intra-batch duplicate id would append twice and surface as a
+    # doubled neighbor with unstable rk tie-breaks. Deterministic
+    # keeper = min embedding (as its string rendering) per vec_id —
+    # duplicate ids with conflicting embeddings violate the one-id
+    # contract anyway, but the keeper must not depend on scan order.
+    wdup = Window.partitionBy("vec_id").orderBy(F.col("embedding").cast("string"))
+    v = (
+        _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+        .withColumn("_rn", F.row_number().over(wdup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(existing, "vec_id", "left_anti")
     )
     _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
         "append"

@@ -284,7 +284,7 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     leftmost pair — exactly classic BPE's scan semantics — and plain
     literal replace() behaves identically in Spark and DuckDB (no
     regex, no lookarounds, which RE2/DuckDB lacks)."""
-    from ..scratch import persistent_rdd_ids, track_checkpoint_ids
+    from ..scratch import tracked_checkpoint
 
     d = t(spark, sf_dir, "documents")
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
@@ -306,9 +306,7 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     # tracked localCheckpoint (scratch discipline): a raw checkpoint
     # would leave an untracked persisted RDD behind the registry run —
     # the storage-leak tripwire caught exactly that (r8)
-    before = persistent_rdd_ids(spark)
-    words = words.localCheckpoint()
-    track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
+    words = tracked_checkpoint(words)
     merges = []
     for k in range(1, n_merges + 1):
         s = F.split(F.trim(F.col("state")), "  ")
@@ -363,7 +361,13 @@ def bpe_apply(words_df, merges):
     Scale shape: apply the merge chain once per DISTINCT word and join
     back — the same vocab-dimension amortization as token_hashes; the
     chain itself is n_merges map-only literal replaces on the
-    double-space encoding (identical scan semantics as training)."""
+    double-space encoding (identical scan semantics as training). The
+    join back is a plain equi-join on `word`: the vocab side is
+    corpus-dependent (a 100 TB corpus has a multi-million-row distinct
+    word table), so the planner — AQE at runtime — picks broadcast only
+    when the vocab actually fits, and falls back to shuffled join
+    otherwise (VERDICT r8: a forced F.broadcast here was the one
+    unbounded broadcast in the repo)."""
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
     state = F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  "))
     for a, b in merges:
@@ -373,7 +377,7 @@ def bpe_apply(words_df, merges):
         .distinct()
         .select("word", F.split(F.trim(state), "  ").alias("subwords"))
     )
-    return words_df.join(F.broadcast(vocab), "word").withColumn(
+    return words_df.join(vocab, "word").withColumn(
         "n_subwords", F.size("subwords")
     )
 

@@ -75,6 +75,20 @@ def track_checkpoint_ids(spark: SparkSession, ids: set[int]) -> None:
             _CHECKPOINT_HANDLES.append(handle)
 
 
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` with scratch discipline: the checkpoint's
+    persisted RDD blocks are tracked for :func:`release` instead of
+    lingering until driver GC (ADVICE r8: ivf_search's untracked probe
+    checkpoint accumulated blocks across serving calls). Same
+    non-recomputability contract as any tracked checkpoint — consume
+    the result before releasing."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
+    return out
+
+
 def release() -> int:
     """Unpersist everything tracked; returns the number of handles freed."""
     n = 0

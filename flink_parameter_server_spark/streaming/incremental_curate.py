@@ -106,6 +106,20 @@ def curate_batch(
     )
     surv_e = keepers.join(exact_store.select("doc_id"), "doc_id", "left_anti")
 
+    # canonical (not chained) provenance (ADVICE r8): if the batch
+    # keeper itself is store-rejected, its batch duplicates would carry
+    # dup_of=<keeper> — a doc rejected in the SAME batch, forcing
+    # consumers to chase dup_of transitively. Same hash => same
+    # canonical, so rewrite those dup_of to the keeper's store
+    # canonical: every dup_of now points at ACCEPTED content.
+    exact_batch = exact_batch.join(
+        exact_store.select(
+            F.col("doc_id").alias("dup_of"), F.col("dup_of").alias("canon")
+        ),
+        "dup_of",
+        "left",
+    ).select("doc_id", F.coalesce("canon", "dup_of").alias("dup_of"))
+
     # stages 3+4 signature the batch ONCE (the token-hash build is the
     # expensive part) and share the (sh, bands) pair: decontamination
     # probes with the exact-survivor superset, the near-dup stage
@@ -179,17 +193,23 @@ def curate_stream_writer(
     mutable store and writes decisions under bid=<batch_id> with
     overwrite (at-least-once replay keeps one decision row per doc;
     store writes are presence-skipped — the dedup_stream_writer
-    discipline)."""
+    discipline). The decisions write is the consumption barrier for
+    every checkpoint curate_batch pinned, so each batch frees its own
+    scratch (ADVICE r8: a long stream otherwise accumulates pinned RDD
+    blocks between driver GC cycles)."""
+    from ..scratch import persistent_rdd_ids, unpersist_rdd_ids
     from .incremental_dedup import guard_decisions_dir
 
     guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
+        before = persistent_rdd_ids(spark)
         curate_batch(spark, batch_df, store_dir, eval_store_dir).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

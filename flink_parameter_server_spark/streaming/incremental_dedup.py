@@ -321,11 +321,18 @@ def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions
     guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
+        # per-batch scratch release (ADVICE r8): the decisions write
+        # consumes every checkpoint process_batch pinned, so free them
+        # here instead of letting a long stream accumulate blocks
+        from ..scratch import persistent_rdd_ids, unpersist_rdd_ids
+
+        before = persistent_rdd_ids(spark)
         process_batch(spark, batch_df, store_dir).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

@@ -149,6 +149,46 @@ def test_ivf_search_exclude_self_option(spark, tmp_path):
     assert self_hits == _queries(spark).count()
 
 
+def test_ivf_search_checkpoint_tracked_no_storage_growth(spark, tmp_path):
+    """ADVICE r8: ivf_search's probe checkpoint (and the build's
+    iteration checkpoints) must not accumulate persisted RDDs across a
+    long-lived serving session. Probe twice, consume, release — the
+    persisted-RDD set must return to its pre-test baseline."""
+    from flink_parameter_server_spark.scratch import persistent_rdd_ids, release
+
+    idx = str(tmp_path / "ivf_leak")
+    release()  # drop any scratch a prior test left tracked
+    base = persistent_rdd_ids(spark)
+    build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
+    # the build consumed and freed its own iteration checkpoints
+    assert persistent_rdd_ids(spark) - base == set()
+    for _ in range(2):
+        assert ivf_search(spark, idx, _queries(spark), k=K, n_probe=2).count() > 0
+    release()
+    assert persistent_rdd_ids(spark) - base == set()
+
+
+def test_add_vectors_within_batch_duplicate_ids(spark, tmp_path):
+    """ADVICE r8: intra-batch duplicate vec_ids must collapse to ONE
+    indexed row (deterministic keeper), not append once per occurrence
+    — otherwise a probe returns the duplicated neighbor with unstable
+    rk tie-breaks."""
+    idx = str(tmp_path / "ivf_dupbatch")
+    emb = t(spark, SF, "embeddings")
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), idx, n_cells=N_CELLS, iters=2)
+    n_before = spark.read.parquet(f"{idx}/cells").count()
+
+    # a batch holding every odd vector THREE times over
+    rest = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    tripled = rest.unionAll(rest).unionAll(rest)
+    add_vectors(spark, idx, tripled)
+
+    cells = spark.read.parquet(f"{idx}/cells")
+    n_new = rest.where(norm2(as_double(F.col("embedding"))) > 0).count()
+    assert cells.count() == n_before + n_new
+    assert cells.groupBy("vec_id").count().where("count > 1").count() == 0
+
+
 def test_ivf_index_clustered_corpus_high_recall(spark, tmp_path):
     """The operating-point complement to the uniform-fixture floor: on
     a corpus with real cluster structure (8 well-separated centers,
