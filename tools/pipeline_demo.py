@@ -15,6 +15,12 @@ pretraining corpus takes, on the driver fixture:
   5. score       — model-based quality scores (PA-trained on weak
                    labels, ps/pa.py doc_quality_filter) and the
                    bigram-LM cross-entropy signal (text_profile)
+  6. ingest      — the CONTINUOUS form (r9): publish the corpus onto an
+                   fpsqueue topic (sources/fps_queue.py), stream it
+                   back in rate-limited micro-batches, and run the same
+                   curation per batch against persisted stores
+                   (streaming/incremental_curate.curate_stream_writer)
+                   — batch and streamed curation in one invocation.
 
 Prints one human-readable summary per stage plus a final JSON line.
 
@@ -127,6 +133,75 @@ def main() -> None:
         "train_max_lm_xent": lm["max_xent"],
     }
     print(f"# score: {out['score']}")
+
+    # 6. ingest (streamed): the same corpus arriving as a topic — the
+    #    continuous-ingestion form of stage 1, through the native
+    #    fpsqueue source and the per-micro-batch curation writer
+    import shutil
+    import tempfile
+
+    from flink_parameter_server_spark.operators.curate import is_eval_holdout
+    from flink_parameter_server_spark.sources.fps_queue import register as register_fpsq
+    from flink_parameter_server_spark.streaming.incremental_curate import (
+        curate_stream_writer,
+    )
+    from flink_parameter_server_spark.streaming.incremental_dedup import (
+        build_signature_store,
+    )
+
+    register_fpsq(spark)
+    work = tempfile.mkdtemp(prefix="fps_demo_")
+    try:
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        # the seeded eval holdout plays the benchmark set, as in stage 1
+        build_signature_store(
+            spark,
+            docs.where(is_eval_holdout()).select("doc_id", "text"),
+            os.path.join(work, "eval_store"),
+        )
+        # produce: the incoming corpus lands as 4 arrival-ordered
+        # topic messages (the batch producer half of the source)
+        topic = os.path.join(work, "topic")
+        docs.where(~is_eval_holdout()).repartition(4).write.format(
+            "fpsqueue"
+        ).option("path", topic).mode("append").save()
+        # consume: rate-limited micro-batches -> curate -> stores
+        stream = (
+            spark.readStream.format("fpsqueue")
+            .option("path", topic)
+            .option("ddl", "doc_id bigint, text string, n_chars bigint")
+            .option("maxFilesPerBatch", "2")
+            .load()
+        )
+        q = curate_stream_writer(
+            spark,
+            stream,
+            os.path.join(work, "store"),
+            os.path.join(work, "decisions"),
+            os.path.join(work, "eval_store"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dec = spark.read.parquet(os.path.join(work, "decisions"))
+        stream_counts = {
+            r["decision"]: r["n"]
+            for r in dec.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        out["ingest_streamed"] = {
+            "micro_batches": dec.select("batch_id").distinct().count(),
+            "decisions": stream_counts,
+        }
+        # batch-vs-streamed consistency note: accepted should track the
+        # batch pipeline's train+valid+test survivor count (greedy
+        # cross-batch keep-first can differ from whole-corpus CC only
+        # on transitive near-dup chains split across micro-batches)
+        batch_survivors = sum(by_decision.get(k, 0) for k in ("train", "valid", "test"))
+        out["ingest_streamed"]["batch_pipeline_survivors"] = batch_survivors
+        print(f"# ingest (streamed): {out['ingest_streamed']}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
     out["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(out))
