@@ -62,3 +62,27 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.40
 """
+
+# IVF coarse-cell constants + the SemDeDup pair oracle (r9) — also below
+# the operator layer for the same registration-time reason. Centroids are
+# every IVF_STRIDE-th vector (a literal rule both engines replay);
+# SEMANTIC_T sits in a measured gap of the fixture's in-cell cosine
+# distribution (see operators/similarity.py for the margins).
+IVF_STRIDE = 64
+SEMANTIC_T = 0.422
+
+SEMANTIC_PAIRS_SQL = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS cos_sim
+FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {SEMANTIC_T}
+"""

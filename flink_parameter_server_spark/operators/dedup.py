@@ -685,7 +685,7 @@ def dedup_ngram_jaccard(
 
 
 def _near_dup_oracle() -> str:
-    from ..functions.planes import EMB_NEAR_DUP_SQL
+    from ..functions.planes import EMB_NEAR_DUP_SQL, SEMANTIC_PAIRS_SQL
 
     return f"""
 SELECT * FROM ({_MINHASH_SQL}) AS minhash_part
@@ -697,6 +697,9 @@ UNION ALL
 SELECT * FROM ({_SUBSTR_SQL}) AS substr_part
 UNION ALL
 SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS emb_part
+UNION ALL
+SELECT 'semantic' AS method, vec_a AS doc_a, vec_b AS doc_b, cos_sim AS score
+FROM ({SEMANTIC_PAIRS_SQL}) AS sem_part
 """
 
 
@@ -719,15 +722,26 @@ SELECT 'embedding' AS method, doc_a, doc_b, score FROM ({EMB_NEAR_DUP_SQL}) AS e
     "ExactSubstr shape of Lee et al. 2022 — shared k-token rolling-"
     "hash spans with a document-frequency cap on hot (boilerplate) "
     "spans, score = span containment. 'embedding': cosine >= 0.40 "
-    "within random-hyperplane LSH buckets. Per-method docstrings on "
-    "the underlying functions in this module and "
-    "operators/similarity.py.",
+    "within random-hyperplane LSH buckets. 'semantic' (r9): the "
+    "SemDeDup shape of Abbas et al. 2023 — candidates share an IVF "
+    "coarse cell (learned-partition blocking instead of random "
+    "hyperplanes; sampled k-means at real scale), cosine >= 0.422 "
+    "inside the cell; the keep-least-central prune rule is "
+    "similarity.semdedup_prune (tested against a driver-side "
+    "reference). Per-method docstrings on the underlying functions in "
+    "this module and operators/similarity.py.",
 )
 def dedup_near_dup_pairs(spark, sf_dir):
-    from .similarity import embedding_near_dup_pairs
+    from .similarity import embedding_near_dup_pairs, embedding_semantic_pairs
 
     emb = embedding_near_dup_pairs(spark, sf_dir).select(
         F.lit("embedding").alias("method"),
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("cos_sim").alias("score"),
+    )
+    sem = embedding_semantic_pairs(spark, sf_dir).select(
+        F.lit("semantic").alias("method"),
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         F.col("cos_sim").alias("score"),
@@ -740,6 +754,7 @@ def dedup_near_dup_pairs(spark, sf_dir):
         .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir))
         .unionByName(dedup_substring_spans(spark, sf_dir, tha=tha))
         .unionByName(emb)
+        .unionByName(sem)
     )
 
 

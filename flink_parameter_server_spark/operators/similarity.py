@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.planes import DIM, EMB_NEAR_DUP_SQL, bucket_col as _bucket_col, bucket_sql as _bucket_sql  # noqa: F401 (EMB_NEAR_DUP_SQL re-exported for dedup)
+from ..functions.planes import (  # noqa: F401 (EMB_NEAR_DUP_SQL/SEMANTIC_PAIRS_SQL re-exported for dedup)
+    DIM,
+    EMB_NEAR_DUP_SQL,
+    IVF_STRIDE,
+    SEMANTIC_PAIRS_SQL,
+    SEMANTIC_T,
+    bucket_col as _bucket_col,
+    bucket_sql as _bucket_sql,
+)
 from ..functions.vectors import as_double, cosine_sql, dot, norm2
 from ..plans.registry import register
 from ._util import t
@@ -171,9 +179,8 @@ def embedding_simhash_ann(spark, sf_dir):
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 
-IVF_STRIDE = 64  # every 64th vector is a coarse centroid (deterministic)
-
-
+# IVF_STRIDE (every 64th vector is a coarse centroid, deterministic)
+# lives in functions/planes.py with the other oracle-shared constants.
 _IVF_ANN_SQL = f"""
 WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
 assign AS (
@@ -234,20 +241,22 @@ def embedding_ann_topk(spark, sf_dir):
     return brute.unionByName(simhash).unionByName(ivf)
 
 
-def embedding_ivf_ann(spark, sf_dir):
-    """IVF-style ANN (the other scale path): deterministic coarse
-    centroids (every 64th vector), vectors assigned to their max-cosine
-    cell, queries probe their own cell only, exact re-rank inside. At
-    100 TB: centroids come from sampled k-means (MLlib KMeans), cells
-    partition the index, multi-probe tunes recall — the cell join shape
-    is identical to this oracle-checked form."""
-    emb = embeddings_normed(spark, sf_dir)
+def ivf_assign(emb, keep_centroid_cos: bool = False):
+    """Deterministic coarse-cell assignment shared by the IVF ANN path
+    and the SemDeDup pair generator: centroids = every IVF_STRIDE-th
+    vector (a literal rule, so the DuckDB oracle replays it exactly),
+    each vector lands in its max-cosine cell (tie -> lowest cid). The
+    centroid side is a bounded broadcast (n/IVF_STRIDE rows of the
+    probed corpus slice — the plan-sweep-whitelisted crossJoin shape).
+    ``keep_centroid_cos`` additionally carries the winning cosine, which
+    SemDeDup's keep-rule ranks on."""
     cent = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
         F.col("ne").alias("nc"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
-    assign = (
+    extra = ["cos_c"] if keep_centroid_cos else []
+    return (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
@@ -261,8 +270,19 @@ def embedding_ivf_ann(spark, sf_dir):
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "ne", "cid")
+        .select("vec_id", "embedding", "ne", "cid", *extra)
     )
+
+
+def embedding_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (the other scale path): deterministic coarse
+    centroids (every 64th vector), vectors assigned to their max-cosine
+    cell, queries probe their own cell only, exact re-rank inside. At
+    100 TB: centroids come from sampled k-means (MLlib KMeans), cells
+    partition the index, multi-probe tunes recall — the cell join shape
+    is identical to this oracle-checked form."""
+    emb = embeddings_normed(spark, sf_dir)
+    assign = ivf_assign(emb)
     q = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("ne").alias("nq"), "cid",
@@ -308,4 +328,85 @@ def embedding_near_dup_pairs(spark, sf_dir):
         .where(F.col("vec_a") < F.col("vec_b"))
         .where(cos >= 0.40)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+# pretraining corpora — cluster the embedding space coarsely, then call
+# any same-cell pair above a cosine threshold a semantic duplicate.
+# Candidate generation is the IVF cell equi-join (never all-pairs); the
+# SEMANTIC_T = 0.422 threshold (functions/planes.py, with the oracle
+# SQL) sits mid-gap in the fixture's in-cell cosine distribution (double
+# math) so the check discriminates at both sf0.001 and sf0.01: nearest
+# excluded 0.41924 / 0.41452, nearest included 0.42476 / 0.42923 —
+# margins >= 2.8e-3, >> the 1e-6 rounding grain; pinned by the
+# test_semdedup margin test.
+def embedding_semantic_pairs(spark, sf_dir):
+    """SemDeDup candidate pairs: same IVF cell AND cosine >= SEMANTIC_T.
+
+    Differs from :func:`embedding_near_dup_pairs` in how candidates are
+    generated — learned-partition cells (here the deterministic IVF
+    stride rule; sampled k-means at real scale) instead of random
+    hyperplane buckets. Cells adapt to the data's density so recall
+    concentrates where the corpus actually clusters, which is exactly
+    the regime semantic duplicates live in. Shape: one bounded centroid
+    broadcast + one cell equi-join — at 100 TB the per-cell pair count
+    stays ~|cell|^2/2 with |cell| ~ IVF_STRIDE, i.e. linear in corpus
+    size."""
+    emb = embeddings_normed(spark, sf_dir)
+    assign = ivf_assign(emb)
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("ne").alias("na"), "cid",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("ne").alias("nb"), "cid",
+    )
+    cos = _fast_cosine(as_double(F.col("ea")), as_double(F.col("eb")), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= SEMANTIC_T)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup's keep-rule over the semantic pair graph: connected
+    components of same-cell duplicate pairs (star-CC, the shared
+    _dedup_core machinery), and within each component KEEP the vector
+    LEAST similar to its cell centroid (the paper's rule — the kept
+    example is the most "marginal" one, preserving diversity), ties
+    broken by lowest vec_id. Returns (vec_id, cid, component, keep).
+
+    Scale shape: pair graph is cell-bounded (see
+    :func:`embedding_semantic_pairs`), star-CC is ~log n rounds, the
+    keep decision is one window over components — no driver-side loops
+    beyond CC's bounded convergence probe."""
+    from ._dedup_core import star_connected_components
+
+    emb = embeddings_normed(spark, sf_dir)
+    assign = ivf_assign(emb, keep_centroid_cos=True)
+    pairs = embedding_semantic_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    parents, _ = star_connected_components(pairs)
+    labeled = (
+        assign.select("vec_id", "cid", "cos_c")
+        .join(
+            parents.select(F.col("a").alias("vec_id"), F.col("b").alias("root")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", "cid", "cos_c", F.coalesce("root", "vec_id").alias("component")
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.col("cos_c").asc(), F.col("vec_id"))
+    return labeled.select(
+        "vec_id",
+        "cid",
+        "component",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

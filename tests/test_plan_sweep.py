@@ -31,6 +31,10 @@ BOUNDED_BNLJ = {
     # IVF centroid assignment broadcasts the k=IVF_K centroid table;
     # brute/simhash variants broadcast 1-row extrema aggregates
     "embedding_ann_topk": (3, "k centroids + 1-row norm/threshold aggs"),
+    # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
+    # broadcast side is the stride-rule centroid table (n/IVF_STRIDE
+    # rows), appearing once per side of the cell self-join
+    "dedup_near_dup_pairs": (2, "stride-rule centroid table, twice via cell self-join"),
     # the tier table is a constant literal frame (value-band boundaries)
     "event_value_tiers": (1, "constant tier-boundary frame"),
     # hour-grid fill: bounded spark.range over the window span

@@ -1,0 +1,138 @@
+"""SemDeDup (r9, operators/similarity.py): semantic dedup over the
+embedding space — IVF-cell-blocked candidate pairs plus the paper's
+keep-least-central prune rule (Abbas et al. 2023). Pins (1) threshold
+margins so the oracle check actually discriminates, (2) the prune
+decision against a driver-side union-find + argmin reference, (3) the
+keep-rule invariants, (4) the scale shape (cell equi-join, bounded
+centroid broadcast only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parameter_server_spark.functions.planes import IVF_STRIDE, SEMANTIC_T
+from flink_parameter_server_spark.operators.similarity import (
+    embedding_semantic_pairs,
+    embeddings_normed,
+    ivf_assign,
+    semdedup_prune,
+)
+from tests.conftest import SF_SMALL
+
+SF_MED = SF_SMALL.replace("0.001", "0.01")
+
+
+def _in_cell_cosines(spark, sf_dir):
+    """All same-cell pair cosines (unthresholded), driver-side."""
+    from flink_parameter_server_spark.functions.vectors import as_double, cosine
+
+    assign = ivf_assign(embeddings_normed(spark, sf_dir))
+    a = assign.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cid")
+    b = assign.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "cid")
+    return (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select(cosine(as_double(F.col("ea")), as_double(F.col("eb"))).alias("cos"))
+    )
+
+
+def test_semantic_threshold_margins_discriminate(spark):
+    """SEMANTIC_T must sit in a real gap of the in-cell cosine
+    distribution at BOTH fixture scales the driver exercises — otherwise
+    a 1-ulp cosine difference between engines could flip a pair."""
+    for sf in (SF_SMALL, SF_MED):
+        cos = _in_cell_cosines(spark, sf)
+        below = cos.where(F.col("cos") < SEMANTIC_T).agg(F.max("cos")).first()[0]
+        above = cos.where(F.col("cos") >= SEMANTIC_T).agg(F.min("cos")).first()[0]
+        assert above is not None, f"{sf}: no pair above SEMANTIC_T — method untested"
+        assert SEMANTIC_T - below > 1e-3, f"{sf}: excluded margin {SEMANTIC_T - below}"
+        assert above - SEMANTIC_T > 1e-3, f"{sf}: included margin {above - SEMANTIC_T}"
+
+
+def test_semantic_pairs_same_cell_and_thresholded(spark):
+    assign = {
+        r.vec_id: r.cid for r in ivf_assign(embeddings_normed(spark, SF_MED)).collect()
+    }
+    pairs = embedding_semantic_pairs(spark, SF_MED).collect()
+    assert pairs, "fixture must produce at least one semantic pair"
+    for r in pairs:
+        assert assign[r.vec_a] == assign[r.vec_b]
+        assert r.cos_sim >= SEMANTIC_T
+        assert r.vec_a < r.vec_b
+
+
+def test_semdedup_prune_matches_driver_reference(spark):
+    """keep decision == union-find over the pair graph + keep the
+    component member LEAST similar to its cell centroid (tie: lowest
+    vec_id) — the SemDeDup rule, recomputed independently driver-side."""
+    assign = ivf_assign(embeddings_normed(spark, SF_MED), keep_centroid_cos=True)
+    rows = assign.select("vec_id", "cos_c").collect()
+    cos_c = {r.vec_id: r.cos_c for r in rows}
+    parent = {v: v for v in cos_c}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in embedding_semantic_pairs(spark, SF_MED).collect():
+        ra, rb = find(r.vec_a), find(r.vec_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, list[int]] = {}
+    for v in cos_c:
+        comps.setdefault(find(v), []).append(v)
+    want_keep = set()
+    for members in comps.values():
+        want_keep.add(min(members, key=lambda v: (cos_c[v], v)))
+
+    got = semdedup_prune(spark, SF_MED).collect()
+    got_keep = {r.vec_id for r in got if r.keep == 1}
+    assert got_keep == want_keep
+    # component labels group identically (same partition of vec_ids)
+    got_comps: dict[int, set[int]] = {}
+    for r in got:
+        got_comps.setdefault(r.component, set()).add(r.vec_id)
+    assert sorted(map(sorted, got_comps.values())) == sorted(
+        sorted(m) for m in comps.values()
+    )
+
+
+def test_semdedup_prune_invariants(spark):
+    pr = semdedup_prune(spark, SF_MED)
+    n = pr.count()
+    assert n == embeddings_normed(spark, SF_MED).count()
+    per_comp = pr.groupBy("component").agg(
+        F.sum("keep").alias("k"), F.count(F.lit(1)).alias("c")
+    )
+    # exactly one keeper per component; singletons keep themselves
+    assert per_comp.where(F.col("k") != 1).count() == 0
+    dropped = pr.where(F.col("keep") == 0).count()
+    assert dropped == n - per_comp.count()
+    assert dropped == embedding_semantic_pairs(spark, SF_MED).select(
+        F.explode(F.array("vec_a", "vec_b")).alias("v")
+    ).distinct().count() - per_comp.where(F.col("c") > 1).count()
+
+
+def test_semantic_pairs_plan_is_cell_equijoin(spark):
+    """Scale shape: candidates come from an equi-join on cid (shuffle or
+    broadcast HASH join — never nested-loop over pairs); the only
+    nested-loop joins are the two bounded centroid-table broadcasts of
+    the cell self-join, and no CartesianProduct anywhere."""
+    plan = (
+        embedding_semantic_pairs(spark, SF_MED)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_ivf_stride_centroid_count_bounded(spark):
+    cent = embeddings_normed(spark, SF_MED).where(F.col("vec_id") % IVF_STRIDE == 0)
+    n = embeddings_normed(spark, SF_MED).count()
+    assert cent.count() <= n // IVF_STRIDE + 1
