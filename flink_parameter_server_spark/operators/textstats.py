@@ -32,6 +32,15 @@ FP_WINDOW = 8
 # (Spark) and RE2 (DuckDB) — simple character classes only.
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
 URL_RE = "https?://[^ \\t\\n]+"
+# DSIR importance weighting (r9, Xie et al. 2023 "Data Selection for
+# Language Models via Importance Resampling"): hashed bag-of-unigrams
+# features, per-doc log importance weight = sum over token occurrences
+# of ln(p_target(b)/p_raw(b)) with add-1 smoothing over DSIR_B buckets.
+# Target distribution = the lang='en' slice of the corpus (stand-in for
+# "high-quality domain sample"); raw = the whole corpus.
+DSIR_B = 128
+DSIR_SEED = 11
+DSIR_TARGET_LANG = "en"
 
 
 def _stoplist_sql(words) -> str:
@@ -82,6 +91,28 @@ docx AS (
     GROUP BY b.doc_id
   ) micro
 ),
+fpos AS (
+  SELECT doc_id, lang, {poly_hash_sql('tok', DSIR_SEED)} % {DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tk) ft
+),
+fcnt AS (SELECT doc_id, lang, b, count(*) AS n FROM fpos GROUP BY 1, 2, 3),
+fraw AS (SELECT b, sum(n) AS cr FROM fcnt GROUP BY b),
+ftgt AS (SELECT b, sum(n) AS ct FROM fcnt WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+ftot AS (
+  SELECT (SELECT sum(cr) FROM fraw) AS rr,
+         coalesce((SELECT sum(ct) FROM ftgt), 0) AS tt
+),
+flam AS (
+  SELECT fraw.b,
+         CAST(CAST(round(ln(((coalesce(ct, 0) + 1.0) / (tt + {float(DSIR_B)}))
+                        / ((cr + 1.0) / (rr + {float(DSIR_B)}))), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lmic
+  FROM fraw LEFT JOIN ftgt ON fraw.b = ftgt.b CROSS JOIN ftot
+),
+fdsir AS (
+  SELECT doc_id, CAST(sum(n * lmic) AS DOUBLE) / 1000000.0 AS dsir_logw
+  FROM fcnt JOIN flam ON fcnt.b = flam.b GROUP BY doc_id
+),
 sc AS (
   SELECT doc_id, lang, text, n_chars, toks,
     {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
@@ -120,10 +151,12 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
     round(CAST(len(regexp_extract_all(sc.text, '[0-9]')) AS DOUBLE) / length(sc.text), 6)
   END AS digit_ratio,
   docx.lm_xent,
+  fdsir.dsir_logw,
   fp.fingerprint,
   {poly_hash_sql('sc.text', 1)} AS full_hash
 FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
 LEFT JOIN docx ON docx.doc_id = sc.doc_id
+LEFT JOIN fdsir ON fdsir.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
     doc="The full per-document text-analysis profile in ONE pass over the "
@@ -144,7 +177,14 @@ LEFT JOIN docx ON docx.doc_id = sc.doc_id
     "(r8: the CCNet perplexity-filtering signal — an add-1 bigram model "
     "trained on the corpus scores each doc, lm_xent = mean -ln "
     "p(w2|w1), ppl = exp(lm_xent); per-term 6dp round + decimal sum "
-    "keeps the fold order-independent across engines); winnowing-style "
+    "keeps the fold order-independent across engines); DSIR importance "
+    "weight (r9: Xie et al. 2023 — hashed bag-of-unigrams features in "
+    "DSIR_B buckets, dsir_logw = sum over token occurrences of "
+    "ln(p_target(b)/p_raw(b)) with add-1 smoothing, target = the "
+    "lang='en' corpus slice; per-feature log-ratios carried as 6dp "
+    "integer micro-nats so the per-doc sum is exact in both engines — "
+    "the data-selection signal for importance resampling toward a "
+    "quality domain); winnowing-style "
     "fingerprint (position-weighted rolling hash per 8-token chunk, min "
     "chunk hash) plus a full-text polynomial hash. The per-doc columns "
     "are codegen'd array math; fingerprint and the LM are explode+"
@@ -213,6 +253,53 @@ def text_profile(spark, sf_dir):
                 ).cast("double")
                 / F.lit(1000000.0)
             ).alias("lm_xent"),
+        )
+    )
+    # DSIR importance weight (r9): per-doc sum of per-feature log-ratios
+    # between the target (lang = DSIR_TARGET_LANG) and raw unigram
+    # distributions, features hashed into DSIR_B buckets. Float
+    # discipline mirrors lm_xent: each per-feature ln is rounded to 6dp
+    # and carried as integer micro-nats, so the per-doc sum is exact
+    # integer math in both engines (sums may be negative, so the TOTAL
+    # is emitted — no integer division whose floor/truncate semantics
+    # could diverge on negatives). Shapes: one (doc,b) count shuffle,
+    # then B-row aggregates joined via a broadcast λ table; the only
+    # nested-loop joins are 1-row totals broadcasts.
+    feat = tk.select("doc_id", "lang", F.explode("toks").alias("tok")).select(
+        "doc_id", "lang", (poly_hash(F.col("tok"), DSIR_SEED) % DSIR_B).alias("b")
+    )
+    fcnt = feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
+    raw = fcnt.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt = (
+        fcnt.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("rr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lam_val = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tt") + F.lit(float(DSIR_B)))
+            )
+            / ((F.col("cr") + F.lit(1.0)) / (F.col("rr") + F.lit(float(DSIR_B))))
+        ),
+        6,
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", (lam_val.cast("decimal(18,6)") * 1000000).cast("long").alias("lmic"))
+    )
+    dsir = (
+        fcnt.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("n") * F.col("lmic")).cast("double") / F.lit(1000000.0)).alias(
+                "dsir_logw"
+            )
         )
     )
     chunks = (
@@ -315,10 +402,15 @@ def text_profile(spark, sf_dir):
         ).alias("digit_ratio"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
-    return wide.join(fp, "doc_id", "left").join(docx, "doc_id", "left").select(
-        "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
-        "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
-        "stopword_ratio", "quality_score", "max_token_ratio",
-        "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio", "lm_xent",
-        "fingerprint", "full_hash",
+    return (
+        wide.join(fp, "doc_id", "left")
+        .join(docx, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .select(
+            "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
+            "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
+            "stopword_ratio", "quality_score", "max_token_ratio",
+            "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio", "lm_xent",
+            "dsir_logw", "fingerprint", "full_hash",
+        )
     )

@@ -52,8 +52,10 @@ BOUNDED_BNLJ = {
     # the |langs|-row histogram before broadcasting it to documents
     "train_test_split": (1, "1-row lang-histogram totals agg"),
     # the bigram-LM smoothing denominator attaches the 1-row vocab-size
-    # aggregate to the unigram context counts
-    "text_profile": (1, "1-row vocab-size agg"),
+    # aggregate to the unigram context counts; the r9 DSIR λ table
+    # attaches the 1-row (rr, tt) totals (itself a 1-row x 1-row cross)
+    # to the B-row bucket counts
+    "text_profile": (3, "1-row vocab-size + DSIR totals aggs"),
 }
 
 

@@ -348,3 +348,79 @@ def test_lm_xent_separates_outliers(spark, tmp_path):
     assert max(xents, key=xents.get) == 9, xents
     # in-domain docs sit well below the outlier
     assert all(v < xents[9] * 0.8 for k, v in xents.items() if k != 9), xents
+
+
+def test_dsir_logw_matches_driver_reference(spark):
+    """The r9 DSIR signal: recompute the hashed-unigram importance
+    weights driver-side (independent Python implementation of the add-1
+    bucket model) and require exact equality with the entry's
+    dsir_logw at sf0.001."""
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_EVEN
+    import math
+
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.textstats import (
+        DSIR_B,
+        DSIR_SEED,
+        DSIR_TARGET_LANG,
+    )
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    def ph(s, seed):
+        acc = seed
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1_000_003
+        return acc
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "lang", "text").collect()
+    per_doc: dict[int, Counter] = {}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for r in docs:
+        toks = [x for x in r.text.split(" ") if x]
+        c = Counter(ph(x, DSIR_SEED) % DSIR_B for x in toks)
+        per_doc[r.doc_id] = c
+        raw.update(c)
+        if r.lang == DSIR_TARGET_LANG:
+            tgt.update(c)
+    rr, tt = sum(raw.values()), sum(tgt.values())
+    lam = {}
+    for b, cr in raw.items():
+        x = ((tgt.get(b, 0) + 1.0) / (tt + float(DSIR_B))) / (
+            (cr + 1.0) / (rr + float(DSIR_B))
+        )
+        # 6dp round-half-even on the double, like both engines' round()
+        lam[b] = int(
+            (Decimal(repr(round(math.log(x), 6))) * 1_000_000).to_integral_value(
+                ROUND_HALF_EVEN
+            )
+        )
+    want = {
+        d: (sum(n * lam[b] for b, n in c.items()) / 1_000_000.0 if c else None)
+        for d, c in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in REGISTRY["text_profile"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_dsir_logw_prefers_target_language(spark):
+    """Signal direction: docs in the target language must average a
+    higher importance weight than the rest of the corpus — DSIR
+    upweights what resembles the target distribution."""
+    from flink_parameter_server_spark.operators.textstats import DSIR_TARGET_LANG
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    prof = REGISTRY["text_profile"].fn(spark, SF_SMALL)
+    rows = prof.select("actual_lang", "dsir_logw").where(
+        F.col("dsir_logw").isNotNull()
+    ).collect()
+    en = [r.dsir_logw for r in rows if r.actual_lang == DSIR_TARGET_LANG]
+    rest = [r.dsir_logw for r in rows if r.actual_lang != DSIR_TARGET_LANG]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
