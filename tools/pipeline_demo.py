@@ -15,6 +15,10 @@ pretraining corpus takes, on the driver fixture:
   5. score       — model-based quality scores (PA-trained on weak
                    labels, ps/pa.py doc_quality_filter) and the
                    bigram-LM cross-entropy signal (text_profile)
+  5b. embed+select — SemDeDup semantic-dup pruning over the vector
+                   catalog (similarity.semdedup_prune) and DSIR
+                   importance selection of the train split by
+                   dsir_logw (text_profile, r9)
   6. ingest      — the CONTINUOUS form (r9): publish the corpus onto an
                    fpsqueue topic (sources/fps_queue.py), stream it
                    back in rate-limited micro-batches, and run the same
@@ -117,10 +121,9 @@ def main() -> None:
     # 5. score: learned quality model + LM signal over the train split
     dq = doc_quality_filter(spark, sf).cache()
     agree = dq.where("y = y_pred").count() / max(1, dq.count())
+    prof = REGISTRY["text_profile"].fn(spark, sf).cache()
     lm = (
-        REGISTRY["text_profile"]
-        .fn(spark, sf)
-        .join(train_ids, "doc_id", "left_semi")
+        prof.join(train_ids, "doc_id", "left_semi")
         .agg(
             F.round(F.avg("lm_xent"), 3).alias("mean_xent"),
             F.round(F.max("lm_xent"), 3).alias("max_xent"),
@@ -133,6 +136,30 @@ def main() -> None:
         "train_max_lm_xent": lm["max_xent"],
     }
     print(f"# score: {out['score']}")
+
+    # 5b. embedding-space prune + importance selection (r9): SemDeDup
+    #     drops semantic duplicates from the vector catalog (keep the
+    #     least-central member per duplicate component), and DSIR
+    #     importance-resamples the train split toward the target
+    #     distribution (top half by dsir_logw)
+    from flink_parameter_server_spark.operators.similarity import semdedup_prune
+
+    pr = semdedup_prune(spark, sf)
+    sem_dropped = pr.where("keep = 0").count()
+    train_w = prof.join(train_ids, "doc_id", "left_semi").where(
+        F.col("dsir_logw").isNotNull()
+    )
+    n_train_w = train_w.count()
+    sel = train_w.orderBy(F.col("dsir_logw").desc()).limit(n_train_w // 2)
+    stats = sel.agg(F.round(F.avg("dsir_logw"), 3).alias("sel_mean")).collect()[0]
+    all_mean = train_w.agg(F.round(F.avg("dsir_logw"), 3).alias("m")).collect()[0]["m"]
+    out["embed_select"] = {
+        "semantic_dups_dropped": sem_dropped,
+        "dsir_selected": n_train_w // 2,
+        "dsir_selected_mean_logw": stats["sel_mean"],
+        "dsir_train_mean_logw": all_mean,
+    }
+    print(f"# embed+select: {out['embed_select']}")
 
     # 6. ingest (streamed): the same corpus arriving as a topic — the
     #    continuous-ingestion form of stage 1, through the native
