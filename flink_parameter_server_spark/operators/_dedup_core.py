@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MOD, poly_hash, poly_hash_sql
 from ..functions.text import tokens, tokens_sql
-from ..scratch import persistent_rdd_ids, track_checkpoint_ids, unpersist_rdd_ids
+from ..scratch import scoped_checkpoint, track_checkpoint_ids, unpersist_rdd_ids
 
 SHINGLE_N = 3
 MINHASH_SEEDS = (11, 13, 17, 19, 23, 29, 31, 37)  # 8 hashes -> 4 bands x 2 rows
@@ -180,7 +180,10 @@ def minhash_bands(sh):
 CC_MAX_ITERS = 15
 
 
-def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every: int = 2):
+def star_connected_components(
+    edges, max_rounds: int = CC_MAX_ITERS, probe_every: int = 2,
+    scratch_ids: set[int] | None = None,
+):
     """Alternating small-star/large-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond"): per round the
     edge set is rewritten toward star graphs whose centers are the
@@ -204,21 +207,25 @@ def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every
 
     Returns (parents DataFrame (child, root), rounds_used).
     edges: DataFrame (a, b), undirected, no self loops required.
+    ``scratch_ids``: when given, the SURVIVING round's checkpoint ids
+    are attributed there instead of the global release tracker — the
+    foreachBatch-sink contract (r9 review: a stream that never reaches
+    scratch.release() would otherwise accumulate one survivor edge set
+    per micro-batch).
     """
     spark = edges.sparkSession
-    before = persistent_rdd_ids(spark)
-    e = (
+    e_ids: set[int] = set()
+    e = scoped_checkpoint(
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        e_ids,
     )
     # Checkpoint-block lifecycle: each round's eager checkpoint makes the
     # previous round's blocks dead — free them immediately instead of
     # holding O(rounds) copies of the edge set; the SURVIVING round's
     # blocks (which the returned parents plan reads) are handed to the
-    # scratch tracker for release when the next registry query begins.
-    e_ids = persistent_rdd_ids(spark) - before
+    # caller's scratch_ids or the scratch tracker.
 
     def signature(df):
         row = df.agg(
@@ -261,16 +268,18 @@ def star_connected_components(edges, max_rounds: int = CC_MAX_ITERS, probe_every
             # by the next one — measured 3x slower when checkpointing
             # only at probe points
         )
-        before = persistent_rdd_ids(spark)
-        small = small.localCheckpoint(eager=True)
-        new_ids = persistent_rdd_ids(spark) - before
+        new_ids: set[int] = set()
+        small = scoped_checkpoint(small, new_ids)
         unpersist_rdd_ids(spark, e_ids)  # previous round superseded
         e, e_ids = small, new_ids
         rounds += 1
         if rounds % probe_every == 0 or rounds == max_rounds:
             sig = signature(e)
             if sig == prev_sig:
-                track_checkpoint_ids(spark, e_ids)
+                if scratch_ids is None:
+                    track_checkpoint_ids(spark, e_ids)
+                else:
+                    scratch_ids |= e_ids
                 return e, rounds
             prev_sig = sig
     raise RuntimeError(

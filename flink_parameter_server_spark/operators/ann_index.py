@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import int_hash
 from ..functions.vectors import as_double, norm2
-from ..scratch import persistent_rdd_ids, tracked_checkpoint, unpersist_rdd_ids
+from ..scratch import scoped_checkpoint, tracked_checkpoint, unpersist_rdd_ids
 from .similarity import _fast_cosine
 
 IVF_SEED = 2027
@@ -87,12 +87,14 @@ def build_ivf_index(
     have no cosine cell).
     """
     # the build consumes every iteration checkpoint by the final writes,
-    # so its scratch is self-contained: diff the persisted-RDD set at
-    # entry and free exactly what the build pinned (ADVICE r8 —
-    # untracked checkpoints linger until driver GC)
-    before = persistent_rdd_ids(spark)
+    # so its scratch is self-contained: collect the exact ids each
+    # checkpoint pins (scoped_checkpoint — a global before/after diff
+    # would claim a concurrent stream's blocks, r9 review) and free
+    # them after the writes (ADVICE r8 — untracked checkpoints linger
+    # until driver GC)
+    build_ids: set[int] = set()
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-    cent = (
+    cent = scoped_checkpoint(
         v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
         .limit(n_cells)
         .select(
@@ -101,8 +103,8 @@ def build_ivf_index(
             .alias("cid"),
             as_double(F.col("embedding")).alias("cv"),
             F.col("ne").alias("nc"),
-        )
-        .localCheckpoint()
+        ),
+        build_ids,
     )
     for _ in range(iters):
         assigned = _assign(v, cent)
@@ -117,16 +119,17 @@ def build_ivf_index(
                 ).alias("cv")
             )
         )
-        cent = (
-            means.where(norm2(F.col("cv")) > 0)
-            .select("cid", "cv", F.sqrt(norm2(F.col("cv"))).alias("nc"))
-            .localCheckpoint()
+        cent = scoped_checkpoint(
+            means.where(norm2(F.col("cv")) > 0).select(
+                "cid", "cv", F.sqrt(norm2(F.col("cv"))).alias("nc")
+            ),
+            build_ids,
         )
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(f"{index_dir}/cells")
-    unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+    unpersist_rdd_ids(spark, build_ids)
 
 
 def ivf_search(
@@ -211,7 +214,7 @@ def ivf_search(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def add_vectors(spark, index_dir: str, emb: DataFrame) -> None:
+def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False) -> None:
     """Incrementally index new vectors WITHOUT re-running Lloyd
     (VERDICT r7 #8 — the serving story: a growing catalog appends, it
     does not rebuild): assign each new vector against the PERSISTED
@@ -222,7 +225,18 @@ def add_vectors(spark, index_dir: str, emb: DataFrame) -> None:
 
     Vectors whose vec_id is already in the index are skipped
     (idempotent re-ingest; same contract as the incremental dedup
-    store). Zero-norm vectors are excluded as in the build.
+    store). The presence probe scans ONLY the incoming batch's cell
+    partitions, not the whole index (r9 review: a full-index id scan
+    per batch defeats the touched-cells scale story) — valid because
+    assignment is deterministic against immutable centroids, so a
+    replayed id always lands in the same cell it is already in.
+    Zero-norm vectors are excluded as in the build.
+
+    ``preassigned=True`` accepts a frame already carrying (vec_id,
+    embedding, ne, cid) from this module's own ``_assign`` arithmetic
+    (e.g. semantic_dedup's per-batch assignment) and skips the
+    re-norm + re-assign pass entirely; the caller vouches for
+    batch-unique vec_ids in that case.
 
     Drift: appended vectors join their nearest EXISTING cell, so a
     shifting distribution skews cell sizes instead of moving
@@ -230,26 +244,39 @@ def add_vectors(spark, index_dir: str, emb: DataFrame) -> None:
     :func:`build_ivf_index`) when max_cell/mean_cell exceeds ~4 — past
     that, probing the hot cell costs more than the rebuild amortizes.
     """
-    cent = spark.read.parquet(f"{index_dir}/centroids")
-    existing = spark.read.parquet(f"{index_dir}/cells").select("vec_id")
-    # one row per vec_id WITHIN the batch too (ADVICE r8): the
-    # left_anti below only guards against ids already indexed, so an
-    # intra-batch duplicate id would append twice and surface as a
-    # doubled neighbor with unstable rk tie-breaks. Deterministic
-    # keeper = min embedding (as its string rendering) per vec_id —
-    # duplicate ids with conflicting embeddings violate the one-id
-    # contract anyway, but the keeper must not depend on scan order.
-    wdup = Window.partitionBy("vec_id").orderBy(F.col("embedding").cast("string"))
-    v = (
-        _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-        .withColumn("_rn", F.row_number().over(wdup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .join(existing, "vec_id", "left_anti")
+    if preassigned:
+        v = emb.select("vec_id", "embedding", "ne", "cid")
+    else:
+        cent = spark.read.parquet(f"{index_dir}/centroids")
+        # one row per vec_id WITHIN the batch too (ADVICE r8): the
+        # left_anti below only guards against ids already indexed, so an
+        # intra-batch duplicate id would append twice and surface as a
+        # doubled neighbor with unstable rk tie-breaks. Deterministic
+        # keeper = min embedding (as its string rendering) per vec_id —
+        # duplicate ids with conflicting embeddings violate the one-id
+        # contract anyway, but the keeper must not depend on scan order.
+        wdup = Window.partitionBy("vec_id").orderBy(F.col("embedding").cast("string"))
+        v = _assign(
+            _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+            .withColumn("_rn", F.row_number().over(wdup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"),
+            cent,
+        )
+    # pin the assignment once: both the touched-cid collect and the
+    # final write consume it (the ivf_search double-compute class)
+    ids: set[int] = set()
+    v = scoped_checkpoint(v, ids)
+    touched = sorted(r["cid"] for r in v.select("cid").distinct().collect())
+    existing = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .where(F.col("cid").isin(touched))
+        .select("vec_id")
     )
-    _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
-        "append"
-    ).partitionBy("cid").parquet(f"{index_dir}/cells")
+    v.join(existing, "vec_id", "left_anti").select(
+        "vec_id", "embedding", "ne", "cid"
+    ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")
+    unpersist_rdd_ids(spark, ids)
 
 
 def cell_skew(spark, index_dir: str) -> dict:

@@ -381,9 +381,15 @@ def bpe_merge_vocab_batched(
     sequential trainer), then a bounded driver probe collects the top
     ``C = max(4*batch_m, BPE_BATCH_CAND_MIN)`` candidate pairs ordered
     (cnt desc, a, b) and greedily selects up to batch_m pairs that are
-    pairwise SYMBOL-DISJOINT (no selected pair shares a left or right
-    symbol with another). Disjoint patterns on the double-space
-    encoding cannot overlap or interact — each ' a  b ' -> ' ab '
+    pairwise NON-INTERACTING: no selected pair shares a left or right
+    symbol with another, AND no selected pair's left or right symbol
+    equals an earlier-selected pair's merged output ``a+b`` (r9
+    review: without the second condition, selecting ('ab','c') then
+    ('abc','d') lets the first replace mint NEW ' abc ' occurrences
+    that the second — applied later in the same chained projection —
+    consumes, merging occurrences the round's aggregation never
+    counted). Non-interacting patterns on the double-space encoding
+    cannot overlap or feed each other — each ' a  b ' -> ' ab '
     replace preserves every other selected pair's occurrences and the
     double-gap invariant — so all selected replaces apply in one
     map-only projection and each selected pair's measured count is
@@ -400,13 +406,19 @@ def bpe_merge_vocab_batched(
     round even if disjoint.
 
     Returns the same (rank, a, b, merged, cnt) schema; rank is the
-    global landing order (round-major, cnt-desc within a round). Wall
-    growth is ~n/m rounds * (one shuffle + one C-row collect + one
-    re-checkpoint of the vocab-sized word table) — receipts in
-    BASELINE.md."""
-    from ..scratch import tracked_checkpoint
+    global landing order (round-major, cnt-desc within a round). Pair
+    exhaustion NULL-pads the remaining ranks exactly like the
+    sequential trainer (same n_merges-row shape — the degenerate-sweep
+    'every entry runs' contract; r9 review). Wall growth is ~n/m
+    rounds * (one shuffle + one C-row collect + one re-checkpoint of
+    the vocab-sized word table); each round frees the previous round's
+    checkpoint immediately (the star-CC loop discipline — at
+    30k-50k-merge scale, keeping every superseded round would pin
+    thousands of dead vocab-table copies), receipts in BASELINE.md."""
+    from ..scratch import scoped_checkpoint, unpersist_rdd_ids
 
-    words = tracked_checkpoint(_bpe_words(spark, sf_dir))
+    round_ids: set[int] = set()
+    words = scoped_checkpoint(_bpe_words(spark, sf_dir), round_ids)
     cand_n = max(4 * batch_m, BPE_BATCH_CAND_MIN)
     merges: list[tuple] = []
     while len(merges) < n_merges:
@@ -424,18 +436,31 @@ def bpe_merge_vocab_batched(
                 break
             if r["a"] in used or r["b"] in used:
                 continue
-            used.update((r["a"], r["b"]))
+            # a selected pair's symbols AND its merged output are all
+            # off-limits to later selections this round (see docstring)
+            used.update((r["a"], r["b"], r["a"] + r["b"]))
             chosen.append((r["a"], r["b"], r["cnt"]))
-        if not chosen:  # pair supply exhausted (degenerate corpus)
+        if not chosen:  # pair supply exhausted: NULL-pad remaining ranks
+            merges.extend(
+                (j, None, None, None, None)
+                for j in range(len(merges) + 1, n_merges + 1)
+            )
             break
         state = F.col("state")
         for a, b, cnt in chosen:
             merges.append((len(merges) + 1, a, b, a + b, cnt))
             state = F.replace(state, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-        # materialize the round (vocab-sized table, cheap): keeps the
-        # next round's probe from replaying an ever-longer replace
-        # chain — bounded lineage at hundreds of rounds
-        words = tracked_checkpoint(words.select("word", "freq", state.alias("state")))
+        # materialize the round (keeps the next round's probe from
+        # replaying an ever-longer replace chain), then free the
+        # superseded round — only ONE vocab-table copy stays pinned
+        prev_ids, round_ids = round_ids, set()
+        words = scoped_checkpoint(
+            words.select("word", "freq", state.alias("state")), round_ids
+        )
+        unpersist_rdd_ids(spark, prev_ids)
+    # the result is a driver-local merge list — nothing depends on the
+    # final round's checkpoint, so free it too
+    unpersist_rdd_ids(spark, round_ids)
     return spark.createDataFrame(
         merges, "rank long, a string, b string, merged string, cnt long"
     )

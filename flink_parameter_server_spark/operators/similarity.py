@@ -341,20 +341,11 @@ def embedding_near_dup_pairs(spark, sf_dir):
 # excluded 0.41924 / 0.41452, nearest included 0.42476 / 0.42923 —
 # margins >= 2.8e-3, >> the 1e-6 rounding grain; pinned by the
 # test_semdedup margin test.
-def embedding_semantic_pairs(spark, sf_dir):
-    """SemDeDup candidate pairs: same IVF cell AND cosine >= SEMANTIC_T.
-
-    Differs from :func:`embedding_near_dup_pairs` in how candidates are
-    generated — learned-partition cells (here the deterministic IVF
-    stride rule; sampled k-means at real scale) instead of random
-    hyperplane buckets. Cells adapt to the data's density so recall
-    concentrates where the corpus actually clusters, which is exactly
-    the regime semantic duplicates live in. Shape: one bounded centroid
-    broadcast + one cell equi-join — at 100 TB the per-cell pair count
-    stays ~|cell|^2/2 with |cell| ~ IVF_STRIDE, i.e. linear in corpus
-    size."""
-    emb = embeddings_normed(spark, sf_dir)
-    assign = ivf_assign(emb)
+def _semantic_pairs(assign):
+    """Same-cell >= SEMANTIC_T pairs from a (vec_id, embedding, ne,
+    cid, ...) assignment frame. The caller persists/pins ``assign`` —
+    the self-join references it on BOTH sides, so an unpinned plan
+    recomputes the broadcast-cosine assignment twice (r9 review)."""
     a = assign.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("ne").alias("na"), "cid",
@@ -372,6 +363,25 @@ def embedding_semantic_pairs(spark, sf_dir):
     )
 
 
+def embedding_semantic_pairs(spark, sf_dir):
+    """SemDeDup candidate pairs: same IVF cell AND cosine >= SEMANTIC_T.
+
+    Differs from :func:`embedding_near_dup_pairs` in how candidates are
+    generated — learned-partition cells (here the deterministic IVF
+    stride rule; sampled k-means at real scale) instead of random
+    hyperplane buckets. Cells adapt to the data's density so recall
+    concentrates where the corpus actually clusters, which is exactly
+    the regime semantic duplicates live in. Shape: one bounded centroid
+    broadcast + one cell equi-join — at 100 TB the per-cell pair count
+    stays ~|cell|^2/2 with |cell| ~ IVF_STRIDE, i.e. linear in corpus
+    size. The assignment is scratch-persisted so the self-join's two
+    sides share one computation (released at the next registry entry)."""
+    from ..scratch import scratch
+
+    emb = embeddings_normed(spark, sf_dir)
+    return _semantic_pairs(scratch(ivf_assign(emb)))
+
+
 def semdedup_prune(spark, sf_dir):
     """SemDeDup's keep-rule over the semantic pair graph: connected
     components of same-cell duplicate pairs (star-CC, the shared
@@ -383,12 +393,16 @@ def semdedup_prune(spark, sf_dir):
     Scale shape: pair graph is cell-bounded (see
     :func:`embedding_semantic_pairs`), star-CC is ~log n rounds, the
     keep decision is one window over components — no driver-side loops
-    beyond CC's bounded convergence probe."""
+    beyond CC's bounded convergence probe. ONE scratch-persisted
+    assignment feeds the pair join's both sides AND the keep-rule
+    labeling (r9 review: calling embedding_semantic_pairs here instead
+    recomputed the broadcast-cosine assignment up to four times)."""
+    from ..scratch import scratch
     from ._dedup_core import star_connected_components
 
     emb = embeddings_normed(spark, sf_dir)
-    assign = ivf_assign(emb, keep_centroid_cos=True)
-    pairs = embedding_semantic_pairs(spark, sf_dir).select(
+    assign = scratch(ivf_assign(emb, keep_centroid_cos=True))
+    pairs = _semantic_pairs(assign).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
     )
     parents, _ = star_connected_components(pairs)

@@ -34,6 +34,7 @@ builds at a time (single driver thread) — true for every harness here.
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,7 @@ from pyspark.storagelevel import StorageLevel
 
 _CACHED: list[DataFrame] = []
 _CHECKPOINT_HANDLES: list[Any] = []  # py4j JavaRDD handles
+_CKPT_LOCK = threading.Lock()
 
 
 def scratch(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
@@ -83,9 +85,33 @@ def tracked_checkpoint(df: DataFrame) -> DataFrame:
     non-recomputability contract as any tracked checkpoint — consume
     the result before releasing."""
     spark = df.sparkSession
-    before = persistent_rdd_ids(spark)
-    out = df.localCheckpoint()
-    track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
+    ids: set[int] = set()
+    out = scoped_checkpoint(df, ids)
+    track_checkpoint_ids(spark, ids)
+    return out
+
+
+def scoped_checkpoint(df: DataFrame, ids: set[int]) -> DataFrame:
+    """``localCheckpoint()`` whose persisted RDD ids are attributed to
+    THIS call and added to ``ids`` — the caller frees exactly those at
+    its own consumption barrier (``unpersist_rdd_ids``) or hands them to
+    :func:`track_checkpoint_ids`.
+
+    Why not a global before/after diff around a whole batch: two
+    foreachBatch sinks sharing one SparkSession (dedup + semantic
+    streams — a normal serving deployment) interleave on driver
+    threads, and a global diff in sink A claims and frees sink B's
+    concurrently-pinned checkpoint blocks; localCheckpoint lineage is
+    truncated, so B's decisions write then fails on missing blocks (r9
+    review). The module lock serializes only the (diff, eager
+    materialize, diff) window, making the attribution exact; concurrent
+    sinks pay lock latency during checkpoint materialization, never
+    correctness."""
+    spark = df.sparkSession
+    with _CKPT_LOCK:
+        before = persistent_rdd_ids(spark)
+        out = df.localCheckpoint()
+        ids |= persistent_rdd_ids(spark) - before
     return out
 
 

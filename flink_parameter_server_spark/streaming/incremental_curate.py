@@ -58,17 +58,24 @@ def curate_batch(
     eval_store_dir: str | None = None,
     min_chars: int | None = None,
     min_tokens: int | None = None,
+    scratch_ids: set[int] | None = None,
 ) -> DataFrame:
     """Run one (doc_id, text, n_chars) batch through the curation
     stages; returns (doc_id, decision, dup_of). Thresholds default to
-    the batch pipeline's CURATE_MIN_CHARS / CURATE_MIN_TOKENS."""
+    the batch pipeline's CURATE_MIN_CHARS / CURATE_MIN_TOKENS.
+    ``scratch_ids``: exact attribution of the checkpoints this call
+    pins (see incremental_dedup.signatures); defaults to
+    scratch-release tracking."""
     from ..functions.text import tokens
     from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
+    from ..scratch import scoped_checkpoint, track_checkpoint_ids
 
+    own = scratch_ids is None
+    ids: set[int] = set() if own else scratch_ids
     min_chars = CURATE_MIN_CHARS if min_chars is None else min_chars
     min_tokens = CURATE_MIN_TOKENS if min_tokens is None else min_tokens
 
-    docs = docs.select("doc_id", "text", "n_chars").localCheckpoint()
+    docs = scoped_checkpoint(docs.select("doc_id", "text", "n_chars"), ids)
 
     # stage 1 — quality gate
     q_ok = (F.col("n_chars") >= min_chars) & (
@@ -81,9 +88,9 @@ def curate_batch(
     from ..operators._dedup_core import norm_content_hash
 
     hashed = surv_q.select("doc_id", "text", norm_content_hash("text").alias("h"))
-    hashed = hashed.withColumn(
-        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
-    ).localCheckpoint()
+    hashed = scoped_checkpoint(
+        hashed.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h"))), ids
+    )
     exact_batch = hashed.where(F.col("doc_id") != F.col("keeper")).select(
         "doc_id", F.col("keeper").alias("dup_of")
     )
@@ -102,23 +109,9 @@ def curate_batch(
         .where(F.col("doc_id") != F.col("dup_of"))
         .groupBy("doc_id")
         .agg(F.min("dup_of").alias("dup_of"))
-        .localCheckpoint()
     )
+    exact_store = scoped_checkpoint(exact_store, ids)
     surv_e = keepers.join(exact_store.select("doc_id"), "doc_id", "left_anti")
-
-    # canonical (not chained) provenance (ADVICE r8): if the batch
-    # keeper itself is store-rejected, its batch duplicates would carry
-    # dup_of=<keeper> — a doc rejected in the SAME batch, forcing
-    # consumers to chase dup_of transitively. Same hash => same
-    # canonical, so rewrite those dup_of to the keeper's store
-    # canonical: every dup_of now points at ACCEPTED content.
-    exact_batch = exact_batch.join(
-        exact_store.select(
-            F.col("doc_id").alias("dup_of"), F.col("dup_of").alias("canon")
-        ),
-        "dup_of",
-        "left",
-    ).select("doc_id", F.coalesce("canon", "dup_of").alias("dup_of"))
 
     # stages 3+4 signature the batch ONCE (the token-hash build is the
     # expensive part) and share the (sh, bands) pair: decontamination
@@ -126,24 +119,56 @@ def curate_batch(
     # filters it to its own survivors (r8 simplify pass)
     from .incremental_dedup import signatures
 
-    sigs = signatures(surv_e.select("doc_id", "text"))
+    sigs = signatures(surv_e.select("doc_id", "text"), scratch_ids=ids)
 
     # stage 3 — eval decontamination (read-only probe)
     if eval_store_dir is not None:
         contam = (
             contamination_check(
                 spark, surv_e.select("doc_id", "text"), eval_store_dir, sigs=sigs
-            )
-            .select("doc_id", F.col("contaminated_by").alias("dup_of"))
-            .localCheckpoint()
+            ).select("doc_id", F.col("contaminated_by").alias("dup_of"))
         )
+        contam = scoped_checkpoint(contam, ids)
     else:
         contam = spark.createDataFrame([], "doc_id bigint, dup_of bigint")
     surv_c = surv_e.join(contam.select("doc_id"), "doc_id", "left_anti")
 
     # stage 4 — near-dup vs store + within batch (process_batch verbatim;
     # it also appends accepted signatures to the band/shingle store)
-    near = process_batch(spark, surv_c.select("doc_id", "text"), store_dir, sigs=sigs)
+    near = process_batch(
+        spark, surv_c.select("doc_id", "text"), store_dir, sigs=sigs, scratch_ids=ids
+    )
+
+    # canonical (not chained) provenance (ADVICE r8 + r9 review): if
+    # the batch keeper itself is rejected at ANY later stage — exact
+    # store, contamination, or near-dup (store or in-batch) — its batch
+    # duplicates would carry dup_of=<keeper>, a doc rejected in the
+    # SAME batch, forcing consumers to chase dup_of transitively.
+    # Identical text => identical downstream fate, so rewrite those
+    # dup_of to the keeper's own canonical: every dup_of then points at
+    # accepted content (or, for a contaminated keeper, at the eval doc
+    # the shared content collides with — the decontamination
+    # provenance contract).
+    keeper_canon = (
+        keepers.select("doc_id")
+        .join(exact_store.select("doc_id", F.col("dup_of").alias("c_es")), "doc_id", "left")
+        .join(contam.select("doc_id", F.col("dup_of").alias("c_ct")), "doc_id", "left")
+        .join(
+            near.where(F.col("decision").isin("dup_of_store", "dup_in_batch")).select(
+                "doc_id", F.col("dup_of").alias("c_nd")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("dup_of"),
+            F.coalesce("c_es", "c_ct", "c_nd").alias("canon"),
+        )
+        .where(F.col("canon").isNotNull())
+    )
+    exact_batch = exact_batch.join(keeper_canon, "dup_of", "left").select(
+        "doc_id", F.coalesce("canon", "dup_of").alias("dup_of")
+    )
 
     # persist accepted exact hashes (replay-idempotent presence skip)
     accepted_ids = near.where("decision IN ('accepted', 'no_shingles')").select("doc_id")
@@ -154,6 +179,8 @@ def curate_batch(
     )
     new_hashes.write.mode("append").parquet(hash_path)
 
+    if own:
+        track_checkpoint_ids(spark, ids)
     # assemble one decision per input doc, stage precedence preserved
     return (
         docs.select("doc_id")
@@ -197,19 +224,21 @@ def curate_stream_writer(
     every checkpoint curate_batch pinned, so each batch frees its own
     scratch (ADVICE r8: a long stream otherwise accumulates pinned RDD
     blocks between driver GC cycles)."""
-    from ..scratch import persistent_rdd_ids, unpersist_rdd_ids
+    from ..scratch import unpersist_rdd_ids
     from .incremental_dedup import guard_decisions_dir
 
     guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
-        before = persistent_rdd_ids(spark)
-        curate_batch(spark, batch_df, store_dir, eval_store_dir).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("overwrite").parquet(
+        # exact attribution, not a global diff (r9 review: a diff frees
+        # a concurrent sink's checkpoints on a shared session)
+        ids: set[int] = set()
+        curate_batch(
+            spark, batch_df, store_dir, eval_store_dir, scratch_ids=ids
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )
-        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+        unpersist_rdd_ids(spark, ids)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

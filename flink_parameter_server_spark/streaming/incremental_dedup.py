@@ -73,14 +73,28 @@ def _store(spark, store_dir: str, name: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def signatures(docs: DataFrame, scratch_ids: set[int] | None = None) -> tuple[DataFrame, DataFrame]:
     """(shingles, bands) for a (doc_id, text) batch — the exact batch
-    pipeline arithmetic (seeded, oracle-replayable)."""
-    sh = shingle_sets(token_hashes(docs.select("doc_id", "text"))).localCheckpoint()
+    pipeline arithmetic (seeded, oracle-replayable).
+
+    ``scratch_ids``: the shingle build is checkpointed; its persisted
+    RDD ids are attributed there (the caller frees them at its own
+    consumption barrier — r9 review: a global diff-unpersist in one
+    foreachBatch sink frees a concurrent sink's blocks). When omitted,
+    the ids are tracked for ``scratch.release()`` instead."""
+    from ..scratch import scoped_checkpoint, track_checkpoint_ids
+
+    own = scratch_ids is None
+    ids: set[int] = set() if own else scratch_ids
+    sh = scoped_checkpoint(shingle_sets(token_hashes(docs.select("doc_id", "text"))), ids)
+    if own:
+        track_checkpoint_ids(sh.sparkSession, ids)
     return sh, minhash_bands(sh)
 
 
-def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFrame:
+def process_batch(
+    spark, docs: DataFrame, store_dir: str, sigs=None, scratch_ids: set[int] | None = None
+) -> DataFrame:
     """Run one batch through the store; returns decisions
     (doc_id, decision, dup_of) with decision in
     'accepted' | 'dup_of_store' | 'dup_in_batch' | 'no_shingles'.
@@ -94,15 +108,23 @@ def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFram
     :func:`signatures` over a SUPERSET of ``docs`` (filtered here by
     doc_id) — lets a composing pipeline (incremental_curate) signature
     each batch once instead of once per stage.
+
+    ``scratch_ids``: see :func:`signatures` — exact attribution of the
+    checkpoints this call pins; defaults to scratch-release tracking.
     """
-    docs = docs.select("doc_id", "text").localCheckpoint()
+    from ..scratch import scoped_checkpoint, track_checkpoint_ids
+
+    own = scratch_ids is None
+    ids: set[int] = set() if own else scratch_ids
+
+    docs = scoped_checkpoint(docs.select("doc_id", "text"), ids)
     if sigs is None:
-        sh, bands = signatures(docs)
+        sh, bands = signatures(docs, scratch_ids=ids)
     else:
-        ids = docs.select("doc_id")
-        sh = sigs[0].join(ids, "doc_id", "left_semi")
-        bands = sigs[1].join(ids, "doc_id", "left_semi")
-    bands = bands.localCheckpoint()
+        batch_ids = docs.select("doc_id")
+        sh = sigs[0].join(batch_ids, "doc_id", "left_semi")
+        bands = sigs[1].join(batch_ids, "doc_id", "left_semi")
+    bands = scoped_checkpoint(bands, ids)
 
     store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
     store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
@@ -138,11 +160,11 @@ def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFram
         )
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("dup_of"))
-        .localCheckpoint()
     )
+    store_dups = scoped_checkpoint(store_dups, ids)
 
     # --- stage 2: within the batch, among store-survivors ---
-    surv = sh.join(store_dups.select("doc_id"), "doc_id", "left_anti").localCheckpoint()
+    surv = scoped_checkpoint(sh.join(store_dups.select("doc_id"), "doc_id", "left_anti"), ids)
     sbands = minhash_bands(surv)
     a, b = sbands.alias("a"), sbands.alias("b")
     cand_in = (
@@ -165,10 +187,10 @@ def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFram
         )
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    parents, _ = star_connected_components(pairs)
-    batch_dups = parents.select(
-        F.col("a").alias("doc_id"), F.col("b").alias("dup_of")
-    ).localCheckpoint()
+    parents, _ = star_connected_components(pairs, scratch_ids=ids)
+    batch_dups = scoped_checkpoint(
+        parents.select(F.col("a").alias("doc_id"), F.col("b").alias("dup_of")), ids
+    )
 
     accepted = surv.join(batch_dups.select("doc_id"), "doc_id", "left_anti")
 
@@ -183,7 +205,7 @@ def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFram
     # on replay (review r8). Each table then skips what IT already has.
     present_bands = store_bands.select("doc_id").distinct()
     present_sh = store_sh.select("doc_id")
-    new_for_bands = accepted.join(present_bands, "doc_id", "left_anti").localCheckpoint()
+    new_for_bands = scoped_checkpoint(accepted.join(present_bands, "doc_id", "left_anti"), ids)
     minhash_bands(new_for_bands).write.mode("append").partitionBy("b").parquet(
         os.path.join(store_dir, "bands")
     )
@@ -191,6 +213,8 @@ def process_batch(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFram
         "doc_id", "shingles"
     ).write.mode("append").parquet(os.path.join(store_dir, "shingles"))
 
+    if own:
+        track_checkpoint_ids(spark, ids)
     return (
         docs.select("doc_id")
         .join(sh.select("doc_id", F.lit(True).alias("has_sh")), "doc_id", "left")
@@ -214,21 +238,29 @@ def build_signature_store(spark, docs: DataFrame, store_dir: str) -> None:
     decontamination primitive: build the store from the EVAL/BENCHMARK
     set, then :func:`contamination_check` any training corpus against
     it — the GPT-3/Pile decontamination shape, reusing the identical
-    probe join."""
-    sh, bands = signatures(docs)
+    probe join. Self-contained scratch: the writes consume the
+    signature checkpoint, so its ids free here."""
+    from ..scratch import unpersist_rdd_ids
+
+    ids: set[int] = set()
+    sh, bands = signatures(docs, scratch_ids=ids)
     bands.write.mode("append").partitionBy("b").parquet(os.path.join(store_dir, "bands"))
     sh.select("doc_id", "shingles").write.mode("append").parquet(
         os.path.join(store_dir, "shingles")
     )
+    unpersist_rdd_ids(spark, ids)
 
 
-def contamination_check(spark, docs: DataFrame, store_dir: str, sigs=None) -> DataFrame:
+def contamination_check(
+    spark, docs: DataFrame, store_dir: str, sigs=None, scratch_ids: set[int] | None = None
+) -> DataFrame:
     """(doc_id, contaminated_by) — training docs that near-duplicate a
     store (eval-set) doc; clean docs are absent. Read-only: unlike
     :func:`process_batch` nothing appends, so the same eval store
     screens any number of corpora. ``sigs``: optional precomputed
-    ``(sh, bands)`` for ``docs`` (see :func:`process_batch`)."""
-    sh, bands = signatures(docs) if sigs is None else sigs
+    ``(sh, bands)`` for ``docs`` (see :func:`process_batch`);
+    ``scratch_ids``: see :func:`signatures`."""
+    sh, bands = signatures(docs, scratch_ids=scratch_ids) if sigs is None else sigs
     store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
     store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
     cand = (
@@ -323,16 +355,20 @@ def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions
     def _sink(batch_df, batch_id: int) -> None:
         # per-batch scratch release (ADVICE r8): the decisions write
         # consumes every checkpoint process_batch pinned, so free them
-        # here instead of letting a long stream accumulate blocks
-        from ..scratch import persistent_rdd_ids, unpersist_rdd_ids
+        # here instead of letting a long stream accumulate blocks.
+        # EXACT attribution, not a global before/after diff — a diff
+        # would claim (and free) checkpoints a CONCURRENT sink on the
+        # same session pinned in the window, corrupting its batch (r9
+        # review; scoped_checkpoint's lock makes the ids exact).
+        from ..scratch import unpersist_rdd_ids
 
-        before = persistent_rdd_ids(spark)
-        process_batch(spark, batch_df, store_dir).withColumn(
+        ids: set[int] = set()
+        process_batch(spark, batch_df, store_dir, scratch_ids=ids).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )
-        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+        unpersist_rdd_ids(spark, ids)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

@@ -65,7 +65,9 @@ from ..operators.similarity import _fast_cosine
 from ..functions.vectors import as_double
 
 
-def process_semantic_batch(spark, emb: DataFrame, index_dir: str) -> DataFrame:
+def process_semantic_batch(
+    spark, emb: DataFrame, index_dir: str, scratch_ids: set[int] | None = None
+) -> DataFrame:
     """Run one (vec_id, embedding) batch through the store; returns
     decisions (vec_id, decision, dup_of) with decision in
     'accepted' | 'dup_of_store' | 'dup_in_batch' | 'zero_norm'.
@@ -73,8 +75,16 @@ def process_semantic_batch(spark, emb: DataFrame, index_dir: str) -> DataFrame:
     'zero_norm' marks vectors with no cosine cell — they pass through
     un-deduped (the analog of incremental_dedup's 'no_shingles').
     Intra-batch duplicate vec_ids collapse to one decision row per id
-    (deterministic keeper, matching add_vectors' contract)."""
-    ids = emb.select("vec_id").distinct().localCheckpoint()
+    (deterministic keeper, matching add_vectors' contract).
+    ``scratch_ids``: exact attribution of the checkpoints this call
+    pins (incremental_dedup.signatures contract); when omitted they are
+    tracked for ``scratch.release()`` — direct callers no longer leak
+    pinned blocks until driver GC (r9 review)."""
+    from ..scratch import scoped_checkpoint, track_checkpoint_ids
+
+    own = scratch_ids is None
+    sids: set[int] = set() if own else scratch_ids
+    ids = scoped_checkpoint(emb.select("vec_id").distinct(), sids)
     wdup = Window.partitionBy("vec_id").orderBy(F.col("embedding").cast("string"))
     v = (
         _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
@@ -83,7 +93,7 @@ def process_semantic_batch(spark, emb: DataFrame, index_dir: str) -> DataFrame:
         .drop("_rn")
     )
     cent = spark.read.parquet(f"{index_dir}/centroids")
-    assigned = _assign(v, cent).localCheckpoint()
+    assigned = scoped_checkpoint(_assign(v, cent), sids)
 
     # --- stage 1: against the store (touched cells only) ---
     probed_cids = sorted(r["cid"] for r in assigned.select("cid").distinct().collect())
@@ -110,8 +120,8 @@ def process_semantic_batch(spark, emb: DataFrame, index_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_best))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("old_id").alias("dup_of"))
-        .localCheckpoint()
     )
+    store_dups = scoped_checkpoint(store_dups, sids)
 
     # --- stage 2: within the batch, among store-survivors ---
     surv = assigned.join(store_dups.select("vec_id"), "vec_id", "left_anti")
@@ -130,17 +140,22 @@ def process_semantic_batch(spark, emb: DataFrame, index_dir: str) -> DataFrame:
         .where(cos_b >= SEMANTIC_T)
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
     )
-    parents, _ = star_connected_components(pairs)
-    batch_dups = parents.select(
-        F.col("a").alias("vec_id"), F.col("b").alias("dup_of")
-    ).localCheckpoint()
+    parents, _ = star_connected_components(pairs, scratch_ids=sids)
+    batch_dups = scoped_checkpoint(
+        parents.select(F.col("a").alias("vec_id"), F.col("b").alias("dup_of")), sids
+    )
 
     accepted = surv.join(batch_dups.select("vec_id"), "vec_id", "left_anti")
 
     # --- persist accepted vectors (add_vectors is replay-idempotent:
-    # already-indexed ids are skipped by its left_anti) ---
-    add_vectors(spark, index_dir, accepted.select("vec_id", "embedding"))
+    # already-indexed ids are skipped by its touched-cells left_anti).
+    # `accepted` already carries this module's own (ne, cid) assignment
+    # against the same persisted centroids, so skip add_vectors'
+    # re-norm + re-assign pass (r9 review) ---
+    add_vectors(spark, index_dir, accepted, preassigned=True)
 
+    if own:
+        track_checkpoint_ids(spark, sids)
     return (
         ids.join(assigned.select("vec_id", F.lit(True).alias("has_cell")), "vec_id", "left")
         .join(store_dups.select("vec_id", F.col("dup_of").alias("d_store")), "vec_id", "left")
@@ -171,13 +186,17 @@ def semantic_stream_writer(spark, emb_stream: DataFrame, index_dir: str, decisio
     guard_decisions_dir(decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
-        from ..scratch import persistent_rdd_ids, unpersist_rdd_ids
+        # exact attribution, not a global diff (r9 review: a diff frees
+        # a concurrent sink's checkpoints on a shared session)
+        from ..scratch import unpersist_rdd_ids
 
-        before = persistent_rdd_ids(spark)
-        process_semantic_batch(spark, batch_df, index_dir).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("overwrite").parquet(os.path.join(decisions_dir, f"bid={batch_id}"))
-        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+        ids: set[int] = set()
+        process_semantic_batch(
+            spark, batch_df, index_dir, scratch_ids=ids
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"bid={batch_id}")
+        )
+        unpersist_rdd_ids(spark, ids)
 
     return (
         emb_stream.writeStream.foreachBatch(_sink)

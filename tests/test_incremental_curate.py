@@ -115,6 +115,47 @@ def test_batch_dup_provenance_is_canonical_when_keeper_store_rejected(spark, tmp
     assert d2[11] == ("rejected:exact_dup", 1)
 
 
+def test_batch_dup_provenance_is_canonical_when_keeper_near_or_contam_rejected(
+    spark, tmp_path
+):
+    """r9 review: the canonical-provenance rewrite must resolve through
+    EVERY stage the keeper can be rejected at, not only the exact-hash
+    store — a keeper rejected as a near-dup (or as contaminated) left
+    its batch duplicates pointing at a same-batch rejected doc."""
+    store = str(tmp_path / "store")
+    d1 = {
+        r["doc_id"]: r["decision"]
+        for r in curate_batch(spark, _mkdocs(spark, [(5, BODY)]), store).collect()
+    }
+    assert d1 == {5: "accepted"}
+
+    # 10 and 11 are identical; their shared text NEAR-duplicates stored
+    # doc 5 (not exactly — the hash store misses it, the band store
+    # catches it). Keeper 10 -> rejected:near_dup dup_of=5; 11 must
+    # resolve through 10 to the accepted canonical 5.
+    b2 = _mkdocs(spark, [(10, BODY + " tail"), (11, BODY + " tail")])
+    d2 = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in curate_batch(spark, b2, store).collect()
+    }
+    assert d2[10] == ("rejected:near_dup", 5)
+    assert d2[11] == ("rejected:exact_dup", 5)
+
+    # contaminated keeper: identical docs whose text collides with the
+    # eval store — the duplicate's provenance resolves to the eval doc
+    eval_store = str(tmp_path / "eval")
+    build_signature_store(
+        spark, _mkdocs(spark, [(900, EVAL)]).select("doc_id", "text"), eval_store
+    )
+    b3 = _mkdocs(spark, [(20, EVAL + " suffix"), (21, EVAL + " suffix")])
+    d3 = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in curate_batch(spark, b3, store, eval_store).collect()
+    }
+    assert d3[20] == ("rejected:contaminated", 900)
+    assert d3[21] == ("rejected:exact_dup", 900)
+
+
 def test_single_pass_over_full_fixture_matches_batch_pipeline(spark, tmp_path):
     """VERDICT r8 #1 — the streamed-vs-batch equivalence pin (the
     analog of incremental_dedup's single-batch ≡ dedup_cluster_canonical

@@ -24,13 +24,16 @@ from tests.conftest import SF_SMALL
 def test_single_batch_matches_batch_cluster_canonical(spark, tmp_path):
     store = str(tmp_path / "store")
     docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
-    dec = process_batch(spark, docs, store)
-    accepted = {r["doc_id"] for r in dec.where("decision IN ('accepted', 'no_shingles')").collect()}
+    # consume the checkpoint-backed decisions BEFORE the registry entry
+    # below runs scratch.release() on entry (the documented contract:
+    # process_batch's checkpoints are tracked for release since r9)
+    dec = process_batch(spark, docs, store).collect()
+    accepted = {r["doc_id"] for r in dec if r["decision"] in ("accepted", "no_shingles")}
     batch = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
     canonical = {r["doc_id"] for r in batch.where("is_canonical = 1").collect()}
     assert accepted == canonical
     # provenance: every in-batch reject points at its cluster canonical
-    rej = {r["doc_id"]: r["dup_of"] for r in dec.where("decision = 'dup_in_batch'").collect()}
+    rej = {r["doc_id"]: r["dup_of"] for r in dec if r["decision"] == "dup_in_batch"}
     roots = {r["doc_id"]: r["cluster"] for r in batch.collect()}
     assert rej and all(roots[d] == p for d, p in rej.items()), rej
 

@@ -182,6 +182,35 @@ def test_replay_idempotency(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/cells").count() == n_cells_rows
 
 
+def test_direct_calls_leak_no_persistent_rdds(spark, tmp_path):
+    """r9 review: process_semantic_batch called OUTSIDE the stream sink
+    (as tests and batch drivers do) must not leave pinned RDD blocks
+    behind — its checkpoints are tracked for scratch.release(); with an
+    explicit scratch_ids set the caller frees exactly its own ids."""
+    from flink_parameter_server_spark.scratch import (
+        persistent_rdd_ids,
+        release,
+        unpersist_rdd_ids,
+    )
+
+    seed, batch = _halves(spark)
+    idx = _seed_index(spark, tmp_path, seed)
+    release()
+    base = persistent_rdd_ids(spark)
+
+    # default: tracked, freed by release()
+    process_semantic_batch(spark, batch, idx).collect()
+    release()
+    assert persistent_rdd_ids(spark) - base == set()
+
+    # explicit scratch_ids: freed by the caller, exactly attributed
+    ids: set[int] = set()
+    process_semantic_batch(spark, batch, idx, scratch_ids=ids).collect()
+    assert ids and ids <= persistent_rdd_ids(spark)
+    unpersist_rdd_ids(spark, ids)
+    assert persistent_rdd_ids(spark) - base == set()
+
+
 def test_probe_scan_partition_pruned(spark, tmp_path):
     """A small batch touches few cells; the probe's cells scan must
     carry a literal cid INSET partition filter over only those."""

@@ -119,8 +119,16 @@ def test_semdedup_prune_invariants(spark):
 def test_semantic_pairs_plan_is_cell_equijoin(spark):
     """Scale shape: candidates come from an equi-join on cid (shuffle or
     broadcast HASH join — never nested-loop over pairs); the only
-    nested-loop joins are the two bounded centroid-table broadcasts of
-    the cell self-join, and no CartesianProduct anywhere."""
+    nested-loop joins are the bounded centroid-table broadcast of the
+    (now scratch-persisted, single) assignment — printed once per
+    InMemoryTableScan side — and no CartesianProduct anywhere. Cache is
+    cleared first: a pre-existing cached assignment from another test
+    changes how many times the relation's child plan is PRINTED (not
+    executed), which is what the count below inspects."""
+    from flink_parameter_server_spark.scratch import release
+
+    release()
+    spark.catalog.clearCache()
     plan = (
         embedding_semantic_pairs(spark, SF_MED)
         ._jdf.queryExecution()
@@ -130,6 +138,9 @@ def test_semantic_pairs_plan_is_cell_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    # the self-join's two sides must read the SAME cached assignment —
+    # the r9 review's recompute fix
+    assert plan.count("InMemoryTableScan") == 2
 
 
 def test_ivf_stride_centroid_count_bounded(spark):

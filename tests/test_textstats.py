@@ -126,10 +126,14 @@ def _ref_bpe(vocab, n_merges):
     return want
 
 
-def _ref_bpe_batched(vocab, n_merges, batch_m):
+def _ref_bpe_batched(vocab, n_merges, batch_m, guard_produced=True):
     """Driver-side reference of the BATCHED semantics: per round count
     once, take the top C=(4m, floor 16) candidates by (cnt desc, a, b),
-    greedily select up to m symbol-disjoint pairs, apply them all."""
+    greedily select up to m NON-INTERACTING pairs (no shared symbol,
+    and no symbol equal to an earlier selection's merged output — r9
+    review), apply them all; pair exhaustion NULL-pads remaining ranks.
+    ``guard_produced=False`` reproduces the pre-fix (flawed) selection
+    for the divergence pin."""
     state = {w: list(w) for w in vocab}
     merges = []
     cand_n = max(4 * batch_m, 16)
@@ -139,8 +143,6 @@ def _ref_bpe_batched(vocab, n_merges, batch_m):
             for i in range(len(syms) - 1):
                 pr = (syms[i], syms[i + 1])
                 counts[pr] = counts.get(pr, 0) + vocab[w]
-        if not counts:
-            break
         cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cand_n]
         used, chosen = set(), []
         room = min(batch_m, n_merges - len(merges))
@@ -149,9 +151,13 @@ def _ref_bpe_batched(vocab, n_merges, batch_m):
                 break
             if a in used or b in used:
                 continue
-            used.update((a, b))
+            used.update((a, b, a + b) if guard_produced else (a, b))
             chosen.append((a, b, cnt))
         if not chosen:
+            merges.extend(
+                (j, None, None, None, None)
+                for j in range(len(merges) + 1, n_merges + 1)
+            )
             break
         for a, b, cnt in chosen:
             merges.append((len(merges) + 1, a, b, a + b, cnt))
@@ -217,6 +223,24 @@ def test_bpe_batched_matches_reference_and_documents_divergence(spark, tmp_path)
     assert got != seq
     # ...but the first merge of round 1 is always the true rank-1 pair
     assert got[0] == seq[0]
+
+
+def test_bpe_batched_pads_exhausted_ranks_like_sequential(spark, tmp_path):
+    """r9 review: on a corpus whose pair supply exhausts (single word
+    'ab', one real merge), BOTH trainers must emit the same n_merges-row
+    NULL-padded shape — the degenerate-sweep 'every entry runs'
+    contract, and the batch_m=1 ≡ sequential claim on degenerate input."""
+    from flink_parameter_server_spark.operators.retrieval import (
+        bpe_merge_vocab,
+        bpe_merge_vocab_batched,
+    )
+
+    out = _mk_text_corpus(spark, tmp_path, "ab ab ab")
+    seq = [tuple(r) for r in bpe_merge_vocab(spark, out, n_merges=5).collect()]
+    bat = [tuple(r) for r in bpe_merge_vocab_batched(spark, out, n_merges=5, batch_m=2).collect()]
+    assert bat == seq and len(seq) == 5
+    assert seq[0] == (1, "a", "b", "ab", 3)
+    assert all(r == (k, None, None, None, None) for k, r in zip(range(2, 6), seq[1:]))
 
 
 def test_bpe_batched_on_fixture_trains_and_releases_scratch(spark):
