@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MOD, poly_hash, poly_hash_sql
+from ..functions.hashing import MOD, int_hash_sql, poly_hash, poly_hash_sql
 from ..functions.text import STOPWORDS, tokens, tokens_sql
 from ..plans.registry import register
+from ._dedup_core import _TOKHASH_SQL
 from ._util import t
+from .curate import CURATE_EVAL_J, CURATE_EVAL_MOD, CURATE_SEED
 
 # Marker stopwords per language for the n-gram/stopword-overlap
 # language-ID heuristic (fixture text is synthetic English-ish; the
@@ -41,6 +43,11 @@ URL_RE = "https?://[^ \\t\\n]+"
 DSIR_B = 128
 DSIR_SEED = 11
 DSIR_TARGET_LANG = "en"
+# Eval-set n-gram contamination (r9): GPT-3 appendix C / PaLM measure
+# membership of 13-grams in the benchmark set; eval_overlap_frac is the
+# per-doc fraction of distinct CONTAM_N-token-gram hashes found
+# anywhere in the seeded eval holdout (curate.is_eval_holdout).
+CONTAM_N = 13
 
 
 def _stoplist_sql(words) -> str:
@@ -113,6 +120,22 @@ fdsir AS (
   SELECT doc_id, CAST(sum(n * lmic) AS DOUBLE) / 1000000.0 AS dsir_logw
   FROM fcnt JOIN flam ON fcnt.b = flam.b GROUP BY doc_id
 ),
+cth AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
+cg AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - {CONTAM_N - 2}),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+{CONTAM_N - 1}]),
+                     (a, x) -> (a * 31 + x) % {MOD}))) AS grams
+  FROM cth WHERE len(th) >= {CONTAM_N}
+),
+ceg AS (SELECT DISTINCT g FROM (
+  SELECT unnest(grams) AS g FROM cg
+  WHERE ({int_hash_sql('doc_id', CURATE_EVAL_J, CURATE_SEED)}) % {CURATE_EVAL_MOD} = 0) e),
+cdg AS (SELECT doc_id, unnest(grams) AS g FROM cg),
+cov AS (
+  SELECT cdg.doc_id,
+         round(CAST(count(ceg.g) AS DOUBLE) / count(*), 6) AS eval_overlap_frac
+  FROM cdg LEFT JOIN ceg ON cdg.g = ceg.g GROUP BY cdg.doc_id
+),
 sc AS (
   SELECT doc_id, lang, text, n_chars, toks,
     {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
@@ -152,11 +175,13 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
   END AS digit_ratio,
   docx.lm_xent,
   fdsir.dsir_logw,
+  cov.eval_overlap_frac,
   fp.fingerprint,
   {poly_hash_sql('sc.text', 1)} AS full_hash
 FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
 LEFT JOIN docx ON docx.doc_id = sc.doc_id
 LEFT JOIN fdsir ON fdsir.doc_id = sc.doc_id
+LEFT JOIN cov ON cov.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
     doc="The full per-document text-analysis profile in ONE pass over the "
@@ -184,7 +209,12 @@ LEFT JOIN fdsir ON fdsir.doc_id = sc.doc_id
     "lang='en' corpus slice; per-feature log-ratios carried as 6dp "
     "integer micro-nats so the per-doc sum is exact in both engines — "
     "the data-selection signal for importance resampling toward a "
-    "quality domain); winnowing-style "
+    "quality domain); eval-set n-gram contamination fraction (r9: the "
+    "GPT-3 appendix-C 13-gram rule as a continuous signal — share of "
+    "the doc's distinct CONTAM_N-token-gram hashes found anywhere in "
+    "the seeded eval holdout; complements the binary MinHash "
+    "decontamination gate by measuring verbatim benchmark SPAN mass in "
+    "docs whose whole-doc Jaccard passes); winnowing-style "
     "fingerprint (position-weighted rolling hash per 8-token chunk, min "
     "chunk hash) plus a full-text polynomial hash. The per-doc columns "
     "are codegen'd array math; fingerprint and the LM are explode+"
@@ -314,6 +344,51 @@ def text_profile(spark, sf_dir):
     )
     fp = chunks.groupBy("doc_id").agg(F.min("chunk_hash").alias("fingerprint"))
 
+    # eval-set n-gram contamination fraction (r9): the share of the
+    # doc's DISTINCT CONTAM_N-token-gram hashes that occur ANYWHERE in
+    # the seeded eval holdout — the same benchmark carve-out the
+    # decontamination stages screen against. Complements the binary
+    # MinHash decontamination gate: a doc can pass whole-doc Jaccard <
+    # T yet still contain verbatim benchmark spans; this measures
+    # exactly that span mass (GPT-3 appendix C's 13-gram rule as a
+    # continuous signal). Gram hashing is a Horner fold over the
+    # shared distinct-vocab token-hash build (token_hashes — one
+    # exchange), composed as CONTAM_N-1 zip_with layers over shifted
+    # slices so the hash array inlines O(1) times (the shingle_sets
+    # discipline). Eval grams join back as a PLAIN equi-join: the eval
+    # side is benchmark-sized in practice but corpus-derived here, so
+    # the planner (AQE) picks broadcast only when it actually fits
+    # (VERDICT r8's bpe_apply lesson — never force it).
+    from ._dedup_core import token_hashes
+    from .curate import is_eval_holdout
+
+    th_df = token_hashes(d.select("doc_id", "text"))
+    nt = F.size("th")
+    gram_len = nt - F.lit(CONTAM_N - 1)
+    acc = F.slice(F.col("th"), 1, gram_len)
+    for k in range(2, CONTAM_N + 1):
+        acc = F.zip_with(
+            acc, F.slice(F.col("th"), F.lit(k), gram_len), lambda x, y: (x * 31 + y) % MOD
+        )
+    grams = F.when(nt < CONTAM_N, F.array().cast("array<bigint>")).otherwise(acc)
+    gr = th_df.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    eval_g = (
+        gr.join(d.where(is_eval_holdout()).select("doc_id"), "doc_id", "left_semi")
+        .select("g")
+        .distinct()
+    )
+    ov = (
+        gr.join(eval_g.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.count("_hit").alias("n_hit"))
+        .select(
+            "doc_id",
+            F.round(F.col("n_hit").cast("double") / F.col("n_g"), 6).alias(
+                "eval_overlap_frac"
+            ),
+        )
+    )
+
     n = F.size("toks").cast("long")
     n_uniq = F.size(F.array_distinct("toks")).cast("long")
     sum_len = F.aggregate(
@@ -406,11 +481,12 @@ def text_profile(spark, sf_dir):
         wide.join(fp, "doc_id", "left")
         .join(docx, "doc_id", "left")
         .join(dsir, "doc_id", "left")
+        .join(ov, "doc_id", "left")
         .select(
             "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
             "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
             "stopword_ratio", "quality_score", "max_token_ratio",
             "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio", "lm_xent",
-            "dsir_logw", "fingerprint", "full_hash",
+            "dsir_logw", "eval_overlap_frac", "fingerprint", "full_hash",
         )
     )

@@ -92,6 +92,95 @@ def _mk_text_corpus(spark, tmp_path, text):
     return out
 
 
+def _mk_docs_corpus(spark, tmp_path, rows, name="docs_corpus"):
+    """A minimal sf-dir whose documents table is ``rows`` of
+    (doc_id, text) (other tables copied from the fixture)."""
+    import glob
+    import os
+    import shutil
+
+    from flink_parameter_server_spark.sources import TABLES
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / name)
+    os.makedirs(out)
+    for tab in TABLES:
+        if tab != "documents":
+            shutil.copy(f"{SF_SMALL}/{tab}.parquet", f"{out}/{tab}.parquet")
+    docs = spark.createDataFrame(
+        [(i, s, "en", "web", len(s)) for i, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(f"{out}/_tmp")
+    [part] = glob.glob(f"{out}/_tmp/part-*.parquet")
+    shutil.move(part, f"{out}/documents.parquet")
+    shutil.rmtree(f"{out}/_tmp")
+    return out
+
+
+def test_eval_overlap_frac_measures_verbatim_span_mass(spark, tmp_path):
+    """r9 eval-contamination signal: a doc embedding a verbatim
+    CONTAM_N-token span of an eval-holdout doc scores exactly the
+    fraction of its distinct 13-grams inside that span; clean docs
+    score 0; sub-13-token docs are NULL; eval docs score 1.0 on their
+    own grams. doc_id=13 satisfies is_eval_holdout (int_hash(13,5,77)
+    % 13 == 0 — verified), the others do not."""
+    from flink_parameter_server_spark.operators.curate import is_eval_holdout
+    from flink_parameter_server_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    ev_toks = [f"ev{i}" for i in range(30)]
+    rows = [
+        (13, " ".join(ev_toks)),                                 # eval doc
+        (1, " ".join(ev_toks[:13] + [f"fresh{i}" for i in range(13)])),
+        (2, " ".join(f"clean{i}" for i in range(20))),           # no overlap
+        (3, " ".join(f"tiny{i}" for i in range(12))),            # < CONTAM_N
+    ]
+    # sanity: exactly doc 13 is in the holdout
+    flags = {
+        r["doc_id"]: r["e"]
+        for r in spark.createDataFrame([(i,) for i, _ in rows], "doc_id long")
+        .select("doc_id", is_eval_holdout().alias("e"))
+        .collect()
+    }
+    assert flags == {13: True, 1: False, 2: False, 3: False}
+
+    out = _mk_docs_corpus(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r["eval_overlap_frac"]
+        for r in REGISTRY["text_profile"].fn(spark, out).collect()
+    }
+    assert got[13] == 1.0
+    # doc 1: 26 tokens -> 14 grams, exactly ONE lies fully inside the
+    # copied 13-token span
+    assert got[1] == round(1 / 14, 6)
+    assert got[2] == 0.0
+    assert got[3] is None
+
+
+def test_eval_overlap_frac_fixture_direction(spark):
+    """On the real fixture every eval-holdout doc with >= 13 tokens
+    scores exactly 1.0 (its grams ARE the eval set) and the non-eval
+    mean sits far below — the signal discriminates."""
+    from flink_parameter_server_spark.operators.curate import is_eval_holdout
+    from flink_parameter_server_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    prof = REGISTRY["text_profile"].fn(spark, SF_SMALL)
+    stats = (
+        prof.groupBy(is_eval_holdout().alias("e"))
+        .agg(
+            F.min("eval_overlap_frac").alias("mn"),
+            F.avg("eval_overlap_frac").alias("mean"),
+        )
+        .collect()
+    )
+    by = {r["e"]: r for r in stats}
+    assert by[True]["mn"] == 1.0
+    assert by[False]["mean"] < 0.05
+
+
 def _ref_merge_word(syms, a, b):
     """Leftmost-scan application of one merge to a symbol list."""
     i, out = 0, []
