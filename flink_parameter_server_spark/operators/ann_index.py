@@ -30,6 +30,8 @@ tests/test_ann_index.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -277,6 +279,56 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
         "vec_id", "embedding", "ne", "cid"
     ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")
     unpersist_rdd_ids(spark, ids)
+
+
+def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None:
+    """Rewrite the cells table coalesced: :func:`add_vectors` appends
+    one file per touched cell partition per batch, so a long-lived
+    serving index accumulates thousands of small files and the probe
+    scan goes metadata-bound — the same streaming-sink pathology
+    incremental_dedup.compact_store handles for the signature store.
+    Centroids are untouched (tiny, rewritten only by a rebuild).
+    Single-writer discipline: run between ingest batches, not
+    concurrently with one."""
+    import shutil
+
+    path = os.path.join(index_dir, "cells")
+    tmp = path + "_compacting"
+    df = spark.read.parquet(path)
+    df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def rebuild_index(
+    spark, index_dir: str, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED
+) -> dict:
+    """The documented :func:`cell_skew` rebuild trigger made
+    actionable: retrain the coarse quantizer over the CURRENT catalog
+    (the cells table holds every indexed vector verbatim) and swap
+    both tables in place. Every vector keeps its id — probes after the
+    rebuild see the same catalog under fresh geometry, with cell sizes
+    re-balanced around the drifted distribution. Staged build: the new
+    index lands in a sibling directory first, so the live index stays
+    readable until the per-table swap (a crash mid-swap loses at most
+    the rebuild, never the catalog). Returns the post-rebuild
+    :func:`cell_skew` stats. Single-writer discipline as
+    :func:`compact_index`."""
+    import shutil
+
+    emb = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        "vec_id", "embedding"
+    )
+    tmp = index_dir.rstrip("/") + "_rebuild"
+    build_ivf_index(spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed)
+    for name in ("centroids", "cells"):
+        old = os.path.join(index_dir, name)
+        shutil.rmtree(old)
+        os.rename(os.path.join(tmp, name), old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return cell_skew(spark, index_dir)
 
 
 def cell_skew(spark, index_dir: str) -> dict:

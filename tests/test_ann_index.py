@@ -224,3 +224,55 @@ def test_ivf_index_clustered_corpus_high_recall(spark, tmp_path):
     for q, n in got:
         per_q[q] = per_q.get(q, 0) + 1
     assert all(v == K for v in per_q.values()), per_q
+
+
+def test_compact_and_rebuild_preserve_catalog_and_results(spark, tmp_path):
+    """r9 index maintenance: (1) compact_index collapses the per-batch
+    small files add_vectors appends without changing any probe result;
+    (2) rebuild_index retrains the quantizer over the stored catalog in
+    place — same vec_ids, full probe still == exact brute force, and
+    the returned skew stats reflect the new geometry."""
+    import glob
+
+    from flink_parameter_server_spark.operators.ann_index import (
+        cell_skew,
+        compact_index,
+        rebuild_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    emb = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 4 == 0), idx, n_cells=N_CELLS, iters=1)
+    # three incremental batches -> one file per touched cell per batch
+    for m in (1, 2, 3):
+        add_vectors(spark, idx, emb.where(F.col("vec_id") % 4 == m))
+
+    before_files = len(glob.glob(f"{idx}/cells/cid=*/*.parquet"))
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS).collect()
+    }
+    compact_index(spark, idx)
+    after_files = len(glob.glob(f"{idx}/cells/cid=*/*.parquet"))
+    assert after_files < before_files
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS).collect()
+    }
+    assert got == want
+
+    # rebuild over the stored catalog: catalog ids unchanged, full
+    # probe == brute force, skew recomputed for the fresh geometry
+    ids_before = {r["vec_id"] for r in spark.read.parquet(f"{idx}/cells").select("vec_id").collect()}
+    stats = rebuild_index(spark, idx, n_cells=N_CELLS + 4, iters=2)
+    assert stats["n_cells"] <= N_CELLS + 4 and stats["total"] == len(ids_before)
+    ids_after = {r["vec_id"] for r in spark.read.parquet(f"{idx}/cells").select("vec_id").collect()}
+    assert ids_after == ids_before
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in _brute_topk(spark, K).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS + 4).collect()
+    }
+    assert full == brute

@@ -262,3 +262,69 @@ def test_streaming_wireup_two_batches(spark, tmp_path):
     }
     assert dec[500_000 + first_id] == ("dup_of_store", first_id), dec
     assert spark.read.parquet(decisions).select("batch_id").distinct().count() == 2
+
+
+def test_two_streams_share_one_session_without_cross_freeing(spark, tmp_path):
+    """r9 review: a dedup stream and a semantic stream on ONE
+    SparkSession (the serving deployment both module docstrings pitch)
+    interleave foreachBatch sinks on separate driver threads — the old
+    global before/after diff-unpersist in one sink could free the
+    OTHER sink's in-flight localCheckpoint blocks (non-recomputable →
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). With exact scoped attribution
+    both streams must drain all batches with no exception and correct
+    cross-batch store semantics."""
+    from flink_parameter_server_spark.streaming.incremental_dedup import (
+        dedup_stream_writer,
+    )
+
+    # --- semantic leg: 3 files -> 3 micro-batches
+    seed, batch = _halves(spark)
+    idx = _seed_index(spark, tmp_path, seed)
+    esrc = str(tmp_path / "esrc")
+    b1 = batch.limit(6).localCheckpoint()
+    first_id = b1.agg(F.min("vec_id")).first()[0]
+    b1.coalesce(1).write.parquet(f"{esrc}/f1")
+    _scaled(b1.where(F.col("vec_id") == first_id), 1.1, 500_000).coalesce(1).write.parquet(f"{esrc}/f2")
+    _scaled(b1.where(F.col("vec_id") == first_id), 0.9, 600_000).coalesce(1).write.parquet(f"{esrc}/f3")
+
+    # --- dedup leg: 3 files -> 3 micro-batches
+    body = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(40))
+    other = " ".join(f"zz{i} yy{i * 3} xx{i % 5}" for i in range(40))
+    dsrc = str(tmp_path / "dsrc")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    mk([(1, body), (2, other)]).coalesce(1).write.parquet(f"{dsrc}/f1")
+    mk([(10, body)]).coalesce(1).write.parquet(f"{dsrc}/f2")
+    mk([(11, other + " more"), (12, " ".join(f"q{i}w{i}" for i in range(40)))]).coalesce(
+        1
+    ).write.parquet(f"{dsrc}/f3")
+
+    estream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{esrc}/*")
+    )
+    dstream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dsrc}/*")
+    )
+    sdec = str(tmp_path / "sdec")
+    ddec = str(tmp_path / "ddec")
+    qs = semantic_stream_writer(spark, estream, idx, sdec)
+    qd = dedup_stream_writer(spark, dstream, str(tmp_path / "dstore"), ddec)
+    try:
+        # both run concurrently on their own streaming threads; drain both
+        qs.processAllAvailable()
+        qd.processAllAvailable()
+        assert qs.exception() is None and qd.exception() is None
+    finally:
+        qs.stop()
+        qd.stop()
+
+    sd = {r.vec_id: (r.decision, r.dup_of) for r in spark.read.parquet(sdec).collect()}
+    assert sd[500_000 + first_id] == ("dup_of_store", first_id)
+    assert sd[600_000 + first_id] == ("dup_of_store", first_id)
+    dd = {r.doc_id: (r.decision, r.dup_of) for r in spark.read.parquet(ddec).collect()}
+    assert dd[1] == ("accepted", None) and dd[2] == ("accepted", None)
+    assert dd[10] == ("dup_of_store", 1)
+    assert dd[11] == ("dup_of_store", 2) and dd[12] == ("accepted", None)
