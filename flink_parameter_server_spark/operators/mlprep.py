@@ -27,6 +27,7 @@ PACK_SHARDS = 8  # at 100 TB set ~= cluster parallelism
 PACK_BUDGET = 256  # whitespace tokens per training pack
 MIX_GRID = 1 << 20  # integer grid for sqrt(n_g) so the group sum is exact
 MIX_MAX_COPIES = 4  # upsampling cap (guards tiny-group blowup)
+DSIR_KEEP_DIV = 5  # dsir_selected keeps the top 1/5 of weighted docs
 
 
 def _split_oracle() -> str:
@@ -91,6 +92,21 @@ SELECT 'mixture' AS part, doc_id, lang, source,
 FROM cop, unnest(generate_series(1, CAST(copies AS BIGINT))) AS u(ci)
 WHERE copies >= 1
 """
+    from ._dsir_core import DSIR_SQL_CTES
+
+    dsir_sel = f"""
+WITH {DSIR_SQL_CTES},
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY smic DESC, doc_id) AS rk,
+         count(*) OVER () AS nw
+  FROM fmic
+)
+SELECT 'dsir_selected' AS part, d.doc_id, d.lang, d.source,
+       CASE WHEN r.doc_id IS NULL THEN 'unweighted'
+            WHEN r.rk <= r.nw // {DSIR_KEEP_DIV} THEN 'selected'
+            ELSE 'rest' END AS split
+FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+"""
     return f"""
 SELECT * FROM ({plain}) AS plain_part
 UNION ALL
@@ -100,6 +116,8 @@ UNION ALL
 SELECT * FROM ({packed}) AS packed_part
 UNION ALL
 SELECT * FROM ({mixture}) AS mixture_part
+UNION ALL
+SELECT * FROM ({dsir_sel}) AS dsir_part
 """
 
 
@@ -134,7 +152,13 @@ SELECT * FROM ({mixture}) AS mixture_part
     "per-doc hash vs the fraction on the same integer grid, capped at "
     "MIX_MAX_COPIES, and rows are exploded via sequence(). The lang "
     "histogram is a tiny aggregate broadcast back to documents — one "
-    "scan, no extra shuffle at any scale.",
+    "scan, no extra shuffle at any scale. 'dsir_selected' (r9): DSIR "
+    "data SELECTION — the top 1/DSIR_KEEP_DIV of weighted docs by the "
+    "shared integer micro-nat importance weight (textstats.dsir_micro), "
+    "ties by doc_id; docs with no tokens -> 'unweighted'. Deterministic "
+    "zero-temperature variant of Xie et al.'s Gumbel resampling "
+    "(divergence documented); at 100 TB the global rank window becomes "
+    "an approx-quantile threshold cut.",
 )
 def train_test_split(spark, sf_dir):
     from .curate import corpus_curate
@@ -161,6 +185,7 @@ def train_test_split(spark, sf_dir):
         plain.unionByName(curated)
         .unionByName(_packed_part(d))
         .unionByName(_mixture_part(d))
+        .unionByName(_dsir_selected_part(d))
     )
 
 
@@ -251,6 +276,52 @@ def _mixture_part(d):
         "lang",
         "source",
         F.concat(F.lit("mix"), F.col("ci").cast("string")).alias("split"),
+    )
+
+
+def _dsir_selected_part(d):
+    """Spark twin of the 'dsir_selected' oracle half: DSIR data
+    SELECTION over the shared importance-weight pipeline
+    (textstats.dsir_micro) — keep the top 1/DSIR_KEEP_DIV of weighted
+    docs by weight. Ranking is on the EXACT integer micro-nat sum
+    (ties -> doc_id), so both engines order identically. Docs with no
+    tokens have no weight -> 'unweighted'.
+
+    Divergence from Xie et al. 2023 (documented): the paper RESAMPLES
+    with probability ∝ exp(logw) (Gumbel top-k); this part is the
+    deterministic zero-temperature variant — rank by weight and cut.
+    At 100 TB the global rank window becomes a quantile threshold
+    (approx_percentile on smic) instead of a single-partition sort;
+    the cut semantics are unchanged."""
+    from ._dsir_core import dsir_micro
+
+    w = dsir_micro(d.select("doc_id", "lang", "text"))
+    ranked = w.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("smic").desc(), "doc_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nw"),
+    )
+    lab = ranked.select(
+        "doc_id",
+        F.when(
+            F.col("rk") <= F.floor(F.col("nw") / F.lit(DSIR_KEEP_DIV)).cast("long"),
+            F.lit("selected"),
+        )
+        .otherwise(F.lit("rest"))
+        .alias("sel"),
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(lab, "doc_id", "left")
+        .select(
+            F.lit("dsir_selected").alias("part"),
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("sel", F.lit("unweighted")).alias("split"),
+        )
     )
 
 

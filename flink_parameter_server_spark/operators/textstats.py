@@ -15,6 +15,13 @@ from ..functions.hashing import MOD, int_hash_sql, poly_hash, poly_hash_sql
 from ..functions.text import STOPWORDS, tokens, tokens_sql
 from ..plans.registry import register
 from ._dedup_core import _TOKHASH_SQL
+from ._dsir_core import (  # noqa: F401 (re-exported: tests + mlprep history)
+    DSIR_B,
+    DSIR_SEED,
+    DSIR_SQL_CTES,
+    DSIR_TARGET_LANG,
+    dsir_micro,
+)
 from ._util import t
 from .curate import CURATE_EVAL_J, CURATE_EVAL_MOD, CURATE_SEED
 
@@ -34,21 +41,11 @@ FP_WINDOW = 8
 # (Spark) and RE2 (DuckDB) — simple character classes only.
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
 URL_RE = "https?://[^ \\t\\n]+"
-# DSIR importance weighting (r9, Xie et al. 2023 "Data Selection for
-# Language Models via Importance Resampling"): hashed bag-of-unigrams
-# features, per-doc log importance weight = sum over token occurrences
-# of ln(p_target(b)/p_raw(b)) with add-1 smoothing over DSIR_B buckets.
-# Target distribution = the lang='en' slice of the corpus (stand-in for
-# "high-quality domain sample"); raw = the whole corpus.
-DSIR_B = 128
-DSIR_SEED = 11
-DSIR_TARGET_LANG = "en"
 # Eval-set n-gram contamination (r9): GPT-3 appendix C / PaLM measure
 # membership of 13-grams in the benchmark set; eval_overlap_frac is the
 # per-doc fraction of distinct CONTAM_N-token-gram hashes found
 # anywhere in the seeded eval holdout (curate.is_eval_holdout).
 CONTAM_N = 13
-
 
 def _stoplist_sql(words) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
@@ -98,27 +95,9 @@ docx AS (
     GROUP BY b.doc_id
   ) micro
 ),
-fpos AS (
-  SELECT doc_id, lang, {poly_hash_sql('tok', DSIR_SEED)} % {DSIR_B} AS b
-  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tk) ft
-),
-fcnt AS (SELECT doc_id, lang, b, count(*) AS n FROM fpos GROUP BY 1, 2, 3),
-fraw AS (SELECT b, sum(n) AS cr FROM fcnt GROUP BY b),
-ftgt AS (SELECT b, sum(n) AS ct FROM fcnt WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
-ftot AS (
-  SELECT (SELECT sum(cr) FROM fraw) AS rr,
-         coalesce((SELECT sum(ct) FROM ftgt), 0) AS tt
-),
-flam AS (
-  SELECT fraw.b,
-         CAST(CAST(round(ln(((coalesce(ct, 0) + 1.0) / (tt + {float(DSIR_B)}))
-                        / ((cr + 1.0) / (rr + {float(DSIR_B)}))), 6)
-              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lmic
-  FROM fraw LEFT JOIN ftgt ON fraw.b = ftgt.b CROSS JOIN ftot
-),
+{DSIR_SQL_CTES},
 fdsir AS (
-  SELECT doc_id, CAST(sum(n * lmic) AS DOUBLE) / 1000000.0 AS dsir_logw
-  FROM fcnt JOIN flam ON fcnt.b = flam.b GROUP BY doc_id
+  SELECT doc_id, CAST(smic AS DOUBLE) / 1000000.0 AS dsir_logw FROM fmic
 ),
 cth AS MATERIALIZED (SELECT doc_id, {_TOKHASH_SQL} AS th FROM documents),
 cg AS MATERIALIZED (
@@ -295,42 +274,9 @@ def text_profile(spark, sf_dir):
     # could diverge on negatives). Shapes: one (doc,b) count shuffle,
     # then B-row aggregates joined via a broadcast λ table; the only
     # nested-loop joins are 1-row totals broadcasts.
-    feat = tk.select("doc_id", "lang", F.explode("toks").alias("tok")).select(
-        "doc_id", "lang", (poly_hash(F.col("tok"), DSIR_SEED) % DSIR_B).alias("b")
-    )
-    fcnt = feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
-    raw = fcnt.groupBy("b").agg(F.sum("n").alias("cr"))
-    tgt = (
-        fcnt.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("n").alias("ct"))
-    )
-    tot = raw.agg(F.sum("cr").alias("rr")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    )
-    lam_val = F.round(
-        F.log(
-            (
-                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                / (F.col("tt") + F.lit(float(DSIR_B)))
-            )
-            / ((F.col("cr") + F.lit(1.0)) / (F.col("rr") + F.lit(float(DSIR_B))))
-        ),
-        6,
-    )
-    lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("b", (lam_val.cast("decimal(18,6)") * 1000000).cast("long").alias("lmic"))
-    )
-    dsir = (
-        fcnt.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum(F.col("n") * F.col("lmic")).cast("double") / F.lit(1000000.0)).alias(
-                "dsir_logw"
-            )
-        )
+    dsir = dsir_micro(d).select(
+        "doc_id",
+        (F.col("smic").cast("double") / F.lit(1000000.0)).alias("dsir_logw"),
     )
     chunks = (
         pos.select(

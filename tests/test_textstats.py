@@ -537,3 +537,40 @@ def test_dsir_logw_prefers_target_language(spark):
     rest = [r.dsir_logw for r in rows if r.actual_lang != DSIR_TARGET_LANG]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_selected_part_semantics(spark):
+    """r9 dsir_selected (train_test_split part): exactly floor(nw /
+    DSIR_KEEP_DIV) weighted docs are 'selected'; every selected doc's
+    integer weight >= every rest doc's (ties broken by doc_id, so at
+    the boundary weight only lower doc_ids are in); token-less docs
+    are 'unweighted'."""
+    from flink_parameter_server_spark.operators.mlprep import DSIR_KEEP_DIV
+    from flink_parameter_server_spark.operators.textstats import dsir_micro
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    part = (
+        REGISTRY["train_test_split"]
+        .fn(spark, SF_SMALL)
+        .where(F.col("part") == "dsir_selected")
+    )
+    got = {r["doc_id"]: r["split"] for r in part.collect()}
+    w = {
+        r["doc_id"]: r["smic"]
+        for r in dsir_micro(
+            t(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+        ).collect()
+    }
+    n_docs = t(spark, SF_SMALL, "documents").count()
+    assert len(got) == n_docs
+    sel = {d for d, s in got.items() if s == "selected"}
+    rest = {d for d, s in got.items() if s == "rest"}
+    unw = {d for d, s in got.items() if s == "unweighted"}
+    assert unw == set(got) - set(w)  # weightless docs exactly
+    assert len(sel) == len(w) // DSIR_KEEP_DIV
+    # driver-side reference cut on (smic desc, doc_id)
+    order = sorted(w, key=lambda d: (-w[d], d))
+    assert sel == set(order[: len(w) // DSIR_KEEP_DIV])
+    assert rest == set(order[len(w) // DSIR_KEEP_DIV:])
