@@ -297,18 +297,27 @@ def text_profile(spark, sf_dir):
     # MinHash decontamination gate: a doc can pass whole-doc Jaccard <
     # T yet still contain verbatim benchmark spans; this measures
     # exactly that span mass (GPT-3 appendix C's 13-gram rule as a
-    # continuous signal). Gram hashing is a Horner fold over the
-    # shared distinct-vocab token-hash build (token_hashes — one
-    # exchange), composed as CONTAM_N-1 zip_with layers over shifted
-    # slices so the hash array inlines O(1) times (the shingle_sets
-    # discipline). Eval grams join back as a PLAIN equi-join: the eval
-    # side is benchmark-sized in practice but corpus-derived here, so
-    # the planner (AQE) picks broadcast only when it actually fits
-    # (VERDICT r8's bpe_apply lesson — never force it).
-    from ._dedup_core import token_hashes
+    # continuous signal). Gram hashing is a Horner fold over a
+    # MAP-ONLY per-token hash array — one char fold per occurrence,
+    # the same cost class as the fingerprint stage above (the
+    # distinct-vocab token_hashes build was measured 8x slower HERE:
+    # its groupBy reassembly costs more than this operator's whole
+    # prior runtime; dedup amortizes that build across six methods,
+    # one column cannot). The repartition below is a deliberate
+    # exchange barrier: the Horner fold is CONTAM_N-1 zip_with layers
+    # each referencing `th`, and without a barrier projection collapse
+    # inlines the char-fold transform into every layer (the
+    # shingle_sets O(tokens^2) trap); the exchange materializes th
+    # once, and both downstream readers (doc grams + eval grams) reuse
+    # the one exchange. Eval grams join back as a PLAIN equi-join: the
+    # eval side is benchmark-sized in practice but corpus-derived
+    # here, so the planner (AQE) picks broadcast only when it actually
+    # fits (VERDICT r8's bpe_apply lesson — never force it).
     from .curate import is_eval_holdout
 
-    th_df = token_hashes(d.select("doc_id", "text"))
+    th_df = tk.select(
+        "doc_id", F.transform("toks", lambda s_: poly_hash(s_, 0)).alias("th")
+    ).repartition(32, "doc_id")
     nt = F.size("th")
     gram_len = nt - F.lit(CONTAM_N - 1)
     acc = F.slice(F.col("th"), 1, gram_len)
