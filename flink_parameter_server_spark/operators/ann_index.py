@@ -41,6 +41,18 @@ from ..scratch import scoped_checkpoint, tracked_checkpoint, unpersist_rdd_ids
 from .similarity import _fast_cosine
 
 IVF_SEED = 2027
+_CELLS_SCHEMA = "vec_id bigint, embedding array<float>, ne double, cid bigint"
+
+
+def read_cells(spark, index_dir: str) -> DataFrame:
+    """The cells table, or an empty typed frame when no vector has
+    been accepted yet — a semantic-dedup store starts centroids-only
+    (streaming/semantic_dedup.build_semantic_store), exactly like the
+    band store starts empty in incremental_dedup."""
+    path = os.path.join(index_dir, "cells")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], _CELLS_SCHEMA)
 
 
 def _normed(df: DataFrame, vec_col: str, out: str) -> DataFrame:
@@ -270,11 +282,7 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     ids: set[int] = set()
     v = scoped_checkpoint(v, ids)
     touched = sorted(r["cid"] for r in v.select("cid").distinct().collect())
-    existing = (
-        spark.read.parquet(f"{index_dir}/cells")
-        .where(F.col("cid").isin(touched))
-        .select("vec_id")
-    )
+    existing = read_cells(spark, index_dir).where(F.col("cid").isin(touched)).select("vec_id")
     v.join(existing, "vec_id", "left_anti").select(
         "vec_id", "embedding", "ne", "cid"
     ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")

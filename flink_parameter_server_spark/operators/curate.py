@@ -171,12 +171,45 @@ def corpus_curate(spark, sf_dir):
     )
     surv3 = rooted.where(F.col("root") == F.col("doc_id"))
 
-    # stage 5 — stratified seeded split over the final survivors
+    # stage 5 — SEMANTIC dedup among near-dup canonicals (r9, the
+    # SemDeDup placement: run AFTER exact/near dedup so embedding
+    # compute is paid only for surviving canonicals). The fixture's
+    # embeddings share the documents id space (one vector per doc,
+    # verified), so pair candidates come from the same full-corpus
+    # IVF-cell generator the dedup 'semantic' method is hash-pinned on
+    # (similarity.embedding_semantic_pairs; centroids are the
+    # deterministic vec_id % IVF_STRIDE rule, so cell assignment is
+    # independent of which subset survives — filtering pair endpoints
+    # to survivors afterwards is exactly the subset's pair set, the
+    # same single-source-of-truth argument as mh_pairs). Components
+    # keep the min-doc_id canonical — the pipeline's greedy rule;
+    # the paper's keep-least-central variant stays in
+    # similarity.semdedup_prune.
+    from .similarity import embedding_semantic_pairs
+
+    ids3 = surv3.select("doc_id")
+    sem_edges = (
+        embedding_semantic_pairs(spark, sf_dir)
+        .join(ids3.withColumnRenamed("doc_id", "vec_a"), "vec_a", "left_semi")
+        .join(ids3.withColumnRenamed("doc_id", "vec_b"), "vec_b", "left_semi")
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    parents2, _ = star_connected_components(sem_edges)
+    rooted2 = surv3.join(
+        parents2.select(F.col("a").alias("doc_id"), F.col("b").alias("sroot")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "lang", "source", F.coalesce("sroot", "doc_id").alias("sroot")
+    )
+    surv4 = rooted2.where(F.col("sroot") == F.col("doc_id"))
+
+    # stage 6 — stratified seeded split over the final survivors
     win = Window.partitionBy("lang", "source").orderBy(
         int_hash(F.col("doc_id"), 0, CURATE_SEED), F.col("doc_id")
     )
     tile = F.ntile(N_TILES).over(win)
-    tiles = surv3.select(
+    tiles = surv4.select(
         "doc_id",
         F.when(tile <= 8, F.lit("train"))
         .when(tile == 9, F.lit("valid"))
@@ -190,6 +223,7 @@ def corpus_curate(spark, sf_dir):
         .join(surv1k.select("doc_id", "e_ok"), "doc_id", "left")
         .join(contam.withColumn("is_contam", F.lit(True)), "doc_id", "left")
         .join(rooted.select("doc_id", "root"), "doc_id", "left")
+        .join(rooted2.select("doc_id", "sroot"), "doc_id", "left")
         .join(tiles, "doc_id", "left")
         .select(
             "doc_id",
@@ -200,20 +234,27 @@ def corpus_curate(spark, sf_dir):
             .when(~F.col("e_ok"), F.lit("rejected:exact_dup"))
             .when(F.coalesce("is_contam", F.lit(False)), F.lit("rejected:contaminated"))
             .when(F.col("root") != F.col("doc_id"), F.lit("rejected:near_dup"))
+            .when(F.col("sroot") != F.col("doc_id"), F.lit("rejected:semantic_dup"))
             .otherwise(F.col("final_split"))
             .alias("split"),
         )
     )
 
 
-def curate_oracle_sql(minhash_pairs_sql: str, int_hash_sql_expr: str) -> str:
+def curate_oracle_sql(
+    minhash_pairs_sql: str, int_hash_sql_expr: str, semantic_pairs_sql: str
+) -> str:
     """DuckDB twin of :func:`corpus_curate`, staged CTE for CTE.
 
     ``minhash_pairs_sql`` is dedup's _MINHASH_SQL verbatim (single
     source of truth for the pair set — it covers the FULL corpus, so
     the decontamination and CC stages filter its endpoints exactly as
-    the Spark side's subset-signature build does); ``int_hash_sql_expr``
-    the seeded integer hash of doc_id used by the split ordering."""
+    the Spark side's subset-signature build does);
+    ``semantic_pairs_sql`` is planes.SEMANTIC_PAIRS_SQL verbatim (same
+    single-source argument for the r9 semantic stage — cell assignment
+    is the deterministic full-corpus stride rule, independent of which
+    subset survives); ``int_hash_sql_expr`` the seeded integer hash of
+    doc_id used by the split ordering."""
     from ..functions.hashing import int_hash_sql
 
     eval_pred = f"({int_hash_sql('doc_id', CURATE_EVAL_J, CURATE_SEED)}) % {CURATE_EVAL_MOD} = 0"
@@ -269,6 +310,24 @@ surv3 AS (
   SELECT s.doc_id, s.lang, s.source FROM surv2d s
   JOIN cc ON s.doc_id = cc.doc_id AND cc.root = s.doc_id
 ),
+sem_pairs AS ({semantic_pairs_sql}),
+sem_edges AS (
+  SELECT p.vec_a AS a, p.vec_b AS b FROM sem_pairs p
+  JOIN surv3 sa ON p.vec_a = sa.doc_id JOIN surv3 sb ON p.vec_b = sb.doc_id
+  UNION ALL
+  SELECT p.vec_b AS a, p.vec_a AS b FROM sem_pairs p
+  JOIN surv3 sa ON p.vec_a = sa.doc_id JOIN surv3 sb ON p.vec_b = sb.doc_id
+),
+reach2 AS (
+  SELECT doc_id AS src, doc_id AS dst FROM surv3
+  UNION
+  SELECT r.src, e.b AS dst FROM reach2 r JOIN sem_edges e ON r.dst = e.a
+),
+cc2 AS (SELECT src AS doc_id, min(dst) AS sroot FROM reach2 GROUP BY src),
+surv4 AS (
+  SELECT s.doc_id, s.lang, s.source FROM surv3 s
+  JOIN cc2 ON s.doc_id = cc2.doc_id AND cc2.sroot = s.doc_id
+),
 tiles AS (
   SELECT doc_id,
          CASE WHEN tile <= 8 THEN 'train'
@@ -278,7 +337,7 @@ tiles AS (
     SELECT doc_id, ntile({N_TILES}) OVER (
              PARTITION BY lang, source
              ORDER BY {int_hash_sql_expr}, doc_id) AS tile
-    FROM surv3
+    FROM surv4
   ) st
 )
 SELECT b.doc_id, b.lang, b.source,
@@ -290,11 +349,13 @@ SELECT b.doc_id, b.lang, b.source,
          WHEN NOT k.e_ok THEN 'rejected:exact_dup'
          WHEN ct.doc_id IS NOT NULL THEN 'rejected:contaminated'
          WHEN cc.root <> b.doc_id THEN 'rejected:near_dup'
+         WHEN cc2.sroot <> b.doc_id THEN 'rejected:semantic_dup'
          ELSE ti.final_split
        END AS split
 FROM curate_base b
 LEFT JOIN surv1k k ON b.doc_id = k.doc_id
 LEFT JOIN contam ct ON b.doc_id = ct.doc_id
 LEFT JOIN cc ON b.doc_id = cc.doc_id
+LEFT JOIN cc2 ON b.doc_id = cc2.doc_id
 LEFT JOIN tiles ti ON b.doc_id = ti.doc_id
 """

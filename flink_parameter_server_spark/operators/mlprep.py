@@ -31,6 +31,7 @@ DSIR_KEEP_DIV = 5  # dsir_selected keeps the top 1/5 of weighted docs
 
 
 def _split_oracle() -> str:
+    from ..functions.planes import SEMANTIC_PAIRS_SQL
     from ._dedup_core import _MINHASH_SQL
     from .curate import curate_oracle_sql
 
@@ -47,7 +48,7 @@ FROM (
   FROM documents
 ) t
 """
-    curated = curate_oracle_sql(_MINHASH_SQL, int_hash_sql("doc_id", 0, 77))
+    curated = curate_oracle_sql(_MINHASH_SQL, int_hash_sql("doc_id", 0, 77), SEMANTIC_PAIRS_SQL)
     packed = f"""
 SELECT 'packed' AS part, doc_id, lang, source,
        'pack_' || CAST(shard AS VARCHAR) || '_'

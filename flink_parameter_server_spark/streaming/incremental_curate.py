@@ -17,7 +17,12 @@ the batch pipeline's stage order:
 4. near-dup vs the accepted-content store + within-batch star-CC
    (incremental_dedup.process_batch verbatim) -> 'rejected:near_dup'
    with store/batch provenance folded into `dup_of`;
-5. survivors -> 'accepted'; their exact hashes and minhash signatures
+5. OPTIONAL semantic dedup (r9; pass ``emb`` + ``semantic_store_dir``):
+   survivors' embeddings probe the persisted IVF vector store
+   (semantic_dedup.process_semantic_batch) -> 'rejected:semantic_dup';
+   with this stage on, the stage-4/6 store writes are DEFERRED until
+   after it so every store holds end-to-end-accepted content only;
+6. survivors -> 'accepted'; their exact hashes and minhash signatures
    APPEND to the store (replay-idempotent: per-table presence skip,
    same discipline as process_batch).
 
@@ -59,13 +64,27 @@ def curate_batch(
     min_chars: int | None = None,
     min_tokens: int | None = None,
     scratch_ids: set[int] | None = None,
+    emb: DataFrame | None = None,
+    semantic_store_dir: str | None = None,
 ) -> DataFrame:
     """Run one (doc_id, text, n_chars) batch through the curation
     stages; returns (doc_id, decision, dup_of). Thresholds default to
     the batch pipeline's CURATE_MIN_CHARS / CURATE_MIN_TOKENS.
     ``scratch_ids``: exact attribution of the checkpoints this call
     pins (see incremental_dedup.signatures); defaults to
-    scratch-release tracking."""
+    scratch-release tracking.
+
+    ``emb`` + ``semantic_store_dir`` (r9, both or neither): enable the
+    SEMANTIC dedup stage after near-dup, mirroring corpus_curate's r9
+    stage order. ``emb`` is a (vec_id, embedding) frame covering (at
+    least) the batch's docs in the shared doc-id space; the store is a
+    persisted IVF layout seeded by semantic_dedup.build_semantic_store
+    (stride-rule centroids -> decisions comparable to the batch
+    pipeline, pinned on the full fixture) or build_ivf_index. Docs
+    without an embedding row (or zero-norm) pass the stage un-deduped.
+    With the stage on, the near-dup/hash store writes are DEFERRED
+    until after it (process_batch(append=False) + append_signatures),
+    so every store holds end-to-end-accepted content only."""
     from ..functions.text import tokens
     from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
     from ..scratch import scoped_checkpoint, track_checkpoint_ids
@@ -133,11 +152,49 @@ def curate_batch(
         contam = spark.createDataFrame([], "doc_id bigint, dup_of bigint")
     surv_c = surv_e.join(contam.select("doc_id"), "doc_id", "left_anti")
 
-    # stage 4 — near-dup vs store + within batch (process_batch verbatim;
-    # it also appends accepted signatures to the band/shingle store)
+    # stage 4 — near-dup vs store + within batch (process_batch
+    # verbatim; store appends deferred when a semantic stage follows)
+    semantic_on = emb is not None and semantic_store_dir is not None
     near = process_batch(
-        spark, surv_c.select("doc_id", "text"), store_dir, sigs=sigs, scratch_ids=ids
+        spark,
+        surv_c.select("doc_id", "text"),
+        store_dir,
+        sigs=sigs,
+        scratch_ids=ids,
+        append=not semantic_on,
     )
+
+    # stage 5 (optional, r9) — SEMANTIC dedup among near-dup survivors
+    # against the persisted vector store (greedy keep-first across
+    # batches; in-batch min-id canonicals — process_semantic_batch).
+    if semantic_on:
+        from .semantic_dedup import process_semantic_batch
+
+        surv_n = near.where(
+            "decision IN ('accepted', 'no_shingles')"
+        ).select(F.col("doc_id").alias("vec_id"))
+        emb_surv = emb.select("vec_id", "embedding").join(surv_n, "vec_id", "left_semi")
+        sem = process_semantic_batch(spark, emb_surv, semantic_store_dir, scratch_ids=ids)
+        sem_rej = scoped_checkpoint(
+            sem.where("decision IN ('dup_of_store', 'dup_in_batch')").select(
+                F.col("vec_id").alias("doc_id"), "dup_of"
+            ),
+            ids,
+        )
+    else:
+        sem_rej = spark.createDataFrame([], "doc_id bigint, dup_of bigint")
+
+    # resolve near-dup in-batch provenance through the semantic stage:
+    # an in-batch near canonical that is itself semantic-rejected
+    # forwards to ITS canonical (dup_of is a canonical, never a chain —
+    # the r9 provenance contract). Store-probe targets are safe by
+    # construction: with deferred appends the band store holds only
+    # end-to-end-accepted docs.
+    near = near.join(
+        sem_rej.select(F.col("doc_id").alias("dup_of"), F.col("dup_of").alias("sc")),
+        "dup_of",
+        "left",
+    ).select("doc_id", "decision", F.coalesce("sc", "dup_of").alias("dup_of"))
 
     # canonical (not chained) provenance (ADVICE r8 + r9 review): if
     # the batch keeper itself is rejected at ANY later stage — exact
@@ -160,9 +217,10 @@ def curate_batch(
             "doc_id",
             "left",
         )
+        .join(sem_rej.select("doc_id", F.col("dup_of").alias("c_sd")), "doc_id", "left")
         .select(
             F.col("doc_id").alias("dup_of"),
-            F.coalesce("c_es", "c_ct", "c_nd").alias("canon"),
+            F.coalesce("c_es", "c_ct", "c_nd", "c_sd").alias("canon"),
         )
         .where(F.col("canon").isNotNull())
     )
@@ -170,8 +228,18 @@ def curate_batch(
         "doc_id", F.coalesce("canon", "dup_of").alias("dup_of")
     )
 
-    # persist accepted exact hashes (replay-idempotent presence skip)
-    accepted_ids = near.where("decision IN ('accepted', 'no_shingles')").select("doc_id")
+    # persist accepted exact hashes (replay-idempotent presence skip);
+    # with the semantic stage on, "accepted" = survived EVERY gate, and
+    # the deferred near-dup signature append happens here too
+    accepted_ids = (
+        near.where("decision IN ('accepted', 'no_shingles')")
+        .join(sem_rej.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    if semantic_on:
+        from .incremental_dedup import append_signatures
+
+        append_signatures(spark, store_dir, sigs[0], accepted_ids, ids)
     new_hashes = (
         keepers.join(accepted_ids, "doc_id", "left_semi")
         .select("doc_id", "h")
@@ -193,6 +261,7 @@ def curate_batch(
             "doc_id",
             "left",
         )
+        .join(sem_rej.select("doc_id", F.col("dup_of").alias("d_sd")), "doc_id", "left")
         .select(
             "doc_id",
             F.when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
@@ -201,10 +270,11 @@ def curate_batch(
             .when(F.col("d_ct").isNotNull(), F.lit("rejected:contaminated"))
             .when(F.col("nd") == "dup_of_store", F.lit("rejected:near_dup"))
             .when(F.col("nd") == "dup_in_batch", F.lit("rejected:near_dup"))
+            .when(F.col("d_sd").isNotNull(), F.lit("rejected:semantic_dup"))
             .when(F.col("nd") == "no_shingles", F.lit("accepted"))
             .otherwise(F.lit("accepted"))
             .alias("decision"),
-            F.coalesce("d_eb", "d_es", "d_ct", "d_nd").alias("dup_of"),
+            F.coalesce("d_eb", "d_es", "d_ct", "d_nd", "d_sd").alias("dup_of"),
         )
     )
 
@@ -215,6 +285,8 @@ def curate_stream_writer(
     store_dir: str,
     decisions_dir: str,
     eval_store_dir: str | None = None,
+    emb: DataFrame | None = None,
+    semantic_store_dir: str | None = None,
 ):
     """foreachBatch wire-up: each micro-batch curates against the
     mutable store and writes decisions under bid=<batch_id> with
@@ -234,7 +306,13 @@ def curate_stream_writer(
         # a concurrent sink's checkpoints on a shared session)
         ids: set[int] = set()
         curate_batch(
-            spark, batch_df, store_dir, eval_store_dir, scratch_ids=ids
+            spark,
+            batch_df,
+            store_dir,
+            eval_store_dir,
+            scratch_ids=ids,
+            emb=emb,
+            semantic_store_dir=semantic_store_dir,
         ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )

@@ -93,7 +93,12 @@ def signatures(docs: DataFrame, scratch_ids: set[int] | None = None) -> tuple[Da
 
 
 def process_batch(
-    spark, docs: DataFrame, store_dir: str, sigs=None, scratch_ids: set[int] | None = None
+    spark,
+    docs: DataFrame,
+    store_dir: str,
+    sigs=None,
+    scratch_ids: set[int] | None = None,
+    append: bool = True,
 ) -> DataFrame:
     """Run one batch through the store; returns decisions
     (doc_id, decision, dup_of) with decision in
@@ -111,6 +116,14 @@ def process_batch(
 
     ``scratch_ids``: see :func:`signatures` — exact attribution of the
     checkpoints this call pins; defaults to scratch-release tracking.
+
+    ``append=False`` skips the store writes: a composing pipeline with
+    LATER gates (incremental_curate's r9 semantic stage) must persist
+    signatures only for docs accepted END-TO-END — the store's
+    keep-first contract is "rejected only against accepted content",
+    which breaks if a later stage rejects a doc whose signatures
+    already landed. The caller then appends via
+    :func:`append_signatures` after its final gate.
     """
     from ..scratch import scoped_checkpoint, track_checkpoint_ids
 
@@ -194,24 +207,10 @@ def process_batch(
 
     accepted = surv.join(batch_dups.select("doc_id"), "doc_id", "left_anti")
 
-    # --- persist accepted signatures (append-only, replay-idempotent) ---
-    # Skip docs already in the store: on an at-least-once replay the
-    # prior attempt's accepted docs are present, and re-appending would
-    # duplicate their signature rows (every later probe would then see
-    # doubled candidates). The presence check is the UNION of both
-    # store tables' doc ids, not shingles alone: bands are written
-    # first, so a crash between the two writes leaves a doc
-    # bands-only — a shingles-only check would re-append its band rows
-    # on replay (review r8). Each table then skips what IT already has.
-    present_bands = store_bands.select("doc_id").distinct()
-    present_sh = store_sh.select("doc_id")
-    new_for_bands = scoped_checkpoint(accepted.join(present_bands, "doc_id", "left_anti"), ids)
-    minhash_bands(new_for_bands).write.mode("append").partitionBy("b").parquet(
-        os.path.join(store_dir, "bands")
-    )
-    accepted.join(present_sh, "doc_id", "left_anti").select(
-        "doc_id", "shingles"
-    ).write.mode("append").parquet(os.path.join(store_dir, "shingles"))
+    # --- persist accepted signatures (append-only, replay-idempotent;
+    # presence-skip semantics in _append_sig_frames) ---
+    if append:
+        _append_sig_frames(store_dir, store_bands, store_sh, accepted, ids)
 
     if own:
         track_checkpoint_ids(spark, ids)
@@ -230,6 +229,37 @@ def process_batch(
             F.coalesce("d_store", "d_batch").alias("dup_of"),
         )
     )
+
+
+def _append_sig_frames(store_dir, store_bands, store_sh, accepted, ids) -> None:
+    """Append an accepted (doc_id, shingles) frame to both store
+    tables with the per-table presence skip (bands are written first,
+    so a crash between the writes leaves a doc bands-only; each table
+    skips what IT already has — review r8)."""
+    from ..scratch import scoped_checkpoint
+
+    present_bands = store_bands.select("doc_id").distinct()
+    present_sh = store_sh.select("doc_id")
+    new_for_bands = scoped_checkpoint(accepted.join(present_bands, "doc_id", "left_anti"), ids)
+    minhash_bands(new_for_bands).write.mode("append").partitionBy("b").parquet(
+        os.path.join(store_dir, "bands")
+    )
+    accepted.join(present_sh, "doc_id", "left_anti").select(
+        "doc_id", "shingles"
+    ).write.mode("append").parquet(os.path.join(store_dir, "shingles"))
+
+
+def append_signatures(
+    spark, store_dir: str, sh, accepted_ids, scratch_ids: set[int]
+) -> None:
+    """Deferred half of ``process_batch(append=False)``: persist
+    signatures for the docs that survived EVERY downstream gate.
+    ``sh``: the (doc_id, shingles) frame the batch was signatured with;
+    ``accepted_ids``: a (doc_id) frame of the end-to-end survivors."""
+    store_bands = _store(spark, store_dir, "bands", _BANDS_SCHEMA)
+    store_sh = _store(spark, store_dir, "shingles", _SH_SCHEMA)
+    accepted = sh.join(accepted_ids, "doc_id", "left_semi")
+    _append_sig_frames(store_dir, store_bands, store_sh, accepted, scratch_ids)
 
 
 def build_signature_store(spark, docs: DataFrame, store_dir: str) -> None:

@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 
 from ..functions.planes import SEMANTIC_T
 from ..operators._dedup_core import star_connected_components
-from ..operators.ann_index import _assign, _normed, add_vectors
+from ..operators.ann_index import _assign, _normed, add_vectors, read_cells
 from ..operators.similarity import _fast_cosine
 from ..functions.vectors import as_double
 
@@ -97,7 +97,7 @@ def process_semantic_batch(
 
     # --- stage 1: against the store (touched cells only) ---
     probed_cids = sorted(r["cid"] for r in assigned.select("cid").distinct().collect())
-    cells = spark.read.parquet(f"{index_dir}/cells").where(F.col("cid").isin(probed_cids))
+    cells = read_cells(spark, index_dir).where(F.col("cid").isin(probed_cids))
     cos_s = _fast_cosine(
         as_double(F.col("n.embedding")),
         as_double(F.col("s.embedding")),
@@ -202,4 +202,28 @@ def semantic_stream_writer(spark, emb_stream: DataFrame, index_dir: str, decisio
         emb_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", os.path.join(index_dir, "_checkpoint"))
         .start()
+    )
+
+
+def build_semantic_store(spark, emb: DataFrame, index_dir: str) -> None:
+    """Seed a semantic-dedup store whose geometry IS the deterministic
+    ``vec_id % IVF_STRIDE`` centroid rule of similarity.ivf_assign —
+    the geometry the BATCH pipeline's semantic stage (corpus_curate)
+    derives pairs from, so streamed decisions over this store are
+    comparable to the batch stage (pinned on the full fixture). Cells
+    start EMPTY: unlike build_ivf_index's verbatim catalog, a dedup
+    store holds ACCEPTED content only (the band-store analog); the
+    first accepted batch creates the cells table."""
+    from ..functions.planes import IVF_STRIDE
+
+    (
+        _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+        .where(F.col("vec_id") % IVF_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            as_double(F.col("embedding")).alias("cv"),
+            F.col("ne").alias("nc"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "centroids"))
     )

@@ -160,12 +160,16 @@ def test_single_pass_over_full_fixture_matches_batch_pipeline(spark, tmp_path):
     """VERDICT r8 #1 — the streamed-vs-batch equivalence pin (the
     analog of incremental_dedup's single-batch ≡ dedup_cluster_canonical
     pin): one curate_batch pass over the WHOLE documents fixture (empty
-    store, eval store built from the same seeded eval holdout) must
-    reproduce corpus_curate's per-doc accept/reject decisions exactly —
-    any stage-order or threshold divergence between the two pipelines
-    turns this red."""
+    stores, eval store built from the same seeded eval holdout, and —
+    r9 — the SEMANTIC stage on, over a stride-geometry vector store
+    seeded from the full embeddings so cell assignment matches the
+    batch pipeline's deterministic rule) must reproduce corpus_curate's
+    per-doc accept/reject decisions exactly — any stage-order,
+    threshold, or geometry divergence between the two pipelines turns
+    this red."""
     from flink_parameter_server_spark.operators._util import t
     from flink_parameter_server_spark.operators.curate import corpus_curate, is_eval_holdout
+    from flink_parameter_server_spark.streaming.semantic_dedup import build_semantic_store
     from tests.conftest import SF_SMALL
 
     d = t(spark, SF_SMALL, "documents")
@@ -173,12 +177,17 @@ def test_single_pass_over_full_fixture_matches_batch_pipeline(spark, tmp_path):
     build_signature_store(
         spark, d.where(is_eval_holdout()).select("doc_id", "text"), eval_store
     )
+    emb = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    sem_store = str(tmp_path / "sem_store")
+    build_semantic_store(spark, emb, sem_store)
 
     store = str(tmp_path / "store")
     batch = d.where(~is_eval_holdout()).select("doc_id", "text", "n_chars")
     got = {
         r["doc_id"]: r["decision"]
-        for r in curate_batch(spark, batch, store, eval_store).collect()
+        for r in curate_batch(
+            spark, batch, store, eval_store, emb=emb, semantic_store_dir=sem_store
+        ).collect()
     }
     # 'no_shingles' (too short to signature, passes through) maps to
     # accepted; the empty store makes 'rejected:exact_dup_store'
@@ -216,3 +225,79 @@ def test_streaming_wireup_carries_state(spark, tmp_path):
     # lexicographic file order: 1 accepted, 2 exact-rejected vs the store
     assert dec == {1: "accepted", 2: "rejected:exact_dup_store"}
     assert spark.read.parquet(decisions).select("batch_id").distinct().count() == 2
+
+
+def test_semantic_stage_rejects_and_defers_store_writes(spark, tmp_path):
+    """r9 semantic stage in streaming curation: two docs with DISTINCT
+    text (near-dup passes) but near-identical embeddings -> the
+    higher-id one is 'rejected:semantic_dup' in-batch; a later batch's
+    doc matching an accepted embedding rejects against the STORE; and
+    the deferred-append invariant holds — the band/shingle/hash stores
+    contain ONLY docs that survived every gate (a semantic-rejected
+    doc's signatures never land)."""
+    import os
+
+    from flink_parameter_server_spark.streaming.semantic_dedup import (
+        build_semantic_store,
+    )
+
+    store = str(tmp_path / "store")
+    sem_store = str(tmp_path / "sem")
+    mkemb = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # vec_id 0 is the stride-rule centroid; 1 and 2 share a direction
+    # (cos ~0.995 >= SEMANTIC_T), 3 is orthogonal to them (cos 0.0)
+    emb = mkemb(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.98, 0.0, 0.0, 0.0]),
+        ]
+    )
+    build_semantic_store(spark, emb, sem_store)
+
+    third = " ".join(f"pp{i} qq{i * 7} rr{i % 13}" for i in range(30))
+    b1 = _mkdocs(spark, [(1, BODY), (2, OTHER), (3, third)])
+    d1 = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in curate_batch(
+            spark, b1, store, emb=emb, semantic_store_dir=sem_store
+        ).collect()
+    }
+    assert d1[1] == ("accepted", None)
+    assert d1[2] == ("rejected:semantic_dup", 1)
+    assert d1[3] == ("accepted", None)
+
+    # every persisted store holds end-to-end survivors only
+    sh_ids = {r["doc_id"] for r in spark.read.parquet(os.path.join(store, "shingles")).collect()}
+    h_ids = {r["doc_id"] for r in spark.read.parquet(os.path.join(store, "hashes")).collect()}
+    cell_ids = {r["vec_id"] for r in spark.read.parquet(os.path.join(sem_store, "cells")).collect()}
+    assert sh_ids == {1, 3} and h_ids == {1, 3} and cell_ids == {1, 3}
+
+    # batch 2: fresh text, embedding matches ACCEPTED doc 1 -> store reject
+    b2 = _mkdocs(spark, [(10, " ".join(f"s{i}t{i * 3}" for i in range(30)))])
+    d2 = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in curate_batch(
+            spark, b2, store, emb=emb, semantic_store_dir=sem_store
+        ).collect()
+    }
+    assert d2[10] == ("rejected:semantic_dup", 1)
+
+    # exact-dup provenance resolves THROUGH the semantic stage: a batch
+    # with identical docs whose keeper is semantic-rejected points its
+    # duplicate at the semantic canonical, not the rejected keeper
+    emb2 = mkemb([(20, [0.97, 0.01, 0.0, 0.0]), (21, [0.97, 0.01, 0.0, 0.0])])
+    dup_text = " ".join(f"uu{i} vv{i * 5} ww{i % 9}" for i in range(30))
+    b3 = _mkdocs(spark, [(20, dup_text), (21, dup_text)])
+    d3 = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in curate_batch(
+            spark, b3, store, emb=emb2, semantic_store_dir=sem_store
+        ).collect()
+    }
+    assert d3[20] == ("rejected:semantic_dup", 1)
+    assert d3[21] == ("rejected:exact_dup", 1)
