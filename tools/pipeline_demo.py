@@ -23,8 +23,10 @@ pretraining corpus takes, on the driver fixture:
                    fpsqueue topic (sources/fps_queue.py), stream it
                    back in rate-limited micro-batches, and run the same
                    curation per batch against persisted stores
-                   (streaming/incremental_curate.curate_stream_writer)
-                   — batch and streamed curation in one invocation.
+                   (streaming/incremental_curate.curate_stream_writer,
+                   incl. the r9 semantic stage against a persisted
+                   vector store) — batch and streamed curation in one
+                   invocation.
 
 Prints one human-readable summary per stage plus a final JSON line.
 
@@ -186,6 +188,14 @@ def main() -> None:
             docs.where(is_eval_holdout()).select("doc_id", "text"),
             os.path.join(work, "eval_store"),
         )
+        # r9: the streamed leg also runs the SEMANTIC stage — seed the
+        # vector store with the batch pipeline's stride geometry
+        from flink_parameter_server_spark.streaming.semantic_dedup import (
+            build_semantic_store,
+        )
+
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        build_semantic_store(spark, emb, os.path.join(work, "sem_store"))
         # produce: the incoming corpus lands as 4 arrival-ordered
         # topic messages (the batch producer half of the source)
         topic = os.path.join(work, "topic")
@@ -206,6 +216,8 @@ def main() -> None:
             os.path.join(work, "store"),
             os.path.join(work, "decisions"),
             os.path.join(work, "eval_store"),
+            emb=emb,
+            semantic_store_dir=os.path.join(work, "sem_store"),
         )
         try:
             q.processAllAvailable()
