@@ -768,16 +768,25 @@ def dedup_near_dup_pairs(spark, sf_dir):
     "dedup_cluster_canonical",
     oracle=None,  # set below: composes the registered minhash-pair oracle
     tags=("D23", "D24"),
-    doc="Near-dup clustering: connected components over the MinHash-LSH "
-    "pair graph via alternating small-star/large-star moves (Kiveris et "
-    "al.) — ~log n rounds, two shuffles per round, edge set "
-    "localCheckpoint'ed for flat lineage; canonical doc per cluster = "
-    "min doc_id, singletons map to themselves. Convergence probed every "
-    "2 rounds with one tiny count+hash aggregate (not a per-round "
-    "driver job); non-convergence within CC_MAX_ITERS RAISES instead of "
-    "returning wrong clusters. Oracle: DuckDB WITH RECURSIVE transitive "
-    "closure over the identical (seeded, replayable) pair set — min "
-    "reachable doc_id per node.",
+    doc="Near-dup clustering, discriminated by `space`. 'text': connected "
+    "components over the MinHash-LSH pair graph via alternating "
+    "small-star/large-star moves (Kiveris et al.) — ~log n rounds, two "
+    "shuffles per round, edge set localCheckpoint'ed for flat lineage; "
+    "canonical doc per cluster = min doc_id, singletons map to "
+    "themselves. Convergence probed every 2 rounds with one tiny "
+    "count+hash aggregate (not a per-round driver job); non-convergence "
+    "within CC_MAX_ITERS RAISES instead of returning wrong clusters. "
+    "'semantic' (r9): the SemDeDup KEEP RULE over the embedding space — "
+    "components of the IVF-cell semantic pair graph (the hash-pinned "
+    "method='semantic' generator), cluster = min member id, but "
+    "is_canonical marks the member LEAST similar to its cell centroid "
+    "(Abbas et al.'s diversity-preserving rule; ranked on the 6dp-"
+    "ROUNDED centroid cosine so both engines order identically, ties -> "
+    "lowest id) — the keeper a SemDeDup prune keeps, vs the min-id "
+    "canonical the text space keeps. Oracle: DuckDB WITH RECURSIVE "
+    "transitive closure over the identical (seeded, replayable) pair "
+    "sets — min reachable id per node, plus the rounded-cosine keep "
+    "rank for the semantic space.",
 )
 def dedup_cluster_canonical(spark, sf_dir):
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
@@ -790,11 +799,21 @@ def dedup_cluster_canonical(spark, sf_dir):
         .join(parents.select(F.col("a").alias("doc_id"), F.col("b").alias("root")), "doc_id", "left")
         .select("doc_id", F.coalesce("root", "doc_id").alias("cluster"))
     )
-    return labels.select(
+    text = labels.select(
+        F.lit("text").alias("space"),
         "doc_id",
         "cluster",
         (F.col("doc_id") == F.col("cluster")).cast("int").alias("is_canonical"),
     )
+    from .similarity import semdedup_prune
+
+    sem = semdedup_prune(spark, sf_dir).select(
+        F.lit("semantic").alias("space"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("keep").alias("is_canonical"),
+    )
+    return text.unionByName(sem)
 
 
 def _install_cc_oracle() -> None:
@@ -805,6 +824,9 @@ def _install_cc_oracle() -> None:
     import dataclasses
 
     from ..plans.registry import REGISTRY
+
+    from ..functions.planes import IVF_STRIDE, SEMANTIC_PAIRS_SQL
+    from ..functions.vectors import cosine_sql, norm2_sql
 
     mh = _MINHASH_SQL
     cc = f"""
@@ -819,10 +841,43 @@ reach AS (
   SELECT doc_id AS src, doc_id AS dst FROM documents
   UNION
   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+),
+sem_pairs AS ({SEMANTIC_PAIRS_SQL}),
+sedges AS (
+  SELECT vec_a AS a, vec_b AS b FROM sem_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM sem_pairs
+),
+sassign AS (
+  SELECT vec_id, round(cos_c, 6) AS cos_c FROM (
+    SELECT e.vec_id, {cosine_sql('e.embedding', 'c.cv')} AS cos_c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                WHERE vec_id % {IVF_STRIDE} = 0) c
+    WHERE {norm2_sql('e.embedding')} > 0
+  ) WHERE rn = 1
+),
+sreach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM sassign
+  UNION
+  SELECT r.src, e.b AS dst FROM sreach r JOIN sedges e ON r.dst = e.a
+),
+scc AS (SELECT src AS vec_id, min(dst) AS cluster FROM sreach GROUP BY src),
+skeep AS (
+  SELECT s.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY s.cos_c ASC, s.vec_id) AS rk
+  FROM sassign s JOIN scc c ON s.vec_id = c.vec_id
 )
-SELECT src AS doc_id, min(dst) AS cluster,
+SELECT 'text' AS space, src AS doc_id, min(dst) AS cluster,
        CAST(src = min(dst) AS INT) AS is_canonical
 FROM reach GROUP BY src
+UNION ALL
+SELECT 'semantic' AS space, vec_id AS doc_id, cluster,
+       CAST(rk = 1 AS INT) AS is_canonical
+FROM skeep
 """
     spec = REGISTRY["dedup_cluster_canonical"]
     REGISTRY["dedup_cluster_canonical"] = dataclasses.replace(spec, oracle=cc)

@@ -417,7 +417,13 @@ def semdedup_prune(spark, sf_dir):
             "vec_id", "cid", "cos_c", F.coalesce("root", "vec_id").alias("component")
         )
     )
-    w = Window.partitionBy("component").orderBy(F.col("cos_c").asc(), F.col("vec_id"))
+    # rank on the 6dp-ROUNDED centroid cosine: the keep rule is part of
+    # the dedup_cluster_canonical space='semantic' oracle contract (r9),
+    # and raw-double ordering could flip a keeper across engines on a
+    # sub-rounding-grain cosine difference; ties -> lowest vec_id
+    w = Window.partitionBy("component").orderBy(
+        F.round(F.col("cos_c"), 6).asc(), F.col("vec_id")
+    )
     return labeled.select(
         "vec_id",
         "cid",

@@ -29,7 +29,9 @@ def test_single_batch_matches_batch_cluster_canonical(spark, tmp_path):
     # process_batch's checkpoints are tracked for release since r9)
     dec = process_batch(spark, docs, store).collect()
     accepted = {r["doc_id"] for r in dec if r["decision"] in ("accepted", "no_shingles")}
-    batch = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
+    batch = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL).where(
+        "space = 'text'"  # the r9 semantic space has its own keep rule
+    )
     canonical = {r["doc_id"] for r in batch.where("is_canonical = 1").collect()}
     assert accepted == canonical
     # provenance: every in-batch reject points at its cluster canonical

@@ -35,6 +35,9 @@ BOUNDED_BNLJ = {
     # broadcast side is the stride-rule centroid table (n/IVF_STRIDE
     # rows), appearing once per side of the cell self-join
     "dedup_near_dup_pairs": (2, "stride-rule centroid table, twice via cell self-join"),
+    # the r9 semantic SPACE reuses the same assignment (scratch-persisted;
+    # the plan PRINTS its broadcast child once per cached-scan side)
+    "dedup_cluster_canonical": (2, "stride-rule centroid table via the semantic space"),
     # the tier table is a constant literal frame (value-band boundaries)
     "event_value_tiers": (1, "constant tier-boundary frame"),
     # hour-grid fill: bounded spark.range over the window span

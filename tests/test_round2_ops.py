@@ -96,7 +96,9 @@ def test_cluster_labels_consistent_across_edges(spark):
         .where(F.col("method") == "minhash_lsh")
         .select("doc_a", "doc_b")
     )
-    labels = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL)
+    labels = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_SMALL).where(
+        "space = 'text'"  # the r9 semantic space keeps least-central, not min-id
+    )
     a = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca"))
     b = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -463,3 +465,38 @@ def test_substring_span_dedup_semantics(spark):
     assert not any(4 in p for p in out)
     # every boilerplate-only pair is suppressed by the DF cap
     assert not any(a >= 100 and b >= 100 for a, b in out)
+
+
+def test_cluster_semantic_space_keep_rule(spark):
+    """r9 dedup_cluster_canonical space='semantic': exactly one keeper
+    per cluster, the keeper is its cluster's LEAST-centroid-similar
+    member on the 6dp-rounded cosine (ties -> lowest id), every
+    semantic pair's endpoints share a cluster, and the space equals
+    semdedup_prune row for row."""
+    from flink_parameter_server_spark.operators.similarity import semdedup_prune
+
+    lab = (
+        REGISTRY["dedup_cluster_canonical"]
+        .fn(spark, SF_SMALL)
+        .where("space = 'semantic'")
+    )
+    rows = lab.collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert cl == min(m["doc_id"] for m in members)
+    pairs = (
+        REGISTRY["dedup_near_dup_pairs"]
+        .fn(spark, SF_SMALL)
+        .where("method = 'semantic'")
+        .collect()
+    )
+    cl_of = {r["doc_id"]: r["cluster"] for r in rows}
+    assert pairs and all(cl_of[p["doc_a"]] == cl_of[p["doc_b"]] for p in pairs)
+    prune = {
+        (r["vec_id"], r["component"], r["keep"]) for r in semdedup_prune(spark, SF_SMALL).collect()
+    }
+    assert {(r["doc_id"], r["cluster"], r["is_canonical"]) for r in rows} == prune

@@ -86,7 +86,9 @@ def test_semdedup_prune_matches_driver_reference(spark):
         comps.setdefault(find(v), []).append(v)
     want_keep = set()
     for members in comps.values():
-        want_keep.add(min(members, key=lambda v: (cos_c[v], v)))
+        # the keep rule ranks on the 6dp-ROUNDED centroid cosine (the
+        # dedup_cluster_canonical space='semantic' oracle contract)
+        want_keep.add(min(members, key=lambda v: (round(cos_c[v], 6), v)))
 
     got = semdedup_prune(spark, SF_MED).collect()
     got_keep = {r.vec_id for r in got if r.keep == 1}
