@@ -229,8 +229,15 @@ def _bpe_state0_sql() -> str:
 
 
 def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB twin of :func:`bpe_merge_vocab`: n chained CTE stages, each
-    = pair count -> argmax (cnt desc, a, b) -> literal replace."""
+    """DuckDB twin of :func:`bpe_merge_vocab` + :func:`bpe_apply`: n
+    chained CTE stages, each = pair count -> argmax (cnt desc, a, b) ->
+    literal replace; the FINAL state w{n} is each word's segmentation
+    under the full learned merge table, so the 'bpe_encode' rows (the
+    serving half) read straight out of it. The CASE guard keeps states
+    intact when a round's pair supply is exhausted (empty b{k} scalar
+    subqueries would otherwise NULL every state via replace(state,
+    NULL, NULL)), matching the Spark side's skip of NULL-padded
+    merges."""
     ctes = [f"w0 AS MATERIALIZED ({_bpe_state0_sql()})"]
     outs = []
     for k in range(1, n_merges + 1):
@@ -246,9 +253,11 @@ p{k} AS (
 b{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
 w{k} AS MATERIALIZED (
   SELECT word, freq,
-         replace(state,
-                 ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
-                 ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS state
+         CASE WHEN (SELECT count(*) FROM b{k}) = 0 THEN state
+              ELSE replace(state,
+                           ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
+                           ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ')
+         END AS state
   FROM w{k - 1}
 )""")
         outs.append(
@@ -259,6 +268,16 @@ w{k} AS MATERIALIZED (
             f"CAST({k} AS INTEGER) AS rk, "
             f"(SELECT a || ' ' || b FROM b{k}) AS postings"
         )
+    outs.append(
+        f"SELECT 'bpe_encode' AS part, CAST(NULL AS BIGINT) AS doc_id, "
+        f"word AS tok, CAST(freq AS BIGINT) AS n1, "
+        f"CAST(len(string_split(trim(state), '  ')) AS BIGINT) AS n2, "
+        f"round(CAST(len(string_split(trim(state), '  ')) AS DOUBLE) "
+        f"/ length(word), 6) AS score, "
+        f"CAST(NULL AS INTEGER) AS rk, "
+        f"array_to_string(string_split(trim(state), '  '), ' ') AS postings "
+        f"FROM w{n_merges}"
+    )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
 
 
@@ -523,7 +542,13 @@ SELECT * FROM ({_bpe_sql()}) AS bpe_part
     "from the corpus by iterative most-frequent-pair merging (see "
     "bpe_merge_vocab for the bounded-probe loop and the double-space "
     "encoding that makes the merge a plain literal replace in both "
-    "engines). Per-part shuffle/broadcast design documented on the "
+    "engines). 'bpe_encode' (r9): the SERVING half driver-verified — "
+    "bpe_apply tokenizes the corpus vocabulary under the merge table "
+    "just trained (tok=word, n1=corpus frequency, n2=subword count, "
+    "score=subwords/chars compression ratio, postings=the "
+    "segmentation); oracle = the final chained-replace state w{n}, so "
+    "any scan-semantics drift between trainer and server is a hash "
+    "mismatch. Per-part shuffle/broadcast design documented on the "
     "underlying functions above — the shapes are the minimal "
     "(doc,term) + term shuffles with N/avgdl/df broadcast.",
 )
@@ -560,7 +585,8 @@ def text_retrieval(spark, sf_dir):
         F.lit(None).cast("int").alias("rk"),
         "postings",
     )
-    bpe = bpe_merge_vocab(spark, sf_dir).select(
+    mt = bpe_merge_vocab(spark, sf_dir)
+    bpe = mt.select(
         F.lit("bpe_merges").alias("part"),
         F.col("rank").alias("doc_id"),
         F.col("merged").alias("tok"),
@@ -570,4 +596,21 @@ def text_retrieval(spark, sf_dir):
         F.col("rank").cast("int").alias("rk"),
         F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("postings"),
     )
-    return tfidf.unionByName(bm25).unionByName(inv).unionByName(bpe)
+    # serving half: tokenize the corpus vocabulary under the merge
+    # table just trained (mt is a driver-local relation — n_merges
+    # rows, no extra job to read it back); NULL-padded exhausted ranks
+    # carry no merge, mirroring the oracle's CASE guard
+    pairs = [
+        (r["a"], r["b"]) for r in mt.collect() if r["a"] is not None
+    ]
+    enc = bpe_apply(_bpe_words(spark, sf_dir).select("word", "freq"), pairs).select(
+        F.lit("bpe_encode").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("word").alias("tok"),
+        F.col("freq").alias("n1"),
+        F.col("n_subwords").cast("long").alias("n2"),
+        F.round(F.col("n_subwords") / F.length("word"), 6).alias("score"),
+        F.lit(None).cast("int").alias("rk"),
+        F.array_join("subwords", " ").alias("postings"),
+    )
+    return tfidf.unionByName(bm25).unionByName(inv).unionByName(bpe).unionByName(enc)

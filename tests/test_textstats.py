@@ -574,3 +574,36 @@ def test_dsir_selected_part_semantics(spark):
     order = sorted(w, key=lambda d: (-w[d], d))
     assert sel == set(order[: len(w) // DSIR_KEEP_DIV])
     assert rest == set(order[len(w) // DSIR_KEEP_DIV:])
+
+
+def test_bpe_encode_part_cross_engine_on_exhausted_ranks(spark, duck, tmp_path):
+    """r9: the 'bpe_encode' part (bpe_apply driver-verified) must match
+    the oracle's final chained-replace state even when the pair supply
+    exhausts before BPE_MERGES ranks — the oracle's CASE guard keeps
+    merged states intact where empty argmax subqueries would otherwise
+    NULL them via replace(state, NULL, NULL), and the Spark side skips
+    the NULL-padded merges. Corpus 'ab ab ab': one real merge, nine
+    exhausted ranks; 'ab' must encode as the single merged symbol in
+    BOTH engines."""
+    from flink_parameter_server_spark.operators.retrieval import _bpe_sql
+    from flink_parameter_server_spark.plans import REGISTRY
+
+    out = _mk_text_corpus(spark, tmp_path, "ab ab ab")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{out}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT tok, n1, n2, postings FROM ({_bpe_sql()}) WHERE part = 'bpe_encode'"
+        ).fetchall()
+    }
+    got = {
+        (r["tok"], r["n1"], r["n2"], r["postings"])
+        for r in REGISTRY["text_retrieval"]
+        .fn(spark, out)
+        .where("part = 'bpe_encode'")
+        .collect()
+    }
+    assert got == want, (got, want)
+    assert ("ab", 3, 1, "ab") in got
