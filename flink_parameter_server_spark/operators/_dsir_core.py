@@ -48,7 +48,8 @@ flam AS (
   FROM fraw LEFT JOIN ftgt ON fraw.b = ftgt.b CROSS JOIN ftot
 ),
 fmic AS (
-  SELECT doc_id, CAST(sum(n * lmic) AS BIGINT) AS smic
+  SELECT doc_id, CAST(sum(n * lmic) AS BIGINT) AS smic,
+         CAST(sum(n) AS BIGINT) AS ntok
   FROM fcnt JOIN flam ON fcnt.b = flam.b GROUP BY doc_id
 )"""
 
@@ -91,5 +92,8 @@ def dsir_micro(d):
     return (
         fcnt.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("lmic")).cast("long").alias("smic"))
+        .agg(
+            F.sum(F.col("n") * F.col("lmic")).cast("long").alias("smic"),
+            F.sum("n").cast("long").alias("ntok"),
+        )
     )

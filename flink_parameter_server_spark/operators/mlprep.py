@@ -108,6 +108,84 @@ SELECT 'dsir_selected' AS part, d.doc_id, d.lang, d.source,
             ELSE 'rest' END AS split
 FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
 """
+    domain = f"""
+WITH {DSIR_SQL_CTES},
+dw AS (
+  SELECT d.doc_id, d.lang, d.source,
+         coalesce(f.ntok, 0) AS nt, coalesce(f.smic, 0) AS sm
+  FROM documents d LEFT JOIN fmic f ON d.doc_id = f.doc_id
+),
+dom0 AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS t_s, CAST(sum(sm) AS BIGINT) AS m_s
+  FROM dw GROUP BY source
+),
+dom1 AS (SELECT source, t_s, m_s, sum(t_s) OVER () AS t_tot FROM dom0),
+dom2 AS (
+  SELECT source, t_s, t_tot,
+         CASE WHEN t_s = 0 OR t_tot = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(CAST(round(
+                     (CAST(t_s AS DOUBLE) / CAST(t_tot AS DOUBLE))
+                     * exp((CAST(m_s AS DOUBLE) / 1000000.0) / CAST(t_s AS DOUBLE)),
+                   6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS rawmic
+  FROM dom1
+),
+dom3 AS (SELECT source, t_s, t_tot, rawmic, sum(rawmic) OVER () AS s_tot FROM dom2),
+domr AS (
+  SELECT source,
+         CASE WHEN t_s = 0 OR s_tot = 0 THEN 0.0
+              ELSE (CAST(rawmic AS DOUBLE) * CAST(t_tot AS DOUBLE))
+                   / (CAST(s_tot AS DOUBLE) * CAST(t_s AS DOUBLE)) END AS r
+  FROM dom3
+),
+domc AS (
+  SELECT dw.doc_id, dw.lang, dw.source,
+         least(CAST(floor(r) AS BIGINT)
+               + CASE WHEN {int_hash_sql('dw.doc_id', 5, SPLIT_SEED)}
+                           < CAST(floor((r - floor(r)) * {MOD}) AS BIGINT)
+                      THEN 1 ELSE 0 END,
+               {MIX_MAX_COPIES}) AS copies
+  FROM dw JOIN domr ON dw.source IS NOT DISTINCT FROM domr.source
+)
+SELECT 'domain_reweight' AS part, doc_id, lang, source,
+       'mix' || CAST(ci AS VARCHAR) AS split
+FROM domc, unnest(generate_series(1, CAST(copies AS BIGINT))) AS u(ci)
+WHERE copies >= 1
+UNION ALL
+SELECT 'domain_reweight' AS part, doc_id, lang, source, 'dropped' AS split
+FROM domc WHERE copies = 0
+"""
+    from ..functions.planes import IVF_STRIDE
+    from ..functions.vectors import cosine_sql
+
+    cluster = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cells AS (SELECT cid, count(*) AS n_c FROM assign GROUP BY cid),
+caps AS (
+  SELECT cid,
+         (sum(n_c) OVER () + count(*) OVER () - 1) // count(*) OVER () AS cap
+  FROM cells
+),
+crk AS (
+  SELECT a.vec_id, a.cid,
+         row_number() OVER (PARTITION BY a.cid
+                            ORDER BY {int_hash_sql('a.vec_id', 6, SPLIT_SEED)}, a.vec_id) AS rk
+  FROM assign a
+)
+SELECT 'cluster_balance' AS part, d.doc_id, d.lang, d.source,
+       CASE WHEN r.vec_id IS NULL THEN 'unembedded'
+            WHEN r.rk <= c.cap THEN 'kept' ELSE 'capped' END AS split
+FROM documents d
+LEFT JOIN crk r ON d.doc_id = r.vec_id
+LEFT JOIN caps c ON r.cid = c.cid
+"""
     return f"""
 SELECT * FROM ({plain}) AS plain_part
 UNION ALL
@@ -119,6 +197,10 @@ UNION ALL
 SELECT * FROM ({mixture}) AS mixture_part
 UNION ALL
 SELECT * FROM ({dsir_sel}) AS dsir_part
+UNION ALL
+SELECT * FROM ({domain}) AS domain_part
+UNION ALL
+SELECT * FROM ({cluster}) AS cluster_part
 """
 
 
@@ -159,9 +241,21 @@ SELECT * FROM ({dsir_sel}) AS dsir_part
     "ties by doc_id; docs with no tokens -> 'unweighted'. Deterministic "
     "zero-temperature variant of Xie et al.'s Gumbel resampling "
     "(divergence documented); at 100 TB the global rank window becomes "
-    "an approx-quantile threshold cut.",
+    "an approx-quantile threshold cut. 'domain_reweight' (r9): one-shot "
+    "importance-weighted DOMAIN mixture (the DoReMi shape with the "
+    "shared DSIR weight as the excess-loss proxy) — per-source resample "
+    "rate = target/natural token share with target ∝ share × exp(mean "
+    "importance), rates on the exact 6dp integer grid, per-doc copies "
+    "by the mixture grid trick, zero-copy docs surfaced as 'dropped'. "
+    "'cluster_balance' (r9): semantic-cell balancing caps (MetaCLIP "
+    "shape) over the SemDeDup/IVF deterministic cell assignment — "
+    "cap = ceil(n/k), within-cell seeded-hash rank, 'kept'/'capped'/"
+    "'unembedded'. Both per-doc surfaces share the one scratch-persisted "
+    "DSIR build with 'dsir_selected'.",
 )
 def train_test_split(spark, sf_dir):
+    from ..scratch import tracked_checkpoint
+    from ._dsir_core import dsir_micro
     from .curate import corpus_curate
 
     d = t(spark, sf_dir, "documents")
@@ -182,11 +276,20 @@ def train_test_split(spark, sf_dir):
     curated = corpus_curate(spark, sf_dir).select(
         F.lit("curated").alias("part"), "doc_id", "lang", "source", "split"
     )
+    # one DSIR weight build shared by the 'dsir_selected' and
+    # 'domain_reweight' parts — tracked localCheckpoint (not plain
+    # persist): two consumers would otherwise re-expand the pipeline's
+    # bounded 1-row-totals BNLJs once per branch in the plan, and the
+    # checkpoint pins the per-doc weight table exactly once (released
+    # at the next registry entry, the bpe_merge_vocab discipline)
+    w = tracked_checkpoint(dsir_micro(d.select("doc_id", "lang", "text")))
     return (
         plain.unionByName(curated)
         .unionByName(_packed_part(d))
         .unionByName(_mixture_part(d))
-        .unionByName(_dsir_selected_part(d))
+        .unionByName(_dsir_selected_part(d, w))
+        .unionByName(_domain_reweight_part(d, w))
+        .unionByName(_cluster_balance_part(spark, sf_dir, d))
     )
 
 
@@ -280,7 +383,7 @@ def _mixture_part(d):
     )
 
 
-def _dsir_selected_part(d):
+def _dsir_selected_part(d, w):
     """Spark twin of the 'dsir_selected' oracle half: DSIR data
     SELECTION over the shared importance-weight pipeline
     (textstats.dsir_micro) — keep the top 1/DSIR_KEEP_DIV of weighted
@@ -294,9 +397,6 @@ def _dsir_selected_part(d):
     At 100 TB the global rank window becomes a quantile threshold
     (approx_percentile on smic) instead of a single-partition sort;
     the cut semantics are unchanged."""
-    from ._dsir_core import dsir_micro
-
-    w = dsir_micro(d.select("doc_id", "lang", "text"))
     ranked = w.select(
         "doc_id",
         F.row_number()
@@ -322,6 +422,163 @@ def _dsir_selected_part(d):
             "lang",
             "source",
             F.coalesce("sel", F.lit("unweighted")).alias("split"),
+        )
+    )
+
+
+def _domain_reweight_part(d, w):
+    """Spark twin of the 'domain_reweight' oracle half: one-shot
+    importance-weighted DOMAIN mixture — the DoReMi shape (Xie et al.
+    2023, arXiv:2305.10429) with the shared DSIR importance weight as
+    the excess-loss proxy instead of a trained proxy model (documented
+    divergence: DoReMi iterates exponentiated-gradient updates against
+    a proxy LM; this is the deterministic single-step analog the same
+    way dsir_selected is zero-temperature Gumbel).
+
+    Per source s: target share ∝ natural token share × exp(mean
+    importance nats/token); resample rate r_s = target/natural share.
+    Cross-engine float discipline: each domain's raw weight is computed
+    with a FIXED op order from exact integer sums and rounded onto the
+    6dp integer grid (the flam pattern in _dsir_core) BEFORE the
+    cross-domain normalization sum, so the sum is exact-integer and
+    r_s derives from integer ratios in a fixed order. Per-doc copy
+    resolution = the 'mixture' grid trick (seeded hash vs fractional
+    part on the {MOD} grid), capped at MIX_MAX_COPIES; rate-0 docs
+    surface as 'dropped' (unlike 'mixture', which drops them — a
+    selection surface should show its rejections).
+
+    Scale: dom* are |sources|-row aggregates (window sums over the
+    tiny table, no extra BNLJ); the rate table broadcasts back onto
+    documents; the explode is map-only. One (doc,b) DSIR shuffle is
+    shared with 'dsir_selected' via the scratch-persisted weight
+    build."""
+    dw = (
+        d.select("doc_id", "lang", "source")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("ntok", F.lit(0)).alias("nt"),
+            F.coalesce("smic", F.lit(0)).alias("sm"),
+        )
+    )
+    dom0 = dw.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("t_s"), F.sum("sm").cast("long").alias("m_s")
+    )
+    wall = Window.partitionBy()
+    dom1 = dom0.select("source", "t_s", "m_s", F.sum("t_s").over(wall).alias("t_tot"))
+    raw = (
+        F.col("t_s").cast("double") / F.col("t_tot").cast("double")
+    ) * F.exp(
+        (F.col("m_s").cast("double") / F.lit(1000000.0)) / F.col("t_s").cast("double")
+    )
+    rawmic = (
+        F.when((F.col("t_s") == 0) | (F.col("t_tot") == 0), F.lit(0).cast("long"))
+        .otherwise((F.round(raw, 6).cast("decimal(18,6)") * 1000000).cast("long"))
+    )
+    dom2 = dom1.select("source", "t_s", "t_tot", rawmic.alias("rawmic"))
+    dom3 = dom2.select(
+        "source", "t_s", "t_tot", "rawmic", F.sum("rawmic").over(wall).alias("s_tot")
+    )
+    rate = F.when((F.col("t_s") == 0) | (F.col("s_tot") == 0), F.lit(0.0)).otherwise(
+        (F.col("rawmic").cast("double") * F.col("t_tot").cast("double"))
+        / (F.col("s_tot").cast("double") * F.col("t_s").cast("double"))
+    )
+    domr = dom3.select(F.col("source").alias("g_source"), rate.alias("r"))
+    frac_grid = F.floor((F.col("r") - F.floor(F.col("r"))) * F.lit(MOD)).cast("long")
+    copies = F.least(
+        F.floor("r").cast("long")
+        + F.when(
+            int_hash(F.col("doc_id"), 5, SPLIT_SEED) < frac_grid, F.lit(1)
+        ).otherwise(F.lit(0)),
+        F.lit(MIX_MAX_COPIES).cast("long"),
+    )
+    domc = dw.join(
+        F.broadcast(domr), dw["source"].eqNullSafe(domr["g_source"]), "inner"
+    ).select("doc_id", "lang", "source", copies.alias("copies"))
+    kept = (
+        domc.where(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))).alias("ci"),
+        )
+        .select(
+            F.lit("domain_reweight").alias("part"),
+            "doc_id",
+            "lang",
+            "source",
+            F.concat(F.lit("mix"), F.col("ci").cast("string")).alias("split"),
+        )
+    )
+    dropped = domc.where(F.col("copies") == 0).select(
+        F.lit("domain_reweight").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit("dropped").alias("split"),
+    )
+    return kept.unionByName(dropped)
+
+
+def _cluster_balance_part(spark, sf_dir, d):
+    """Spark twin of the 'cluster_balance' oracle half: semantic-cell
+    balancing caps (the MetaCLIP/DataComp curation shape — the cap is
+    per-CLUSTER, so over-represented semantic neighborhoods are
+    truncated instead of letting head content dominate the mixture).
+
+    Cells = the deterministic IVF coarse assignment shared with
+    SemDeDup and the ANN path (similarity.ivf_assign: stride centroids,
+    max-cosine cell — subset-independent, so the oracle replays it
+    exactly; at real scale centroids come from sampled k-means with the
+    identical join shape). cap = ceil(n_vectors / n_cells) via integer
+    `div` (engine-identical); within each cell docs rank by seeded hash
+    (deterministic pseudo-random), rank <= cap -> 'kept', else
+    'capped'; docs without a vector -> 'unembedded'.
+
+    Scale: the centroid table is the whitelisted bounded broadcast; the
+    rank window partitions by cell (~IVF_STRIDE rows avg); caps is a
+    |cells|-row broadcast equi-join; everything else is the documents
+    scan."""
+    from ..scratch import tracked_checkpoint
+    from .similarity import embeddings_normed, ivf_assign
+
+    # tracked checkpoint: assign feeds BOTH the cell-size aggregate
+    # (caps) and the within-cell rank — without it the cosine
+    # assignment runs twice (two full passes at 100 TB) and each
+    # branch re-prints the bounded centroid-broadcast BNLJ
+    assign = tracked_checkpoint(
+        ivf_assign(embeddings_normed(spark, sf_dir)).select("vec_id", "cid")
+    )
+    cells = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
+    wall = Window.partitionBy()
+    caps = cells.select(
+        "cid",
+        F.sum("n_c").over(wall).alias("n_tot"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    ).select("cid", F.expr("(n_tot + k - 1) div k").alias("cap"))
+    rkw = Window.partitionBy("cid").orderBy(
+        int_hash(F.col("vec_id"), 6, SPLIT_SEED), "vec_id"
+    )
+    ranked = (
+        assign.withColumn("rk", F.row_number().over(rkw))
+        .join(F.broadcast(caps), "cid")
+        .select(F.col("vec_id").alias("doc_id"), "rk", "cap")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(ranked, "doc_id", "left")
+        .select(
+            F.lit("cluster_balance").alias("part"),
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("rk").isNull(), F.lit("unembedded"))
+            .when(F.col("rk") <= F.col("cap"), F.lit("kept"))
+            .otherwise(F.lit("capped"))
+            .alias("split"),
         )
     )
 

@@ -52,12 +52,14 @@ BOUNDED_BNLJ = {
     # BM25/TF-IDF broadcast the 1-row (N, avgdl) corpus statistics
     "text_retrieval": (2, "1-row corpus-statistic aggs"),
     # the mixture part attaches the 1-row (n_tot, s_tot) totals agg to
-    # the |langs|-row histogram before broadcasting it to documents;
-    # the r9 dsir_selected part adds the DSIR 1-row (rr, tt) totals
-    # cross + its broadcast onto the B-row bucket counts (the
-    # text_profile shape); the r9 semantic curation stage adds the
-    # bounded stride-rule centroid broadcast of the IVF cell assignment
-    "train_test_split": (4, "lang/DSIR 1-row totals + stride centroid table"),
+    # the |langs|-row histogram before broadcasting it to documents.
+    # The DSIR weight build (1-row totals crosses, the text_profile
+    # shape) and the IVF centroid assignments (semantic curation stage
+    # + r9 cluster_balance) sit behind tracked localCheckpoints since
+    # late r9 — shared by two consumer parts each, they materialize
+    # ONCE and their bounded BNLJs no longer print in the entry plan
+    # (the same shapes stay swept via text_profile / dedup_* above)
+    "train_test_split": (1, "lang 1-row totals; DSIR + centroid builds checkpointed"),
     # the bigram-LM smoothing denominator attaches the 1-row vocab-size
     # aggregate to the unigram context counts; the r9 DSIR λ table
     # attaches the 1-row (rr, tt) totals (itself a 1-row x 1-row cross)

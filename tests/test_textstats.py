@@ -607,3 +607,139 @@ def test_bpe_encode_part_cross_engine_on_exhausted_ranks(spark, duck, tmp_path):
     }
     assert got == want, (got, want)
     assert ("ab", 3, 1, "ab") in got
+
+
+def _mk_mix_corpus(spark, tmp_path, docs, embs=None):
+    """A minimal sf-dir with custom documents (and optionally custom
+    embeddings) rows; other tables copied from the fixture."""
+    import glob
+    import os
+    import shutil
+
+    from flink_parameter_server_spark.sources import TABLES
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "mix_corpus")
+    os.makedirs(out)
+    custom = {"documents"} | ({"embeddings"} if embs is not None else set())
+    for tab in TABLES:
+        if tab not in custom:
+            shutil.copy(f"{SF_SMALL}/{tab}.parquet", f"{out}/{tab}.parquet")
+
+    def _write_one(df, tab):
+        df.coalesce(1).write.parquet(f"{out}/_tmp_{tab}")
+        [part] = glob.glob(f"{out}/_tmp_{tab}/part-*.parquet")
+        shutil.move(part, f"{out}/{tab}.parquet")
+        shutil.rmtree(f"{out}/_tmp_{tab}")
+
+    _write_one(
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars int"
+        ),
+        "documents",
+    )
+    if embs is not None:
+        _write_one(
+            spark.createDataFrame(
+                embs, "vec_id long, embedding array<float>, label int"
+            ),
+            "embeddings",
+        )
+    return out
+
+
+def test_domain_reweight_direction_and_branches(spark, tmp_path):
+    """r9 domain_reweight (train_test_split part): a source whose docs
+    resemble the DSIR target (lang='en' slice) must be upsampled
+    relative to a source that doesn't — no target-like doc is dropped,
+    at least one off-target doc is, and the kept-copy mass orders by
+    mean importance. Exercises the 'dropped' branch the driver fixture
+    never reaches (its sources are homogeneous; rates all ~1)."""
+    from flink_parameter_server_spark.plans import REGISTRY
+
+    docs = []
+    for i in range(20):  # target-like: en, tokens concentrate target buckets
+        docs.append((i, "alpha alpha alpha alpha", "en", "good", 23))
+    for i in range(20, 40):  # off-target: different lang AND tokens
+        docs.append((i, "zulu zulu zulu zulu", "de", "bad", 19))
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    part = (
+        REGISTRY["train_test_split"]
+        .fn(spark, out)
+        .where("part = 'domain_reweight'")
+        .collect()
+    )
+    by_doc = {}
+    for r in part:
+        by_doc.setdefault(r["doc_id"], []).append(r["split"])
+    assert set(by_doc) == set(range(40))  # every doc surfaces
+    good_copies = sum(
+        len([s for s in by_doc[i] if s != "dropped"]) for i in range(20)
+    )
+    bad_copies = sum(
+        len([s for s in by_doc[i] if s != "dropped"]) for i in range(20, 40)
+    )
+    # direction: target-like source keeps at least one copy per doc and
+    # strictly more copy mass than the off-target source
+    assert all(by_doc[i] != ["dropped"] for i in range(20))
+    assert any(by_doc[i] == ["dropped"] for i in range(20, 40))
+    assert good_copies >= 20 > bad_copies
+
+
+def test_cluster_balance_caps_and_unembedded(spark, tmp_path):
+    """r9 cluster_balance (train_test_split part): per-cell kept counts
+    equal min(cell size, cap) with cap = ceil(n/k) over NON-EMPTY
+    cells, capped surplus is exact, and docs without a vector surface
+    as 'unembedded' — verified against a driver-side cell assignment
+    over the same stride-centroid geometry."""
+    import numpy as np
+
+    from flink_parameter_server_spark.functions.planes import IVF_STRIDE
+    from flink_parameter_server_spark.plans import REGISTRY
+
+    rng = np.random.RandomState(7)
+    n_vec = 2 * IVF_STRIDE + 2  # centroids: 0, 64, 128
+    base = {0: [1, 0, 0, 0], 64: [0, 1, 0, 0], 128: [0, 0, 1, 0]}
+    embs, vecs = [], {}
+    for vid in range(n_vec):
+        if vid in base:
+            v = np.array(base[vid], dtype="float64")
+        else:
+            # skew: most vectors hug centroid 0's direction
+            anchor = base[0] if vid % 10 < 8 else (base[64] if vid % 2 else base[128])
+            v = np.array(anchor, dtype="float64") + 0.05 * rng.randn(4)
+        vecs[vid] = v
+        embs.append((vid, [float(x) for x in v], 0))
+    docs = [
+        (i, "word word", "en", "web", 9) for i in range(n_vec + 10)
+    ]  # last 10 docs have no vector
+    out = _mk_mix_corpus(spark, tmp_path, docs, embs=embs)
+    part = (
+        REGISTRY["train_test_split"]
+        .fn(spark, out)
+        .where("part = 'cluster_balance'")
+        .collect()
+    )
+    got = {r["doc_id"]: r["split"] for r in part}
+    assert len(got) == n_vec + 10
+    assert {d for d, s in got.items() if s == "unembedded"} == set(
+        range(n_vec, n_vec + 10)
+    )
+    # driver-side reference: max-cosine cell (tie -> lowest cid)
+    cents = {cid: vecs[cid] / np.linalg.norm(vecs[cid]) for cid in base}
+    cell_of = {}
+    for vid, v in vecs.items():
+        vn = v / np.linalg.norm(v)
+        best = max(sorted(cents), key=lambda c: (round(float(vn @ cents[c]), 12), -c))
+        cell_of[vid] = best
+    sizes = {}
+    for vid, c in cell_of.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    k = len(sizes)
+    cap = (n_vec + k - 1) // k
+    kept = {d for d, s in got.items() if s == "kept"}
+    capped = {d for d, s in got.items() if s == "capped"}
+    for c, n_c in sizes.items():
+        members = {v for v, cc in cell_of.items() if cc == c}
+        assert len(members & kept) == min(n_c, cap), (c, n_c, cap)
+        assert len(members & capped) == max(0, n_c - cap), (c, n_c, cap)
