@@ -80,7 +80,7 @@ def is_eval_holdout():
     return int_hash(F.col("doc_id"), CURATE_EVAL_J, CURATE_SEED) % CURATE_EVAL_MOD == 0
 
 
-def corpus_curate(spark, sf_dir):
+def corpus_curate(spark, sf_dir, sem_assign=None):
     d = t(spark, sf_dir, "documents")
     full = d.select(
         "doc_id",
@@ -189,7 +189,7 @@ def corpus_curate(spark, sf_dir):
 
     ids3 = surv3.select("doc_id")
     sem_edges = (
-        embedding_semantic_pairs(spark, sf_dir)
+        embedding_semantic_pairs(spark, sf_dir, assign=sem_assign)
         .join(ids3.withColumnRenamed("doc_id", "vec_a"), "vec_a", "left_semi")
         .join(ids3.withColumnRenamed("doc_id", "vec_b"), "vec_b", "left_semi")
         .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))

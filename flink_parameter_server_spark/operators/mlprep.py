@@ -273,15 +273,21 @@ def train_test_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
-    curated = corpus_curate(spark, sf_dir).select(
+    # ONE IVF cell assignment feeds both the curated part's semantic
+    # dedup stage and the cluster_balance caps, and ONE DSIR weight
+    # build feeds dsir_selected + domain_reweight — tracked
+    # localCheckpoints (released at the next registry entry): each
+    # build materializes exactly once (lazy scratch-persist measured
+    # EQUAL wall here — parallel union branches race the unpersisted
+    # cache and duplicate the compute — while re-expanding the
+    # builds' bounded 1-row/centroid BNLJs once per consumer branch
+    # in the printed plan)
+    from .similarity import embeddings_normed, ivf_assign
+
+    assign = tracked_checkpoint(ivf_assign(embeddings_normed(spark, sf_dir)))
+    curated = corpus_curate(spark, sf_dir, sem_assign=assign).select(
         F.lit("curated").alias("part"), "doc_id", "lang", "source", "split"
     )
-    # one DSIR weight build shared by the 'dsir_selected' and
-    # 'domain_reweight' parts — tracked localCheckpoint (not plain
-    # persist): two consumers would otherwise re-expand the pipeline's
-    # bounded 1-row-totals BNLJs once per branch in the plan, and the
-    # checkpoint pins the per-doc weight table exactly once (released
-    # at the next registry entry, the bpe_merge_vocab discipline)
     w = tracked_checkpoint(dsir_micro(d.select("doc_id", "lang", "text")))
     return (
         plain.unionByName(curated)
@@ -289,7 +295,7 @@ def train_test_split(spark, sf_dir):
         .unionByName(_mixture_part(d))
         .unionByName(_dsir_selected_part(d, w))
         .unionByName(_domain_reweight_part(d, w))
-        .unionByName(_cluster_balance_part(spark, sf_dir, d))
+        .unionByName(_cluster_balance_part(assign, d))
     )
 
 
@@ -523,7 +529,7 @@ def _domain_reweight_part(d, w):
     return kept.unionByName(dropped)
 
 
-def _cluster_balance_part(spark, sf_dir, d):
+def _cluster_balance_part(assign_full, d):
     """Spark twin of the 'cluster_balance' oracle half: semantic-cell
     balancing caps (the MetaCLIP/DataComp curation shape — the cap is
     per-CLUSTER, so over-represented semantic neighborhoods are
@@ -542,16 +548,12 @@ def _cluster_balance_part(spark, sf_dir, d):
     rank window partitions by cell (~IVF_STRIDE rows avg); caps is a
     |cells|-row broadcast equi-join; everything else is the documents
     scan."""
-    from ..scratch import tracked_checkpoint
-    from .similarity import embeddings_normed, ivf_assign
-
-    # tracked checkpoint: assign feeds BOTH the cell-size aggregate
-    # (caps) and the within-cell rank — without it the cosine
-    # assignment runs twice (two full passes at 100 TB) and each
-    # branch re-prints the bounded centroid-broadcast BNLJ
-    assign = tracked_checkpoint(
-        ivf_assign(embeddings_normed(spark, sf_dir)).select("vec_id", "cid")
-    )
+    # ``assign_full``: the entry's ONE tracked-checkpoint IVF
+    # assignment (also feeding the curated semantic stage) — it pins
+    # the cosine pass once, and the checkpoint lets both this part's
+    # consumers (cell-size aggregate and within-cell rank) read it
+    # without re-expanding the centroid-broadcast plan
+    assign = assign_full.select("vec_id", "cid")
     cells = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
     wall = Window.partitionBy()
     caps = cells.select(

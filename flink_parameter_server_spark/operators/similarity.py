@@ -363,7 +363,7 @@ def _semantic_pairs(assign):
     )
 
 
-def embedding_semantic_pairs(spark, sf_dir):
+def embedding_semantic_pairs(spark, sf_dir, assign=None):
     """SemDeDup candidate pairs: same IVF cell AND cosine >= SEMANTIC_T.
 
     Differs from :func:`embedding_near_dup_pairs` in how candidates are
@@ -375,9 +375,17 @@ def embedding_semantic_pairs(spark, sf_dir):
     broadcast + one cell equi-join — at 100 TB the per-cell pair count
     stays ~|cell|^2/2 with |cell| ~ IVF_STRIDE, i.e. linear in corpus
     size. The assignment is scratch-persisted so the self-join's two
-    sides share one computation (released at the next registry entry)."""
+    sides share one computation (released at the next registry entry).
+
+    ``assign``: an already-pinned ivf_assign frame to reuse instead of
+    building one — late-r9: train_test_split computes the assignment
+    ONCE (tracked checkpoint) and feeds both the curated semantic
+    stage here and the cluster_balance caps, instead of paying the
+    broadcast-cosine pass twice inside one entry."""
     from ..scratch import scratch
 
+    if assign is not None:
+        return _semantic_pairs(assign)
     emb = embeddings_normed(spark, sf_dir)
     return _semantic_pairs(scratch(ivf_assign(emb)))
 
