@@ -8,7 +8,11 @@ pretraining corpus takes, on the driver fixture:
                    (operators/curate.py, the oracle-checked pipeline)
   2. pack        — token-budget training packs over the curated TRAIN
                    docs (mlprep's packed mechanics)
-  3. mix         — sqrt-scaled language upsampling plan (mixture)
+  3. mix         — sqrt-scaled language upsampling plan (mixture),
+                   plus the late-r9 mixture-planning surfaces: the
+                   DSIR-derived domain reweighting plan
+                   (domain_reweight) and the semantic-cell balancing
+                   caps (cluster_balance)
   4. tokenize    — train a BPE merge vocabulary on the curated corpus,
                    then tokenize under the LEARNED merges (retrieval.py
                    bpe_merge_vocab + bpe_apply)
@@ -92,6 +96,29 @@ def main() -> None:
     out["packed_pack_count"] = packs
     out["mixture_copies"] = mix
     print(f"# pack: {packs} token-budget packs; mix: {mix}")
+
+    # 3b. mixture planning (late r9): importance-weighted DOMAIN
+    # mixture (DoReMi shape over the shared DSIR weights) and
+    # semantic-cell balancing caps (MetaCLIP shape) — the two
+    # whole-corpus sampling plans a mixture designer reads before
+    # committing token budgets
+    dom = {
+        r["split"]: r["n"]
+        for r in split_parts.where("part = 'domain_reweight'")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    clus = {
+        r["split"]: r["n"]
+        for r in split_parts.where("part = 'cluster_balance'")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out["domain_reweight"] = dom
+    out["cluster_balance"] = clus
+    print(f"# plan: domain_reweight {dom}; cluster_balance {clus}")
 
     # 4. tokenize: train merges on the corpus, apply to the train docs
     merges_df = bpe_merge_vocab(spark, sf)
