@@ -432,6 +432,35 @@ def _dsir_selected_part(d, w):
     )
 
 
+def dsir_select_threshold(w, keep_div: int = DSIR_KEEP_DIV, accuracy: int = 100000):
+    """The 100 TB form of the 'dsir_selected' cut — the swap point the
+    entry docstring documents, made executable: instead of a global
+    rank window (single-partition sort at corpus scale), compute the
+    (1 - 1/keep_div) quantile of the integer micro-nat weight with
+    ``approx_percentile`` (one pass, mergeable sketch, rank error
+    <= n/accuracy) and keep docs at or above the threshold.
+
+    Semantics vs the exact cut (pinned in tests): the exact rank cut
+    splits boundary TIES by doc_id to land exactly floor(n/keep_div)
+    docs; a threshold cannot split a tie, so this form keeps ALL docs
+    whose weight equals the boundary value — strictly-above docs are
+    selected by both forms, strictly-below by neither, and the
+    difference is confined to the boundary tie group plus the sketch's
+    rank error. ``w``: the (doc_id, smic, ntok) weight frame from
+    dsir_micro. Returns (doc_id, smic, sel)."""
+    frac = 1.0 - 1.0 / keep_div
+    thr = w.agg(
+        F.expr(f"approx_percentile(smic, {frac}, {accuracy})").alias("thr")
+    )
+    return w.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "smic",
+        F.when(F.col("smic") >= F.col("thr"), F.lit("selected"))
+        .otherwise(F.lit("rest"))
+        .alias("sel"),
+    )
+
+
 def _domain_reweight_part(d, w):
     """Spark twin of the 'domain_reweight' oracle half: one-shot
     importance-weighted DOMAIN mixture — the DoReMi shape (Xie et al.

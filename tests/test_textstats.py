@@ -743,3 +743,40 @@ def test_cluster_balance_caps_and_unembedded(spark, tmp_path):
         members = {v for v, cc in cell_of.items() if cc == c}
         assert len(members & kept) == min(n_c, cap), (c, n_c, cap)
         assert len(members & capped) == max(0, n_c - cap), (c, n_c, cap)
+
+
+def test_dsir_threshold_cut_matches_exact_up_to_boundary_ties(spark):
+    """r9: dsir_select_threshold (the approx-quantile 100 TB form of
+    the dsir_selected cut) must agree with the exact rank cut
+    everywhere except the boundary tie group: strictly-above-threshold
+    docs selected by both, strictly-below by neither, and every
+    approx-selected doc is >= the exact cut's boundary weight."""
+    from flink_parameter_server_spark.operators._dsir_core import dsir_micro
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.mlprep import (
+        DSIR_KEEP_DIV,
+        dsir_select_threshold,
+    )
+    from tests.conftest import SF_SMALL
+
+    w_df = dsir_micro(
+        t(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+    )
+    w = {r["doc_id"]: r["smic"] for r in w_df.collect()}
+    k = len(w) // DSIR_KEEP_DIV
+    order = sorted(w, key=lambda d_: (-w[d_], d_))
+    exact = set(order[:k])
+    boundary = w[order[k - 1]]  # the exact cut's k-th largest weight
+    approx = {
+        r["doc_id"]
+        for r in dsir_select_threshold(w_df).collect()
+        if r["sel"] == "selected"
+    }
+    strictly_above = {d_ for d_ in w if w[d_] > boundary}
+    strictly_below = {d_ for d_ in w if w[d_] < boundary}
+    assert strictly_above <= approx and strictly_above <= exact
+    assert not (strictly_below & approx) and not (strictly_below & exact)
+    # fixture scale < sketch accuracy -> the percentile is exact, so
+    # the two cuts differ ONLY inside the boundary tie group
+    assert approx ^ exact <= {d_ for d_ in w if w[d_] == boundary}
+    assert len(approx) >= k > 0
