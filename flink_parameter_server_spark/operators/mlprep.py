@@ -251,7 +251,13 @@ SELECT * FROM ({cluster}) AS cluster_part
     "shape) over the SemDeDup/IVF deterministic cell assignment — "
     "cap = ceil(n/k), within-cell seeded-hash rank, 'kept'/'capped'/"
     "'unembedded'. Both per-doc surfaces share the one scratch-persisted "
-    "DSIR build with 'dsir_selected'.",
+    "DSIR build with 'dsir_selected'. CONSUMPTION CONTRACT (as star-CC): "
+    "the returned frame is backed by tracked localCheckpoints (the IVF "
+    "assignment + DSIR weight builds) whose blocks are FREED at the next "
+    "registry-entry call — consume (collect/write) before invoking "
+    "another entry; holding the frame across one fails on missing "
+    "checkpoint blocks rather than silently recomputing (scratch.py "
+    "documents the class).",
 )
 def train_test_split(spark, sf_dir):
     from ..scratch import tracked_checkpoint
@@ -441,14 +447,30 @@ def dsir_select_threshold(w, keep_div: int = DSIR_KEEP_DIV, accuracy: int = 1000
     <= n/accuracy) and keep docs at or above the threshold.
 
     Semantics vs the exact cut (pinned in tests): the exact rank cut
-    splits boundary TIES by doc_id to land exactly floor(n/keep_div)
+    splits boundary TIES by doc_id to land exactly k = floor(n/keep_div)
     docs; a threshold cannot split a tie, so this form keeps ALL docs
     whose weight equals the boundary value — strictly-above docs are
     selected by both forms, strictly-below by neither, and the
     difference is confined to the boundary tie group plus the sketch's
-    rank error. ``w``: the (doc_id, smic, ntok) weight frame from
-    dsir_micro. Returns (doc_id, smic, sel)."""
-    frac = 1.0 - 1.0 / keep_div
+    rank error.
+
+    Rank convention (the r9 off-by-one, fixed): the exact cut's
+    boundary is the k-th LARGEST weight = ascending rank n-k+1, but
+    ``approx_percentile(smic, 1 - 1/keep_div)`` lands on ascending
+    rank ~ceil(n·(1-1/keep_div)) = n-k (one rank LOW when keep_div
+    divides n), so ``>= thr`` admitted a strictly-below-boundary doc.
+    Now n is counted first (a scalar count scan — cheap next to any
+    sort at 100 TB) and the percentile is aimed at fractional rank
+    n-k+0.5, whose ceil is exactly the boundary rank n-k+1.
+
+    ``w``: the (doc_id, smic, ntok) weight frame from dsir_micro.
+    Returns (doc_id, smic, sel)."""
+    n = w.count()
+    k = n // keep_div
+    if k <= 0:
+        # fewer docs than one keep bucket: the exact cut selects nothing
+        return w.select("doc_id", "smic", F.lit("rest").alias("sel"))
+    frac = (n - k + 0.5) / n
     thr = w.agg(
         F.expr(f"approx_percentile(smic, {frac}, {accuracy})").alias("thr")
     )

@@ -599,9 +599,14 @@ def text_retrieval(spark, sf_dir):
     # serving half: tokenize the corpus vocabulary under the merge
     # table just trained (mt is a driver-local relation — n_merges
     # rows, no extra job to read it back); NULL-padded exhausted ranks
-    # carry no merge, mirroring the oracle's CASE guard
+    # carry no merge, mirroring the oracle's CASE guard. Merge priority
+    # is rank order — sort explicitly rather than relying on incidental
+    # LocalRelation row order (bpe_apply's segmentation is
+    # order-sensitive).
     pairs = [
-        (r["a"], r["b"]) for r in mt.collect() if r["a"] is not None
+        (r["a"], r["b"])
+        for r in mt.orderBy("rank").collect()
+        if r["a"] is not None
     ]
     enc = bpe_apply(_bpe_words(spark, sf_dir).select("word", "freq"), pairs).select(
         F.lit("bpe_encode").alias("part"),

@@ -778,5 +778,15 @@ def test_dsir_threshold_cut_matches_exact_up_to_boundary_ties(spark):
     assert not (strictly_below & approx) and not (strictly_below & exact)
     # fixture scale < sketch accuracy -> the percentile is exact, so
     # the two cuts differ ONLY inside the boundary tie group
-    assert approx ^ exact <= {d_ for d_ in w if w[d_] == boundary}
+    ties = {d_ for d_ in w if w[d_] == boundary}
+    assert approx ^ exact <= ties
     assert len(approx) >= k > 0
+    # Pin the regime explicitly (the r9 off-by-one only surfaced
+    # because the fixture has NO boundary tie — keep that property
+    # asserted so a future fixture tie can't mask a rank regression):
+    # with a unique boundary value the two cuts must agree EXACTLY.
+    assert len(ties) == 1, (
+        "fixture drifted into a boundary tie group; the no-tie "
+        "contract (approx == exact) is no longer exercised"
+    )
+    assert approx == exact
