@@ -81,33 +81,15 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(
-    spark,
-    emb: DataFrame,
-    index_dir: str,
-    n_cells: int = 16,
-    iters: int = 2,
-    seed: int = IVF_SEED,
-) -> None:
-    """Train the coarse quantizer and write the index.
-
-    ``emb``: (vec_id, embedding array<float>). Init = the n_cells
-    vectors first in seeded-hash order (deterministic, replayable —
-    FIXTURES.md discipline; at 100 TB swap for a sampled init, the
-    iterations are unchanged). Each Lloyd iteration: one broadcast
-    assignment pass + one per-dimension mean (posexplode -> groupBy
-    (cid, pos) -> rebuild), i.e. two shuffles per iteration on the
-    exploded (row x dim) relation. Zero-norm vectors are excluded (they
-    have no cosine cell).
-    """
-    # the build consumes every iteration checkpoint by the final writes,
-    # so its scratch is self-contained: collect the exact ids each
-    # checkpoint pins (scoped_checkpoint — a global before/after diff
-    # would claim a concurrent stream's blocks, r9 review) and free
-    # them after the writes (ADVICE r8 — untracked checkpoints linger
-    # until driver GC)
-    build_ids: set[int] = set()
-    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+def _train_centroids(v, n_cells: int, iters: int, seed: int, build_ids: set) -> DataFrame:
+    """Lloyd training over a normed (vec_id, embedding, ne) frame —
+    factored out of :func:`build_ivf_index` (r10) so the in-memory
+    fixed-k assignment twin (:func:`kmeans_assign`) trains the same
+    quantizer without a disk round-trip. Init = the n_cells vectors
+    first in seeded-hash order; each iteration is one broadcast
+    assignment pass + one per-dimension mean. Every intermediate is
+    scoped-checkpointed into ``build_ids`` — the CALLER consumes the
+    returned frame and then frees those ids."""
     cent = scoped_checkpoint(
         v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
         .limit(n_cells)
@@ -139,6 +121,113 @@ def build_ivf_index(
             ),
             build_ids,
         )
+    return cent
+
+
+def kmeans_centroids(spark, emb: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED) -> DataFrame:
+    """Train the fixed-k coarse quantizer and return it as a
+    DRIVER-LOCAL relation (cid, cv array<double>, nc) — <= n_cells rows
+    collected (bounded by construction, the ivf_search literal-pruning
+    pattern), so the returned frame has no checkpoint dependency and
+    broadcasts at n_cells rows no matter how large the corpus is.
+
+    Sizing k at scale (measured, tools/fixedk_rehearsal.py +
+    BASELINE.md r10): assignment costs n*k cosines, the semantic cell
+    self-join costs ~n^2/k — a CONSTANT k makes the pair join the
+    quadratic term (fixedk16 measured slower than stride at 10x), the
+    stride rule (k = n/IVF_STRIDE) makes the ASSIGNMENT quadratic.
+    k ~ sqrt(n) balances both at n^1.5 with a sqrt(n)-row broadcast
+    (~16 MB at 1e9 docs) — the standard IVF sizing and the geometry to
+    deploy; past that, assignment itself goes multi-level (assign
+    against a coarse quantizer of the centroids).
+
+    ``emb``: (vec_id, embedding[, ne]) — zero-norm vectors excluded."""
+    build_ids: set[int] = set()
+    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+    cent = _train_centroids(v, n_cells, iters, seed, build_ids)
+    rows = [(int(r["cid"]), [float(x) for x in r["cv"]], float(r["nc"])) for r in cent.collect()]
+    unpersist_rdd_ids(spark, build_ids)
+    return spark.createDataFrame(rows, "cid bigint, cv array<double>, nc double")
+
+
+def kmeans_assign(
+    spark,
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = IVF_SEED,
+    keep_centroid_cos: bool = False,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-k-geometry twin of :func:`similarity.ivf_assign` — same
+    output shape (vec_id, embedding, ne, cid[, cos_c]) so EVERY
+    semantic consumer runs on sampled-k-means cells unchanged:
+    embedding_semantic_pairs(assign=), corpus_curate(sem_assign=),
+    mlprep's cluster_balance part, semdedup_prune(assign=). The
+    assignment is one crossJoin against the n_cells-row driver-local
+    centroid table: n*k FLOPs and a k-row broadcast, closing the
+    stride rule's quadratic assignment term (VERDICT r9 wrong-#2) —
+    size k ~ sqrt(n) so the cell self-join stays sub-quadratic too
+    (see :func:`kmeans_centroids`). Like the stride rule — and unlike
+    per-subset retraining
+    — the quantizer is SUBSET-INDEPENDENT once trained: filtering the
+    corpus never moves a surviving vector's cell, which is what lets
+    the curated pipeline reuse one full-corpus pair generator after
+    its lexical stages.
+
+    ``emb``: a normed (vec_id, embedding, ne) frame (the
+    embeddings_normed shape). ``centroids``: a pre-trained
+    kmeans_centroids table to reuse (skips training)."""
+    cent = centroids if centroids is not None else kmeans_centroids(
+        spark, emb, n_cells=n_cells, iters=iters, seed=seed
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    extra = ["cos_c"] if keep_centroid_cos else []
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "ne",
+            "cid",
+            _fast_cosine(
+                as_double(F.col("embedding")), F.col("cv"), F.col("ne"), F.col("nc")
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ne", "cid", *extra)
+    )
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = IVF_SEED,
+) -> None:
+    """Train the coarse quantizer and write the index.
+
+    ``emb``: (vec_id, embedding array<float>). Init = the n_cells
+    vectors first in seeded-hash order (deterministic, replayable —
+    FIXTURES.md discipline; at 100 TB swap for a sampled init, the
+    iterations are unchanged). Each Lloyd iteration: one broadcast
+    assignment pass + one per-dimension mean (posexplode -> groupBy
+    (cid, pos) -> rebuild), i.e. two shuffles per iteration on the
+    exploded (row x dim) relation. Zero-norm vectors are excluded (they
+    have no cosine cell).
+    """
+    # the build consumes every iteration checkpoint by the final writes,
+    # so its scratch is self-contained: collect the exact ids each
+    # checkpoint pins (scoped_checkpoint — a global before/after diff
+    # would claim a concurrent stream's blocks, r9 review) and free
+    # them after the writes (ADVICE r8 — untracked checkpoints linger
+    # until driver GC)
+    build_ids: set[int] = set()
+    v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
+    cent = _train_centroids(v, n_cells, iters, seed, build_ids)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
         "overwrite"

@@ -181,7 +181,12 @@ def corpus_curate(spark, sf_dir, sem_assign=None):
     # deterministic vec_id % IVF_STRIDE rule, so cell assignment is
     # independent of which subset survives — filtering pair endpoints
     # to survivors afterwards is exactly the subset's pair set, the
-    # same single-source-of-truth argument as mh_pairs). Components
+    # same single-source-of-truth argument as mh_pairs). The argument
+    # holds for ANY quantizer fixed before the filter — in particular
+    # the fixed-k sampled-k-means geometry (ann_index.kmeans_assign
+    # passed via sem_assign=, the 100 TB form: constant centroid
+    # broadcast, linear assignment FLOPs; end-to-end pinned in
+    # tests/test_fixedk_semantic.py). Components
     # keep the min-doc_id canonical — the pipeline's greedy rule;
     # the paper's keep-least-central variant stays in
     # similarity.semdedup_prune.

@@ -390,7 +390,7 @@ def embedding_semantic_pairs(spark, sf_dir, assign=None):
     return _semantic_pairs(scratch(ivf_assign(emb)))
 
 
-def semdedup_prune(spark, sf_dir):
+def semdedup_prune(spark, sf_dir, assign=None):
     """SemDeDup's keep-rule over the semantic pair graph: connected
     components of same-cell duplicate pairs (star-CC, the shared
     _dedup_core machinery), and within each component KEEP the vector
@@ -404,12 +404,20 @@ def semdedup_prune(spark, sf_dir):
     beyond CC's bounded convergence probe. ONE scratch-persisted
     assignment feeds the pair join's both sides AND the keep-rule
     labeling (r9 review: calling embedding_semantic_pairs here instead
-    recomputed the broadcast-cosine assignment up to four times)."""
+    recomputed the broadcast-cosine assignment up to four times).
+
+    ``assign``: an already-pinned (vec_id, embedding, ne, cid, cos_c)
+    assignment to run the rule over instead of the stride geometry —
+    r10: ann_index.kmeans_assign(keep_centroid_cos=True) drives the
+    whole prune through fixed-k sampled-k-means cells, the 100 TB
+    geometry (k ~ sqrt(n): bounded broadcast, sub-quadratic assignment
+    AND pair join — sizing analysis in ann_index.kmeans_centroids)."""
     from ..scratch import scratch
     from ._dedup_core import star_connected_components
 
-    emb = embeddings_normed(spark, sf_dir)
-    assign = scratch(ivf_assign(emb, keep_centroid_cos=True))
+    if assign is None:
+        emb = embeddings_normed(spark, sf_dir)
+        assign = scratch(ivf_assign(emb, keep_centroid_cos=True))
     pairs = _semantic_pairs(assign).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
     )

@@ -33,7 +33,13 @@ BOUNDED_BNLJ = {
     "embedding_ann_topk": (3, "k centroids + 1-row norm/threshold aggs"),
     # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
     # broadcast side is the stride-rule centroid table (n/IVF_STRIDE
-    # rows), appearing once per side of the cell self-join
+    # rows), appearing once per side of the cell self-join. NOTE (r10):
+    # this is the ONLY whitelisted broadcast class whose bound grows
+    # with the data — acceptable because the stride rule is the
+    # DuckDB-replayable oracle form; the scale geometry is
+    # ann_index.kmeans_assign (k ~ sqrt(n) driver-local centroids),
+    # exercised end-to-end in test_fixedk_semantic.py with the
+    # measured growth receipt in BASELINE.md r10
     "dedup_near_dup_pairs": (2, "stride-rule centroid table, twice via cell self-join"),
     # the r9 semantic SPACE reuses the same assignment (scratch-persisted;
     # the plan PRINTS its broadcast child once per cached-scan side)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Fixed-k vs stride semantic-geometry rehearsal (r10, VERDICT r9
+wrong-#2 receipt).
+
+The semantic family's PAIR JOIN is cell-bounded under either geometry,
+but the ASSIGNMENT term differs fundamentally:
+
+- stride rule (similarity.ivf_assign): centroids = every
+  IVF_STRIDE-th vector, so the centroid table has n/IVF_STRIDE rows —
+  the broadcast grows linearly with the corpus and the argmax-cosine
+  pass costs n x n/IVF_STRIDE cosines: QUADRATIC FLOPs. At ~1e9 docs
+  that is an ~8 GB broadcast and 1e16 cosines — the scale-killer the
+  oracle-checked form carries (its virtue is DuckDB replayability).
+- fixed-k sampled k-means (ann_index.kmeans_assign): the quantizer is
+  trained once (Lloyd over broadcast centroids), collected to a
+  driver-local table, and assignment is n x k cosines. But k is a
+  REGIME CHOICE, not free: with constant k the per-cell population
+  grows as n/k and the cell SELF-JOIN becomes the quadratic term
+  (first measured here: fixedk16 is slower than stride at 10x);
+  k ~ sqrt(n) balances assignment (n*k) against pair join (n^2/k) at
+  n^1.5 each with a sqrt(n)-row broadcast (~16 MB at 1e9 docs) — the
+  standard IVF sizing, and the geometry this receipt recommends.
+
+This tool times pair generation end-to-end (assignment + cell
+self-join + threshold, consumed via count) under THREE geometries —
+stride, fixedk16 (constant-broadcast extreme), fixedk_sqrt
+(k = floor(sqrt(n))) — at sf0.1 and the ~sf1 replica set
+(tools/scale_rehearsal.py gen), recording centroid cardinalities and
+pair counts: the measured form of the "which term grows" analysis in
+BASELINE.md.
+
+Usage:
+  python tools/scale_rehearsal.py gen            # once, builds ~sf1
+  python tools/fixedk_rehearsal.py [--reps 3] [--sf1 /tmp/sparkgraft_sf1]
+
+Prints one JSON line per scale:
+{"sf": ..., "n_vectors": n, "centroid_rows": {"stride": c1, "fixedk": c2},
+ "pairs": {"stride": p1, "fixedk": p2},
+ "sec": {"stride": s1, "fixedk": s2}, "probe": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sparkgraft_sf1"
+N_CELLS = 16
+
+
+def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> tuple[float, int, int]:
+    """Median wall of pair generation under `geometry`; returns
+    (median_sec, pair_count, centroid_rows). The fixed-k timings
+    INCLUDE quantizer training — it is part of that geometry's cost."""
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark import scratch
+    from flink_parameter_server_spark.functions.planes import IVF_STRIDE
+    from flink_parameter_server_spark.operators.ann_index import kmeans_assign
+    from flink_parameter_server_spark.operators.similarity import (
+        embedding_semantic_pairs,
+        embeddings_normed,
+    )
+
+    k = N_CELLS if geometry == "fixedk16" else max(N_CELLS, int(n_vec**0.5))
+    samples, pairs = [], 0
+    for rep in range(-1, reps):  # one untimed warmup
+        scratch.release()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        if geometry == "stride":
+            pairs = embedding_semantic_pairs(spark, sf_dir).count()
+        else:
+            emb = embeddings_normed(spark, sf_dir)
+            assign = scratch.scratch(kmeans_assign(spark, emb, n_cells=k))
+            pairs = embedding_semantic_pairs(spark, sf_dir, assign=assign).count()
+        dt = time.time() - t0
+        if rep >= 0:
+            samples.append(round(dt, 3))
+    if geometry == "stride":
+        emb = embeddings_normed(spark, sf_dir)
+        crows = emb.where(F.col("vec_id") % IVF_STRIDE == 0).count()
+    else:
+        crows = k
+    print(f"# {geometry}: {samples}", file=sys.stderr, flush=True)
+    return round(statistics.median(samples), 3), pairs, crows
+
+
+def main() -> int:
+    reps, sf1 = 3, SF1
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--reps":
+            reps = int(args.pop(0))
+        elif a == "--sf1":
+            sf1 = args.pop(0)
+    from flink_parameter_server_spark.operators.similarity import embeddings_normed
+    from flink_parameter_server_spark.session import get_spark
+    from tools.host_health import probe
+
+    spark = get_spark("fixedk-rehearsal")
+    health = probe(spark, reps=2, quiet=True)
+    scales = [("sf0.1", SF01)]
+    if os.path.isdir(sf1):
+        scales.append(("sfx10", sf1))
+    else:
+        print(f"# {sf1} absent — run scale_rehearsal.py gen first", file=sys.stderr)
+    for label, sf_dir in scales:
+        n_vec = embeddings_normed(spark, sf_dir).count()
+        out = {"sf": label, "n_vectors": n_vec, "centroid_rows": {}, "pairs": {}, "sec": {}}
+        for geometry in ("stride", "fixedk16", "fixedk_sqrt"):
+            sec, pairs, crows = _time_geometry(spark, sf_dir, geometry, reps, n_vec)
+            out["sec"][geometry] = sec
+            out["pairs"][geometry] = pairs
+            out["centroid_rows"][geometry] = crows
+        out["probe"] = {
+            k: round(v["factor"], 2) for k, v in health["entries"].items()
+        }
+        print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
