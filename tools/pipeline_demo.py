@@ -6,6 +6,10 @@ pretraining corpus takes, on the driver fixture:
   1. curate      — quality gate -> exact dedup -> eval decontamination
                    -> near-dup canonical -> stratified split
                    (operators/curate.py, the oracle-checked pipeline)
+  1b. clean      — within-document repetition removal (r10): the
+                   Gopher/RefinedWeb duplicate-line dedup + token-run
+                   collapse transforms (textstats.dedup_lines /
+                   collapse_runs), map-only over the corpus
   2. pack        — token-budget training packs over the curated TRAIN
                    docs (mlprep's packed mechanics)
   3. mix         — sqrt-scaled language upsampling plan (mixture),
@@ -77,6 +81,37 @@ def main() -> None:
     }
     out["curate"] = by_decision
     print(f"# curate: {by_decision}")
+
+    # 1b. clean — within-document repetition removal (r10): the
+    # Gopher/RefinedWeb transform (duplicate-line dedup + consecutive
+    # token-run collapse) applied map-only over the corpus; a real
+    # pipeline rewrites text here before tokenization, the profile
+    # entry carries the same columns oracle-checked
+    from flink_parameter_server_spark.functions.text import tokens
+    from flink_parameter_server_spark.operators._util import t as _t
+    from flink_parameter_server_spark.operators.textstats import (
+        collapse_runs,
+        dedup_lines,
+    )
+
+    _dl_text, _dl_n = dedup_lines(F.col("text"))
+    _cr_text, _cr_n = collapse_runs(tokens(F.col("text")))
+    cleaned = _t(spark, sf, "documents").select(
+        "doc_id", _dl_n.alias("ln"), _cr_n.alias("rn")
+    )
+    cagg = cleaned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ln").alias("l"),
+        F.sum("rn").alias("r"),
+        F.sum((F.col("rn") > 0).cast("long")).alias("docs_hit"),
+    ).first()
+    out["clean"] = {
+        "docs": cagg["n"],
+        "dup_lines_removed": int(cagg["l"] or 0),
+        "run_tokens_removed": int(cagg["r"] or 0),
+        "docs_with_runs": int(cagg["docs_hit"] or 0),
+    }
+    print(f"# clean (repetition removal): {out['clean']}")
 
     # 2+3. pack + mix (the registered split entry carries both parts)
     split_parts = REGISTRY["train_test_split"].fn(spark, sf)
