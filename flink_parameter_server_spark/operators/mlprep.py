@@ -483,6 +483,54 @@ def dsir_select_threshold(w, keep_div: int = DSIR_KEEP_DIV, accuracy: int = 1000
     )
 
 
+def _domain_rates(dom0, prev_rate=None, eta: float = 1.0):
+    """The one-shot DoReMi-shape rate table, factored (r10) so the
+    iterated loop (:func:`domain_reweight_iterated`) shares the EXACT
+    arithmetic: ``dom0`` is the |sources|-row (source, t_s, m_s)
+    aggregate (token count + integer micro-nat importance sum per
+    source); returns (g_source, r). Op order is fixed and every
+    cross-domain sum runs over 6dp-grid integers (the flam pattern):
+    rawmic_s = round(share_s·prev_s·exp(eta·mean_s), 6)·1e6, rate_s =
+    rawmic_s·t_tot / (s_tot·t_s). ``prev_rate``: an optional
+    (source, r_prev) frame — the EG iteration's carried state; absent
+    (the one-shot) it is the literal 1.0, and eta=1.0 multiplies
+    exactly, so round 1 of the loop reproduces the one-shot
+    bit-for-bit (pinned in tests)."""
+    wall = Window.partitionBy()
+    if prev_rate is None:
+        dom0 = dom0.withColumn("r_prev", F.lit(1.0))
+    else:
+        pr = prev_rate.select(
+            F.col("source").alias("p_source"), F.col("r").alias("r_prev")
+        )
+        dom0 = dom0.join(
+            pr, dom0["source"].eqNullSafe(pr["p_source"]), "left"
+        ).select(dom0["*"], F.coalesce("r_prev", F.lit(0.0)).alias("r_prev"))
+    dom1 = dom0.select(
+        "source", "t_s", "m_s", "r_prev", F.sum("t_s").over(wall).alias("t_tot")
+    )
+    raw = (
+        (F.col("t_s").cast("double") / F.col("t_tot").cast("double"))
+        * F.col("r_prev")
+    ) * F.exp(
+        F.lit(eta)
+        * ((F.col("m_s").cast("double") / F.lit(1000000.0)) / F.col("t_s").cast("double"))
+    )
+    rawmic = (
+        F.when((F.col("t_s") == 0) | (F.col("t_tot") == 0), F.lit(0).cast("long"))
+        .otherwise((F.round(raw, 6).cast("decimal(18,6)") * 1000000).cast("long"))
+    )
+    dom2 = dom1.select("source", "t_s", "t_tot", rawmic.alias("rawmic"))
+    dom3 = dom2.select(
+        "source", "t_s", "t_tot", "rawmic", F.sum("rawmic").over(wall).alias("s_tot")
+    )
+    rate = F.when((F.col("t_s") == 0) | (F.col("s_tot") == 0), F.lit(0.0)).otherwise(
+        (F.col("rawmic").cast("double") * F.col("t_tot").cast("double"))
+        / (F.col("s_tot").cast("double") * F.col("t_s").cast("double"))
+    )
+    return dom3.select(F.col("source").alias("g_source"), rate.alias("r"))
+
+
 def _domain_reweight_part(d, w):
     """Spark twin of the 'domain_reweight' oracle half: one-shot
     importance-weighted DOMAIN mixture — the DoReMi shape (Xie et al.
@@ -523,26 +571,7 @@ def _domain_reweight_part(d, w):
     dom0 = dw.groupBy("source").agg(
         F.sum("nt").cast("long").alias("t_s"), F.sum("sm").cast("long").alias("m_s")
     )
-    wall = Window.partitionBy()
-    dom1 = dom0.select("source", "t_s", "m_s", F.sum("t_s").over(wall).alias("t_tot"))
-    raw = (
-        F.col("t_s").cast("double") / F.col("t_tot").cast("double")
-    ) * F.exp(
-        (F.col("m_s").cast("double") / F.lit(1000000.0)) / F.col("t_s").cast("double")
-    )
-    rawmic = (
-        F.when((F.col("t_s") == 0) | (F.col("t_tot") == 0), F.lit(0).cast("long"))
-        .otherwise((F.round(raw, 6).cast("decimal(18,6)") * 1000000).cast("long"))
-    )
-    dom2 = dom1.select("source", "t_s", "t_tot", rawmic.alias("rawmic"))
-    dom3 = dom2.select(
-        "source", "t_s", "t_tot", "rawmic", F.sum("rawmic").over(wall).alias("s_tot")
-    )
-    rate = F.when((F.col("t_s") == 0) | (F.col("s_tot") == 0), F.lit(0.0)).otherwise(
-        (F.col("rawmic").cast("double") * F.col("t_tot").cast("double"))
-        / (F.col("s_tot").cast("double") * F.col("t_s").cast("double"))
-    )
-    domr = dom3.select(F.col("source").alias("g_source"), rate.alias("r"))
+    domr = _domain_rates(dom0)
     frac_grid = F.floor((F.col("r") - F.floor(F.col("r"))) * F.lit(MOD)).cast("long")
     copies = F.least(
         F.floor("r").cast("long")
@@ -578,6 +607,115 @@ def _domain_reweight_part(d, w):
         F.lit("dropped").alias("split"),
     )
     return kept.unionByName(dropped)
+
+
+DOREMI_ROUNDS = 4
+
+
+def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: float = 1.0):
+    """The REAL DoReMi loop (r10, VERDICT r9 #4): bounded driver-loop
+    exponentiated-gradient iteration over domain resample rates (Xie
+    et al. 2023, arXiv:2305.10429 Alg. 1), with the iteration's
+    self-correcting mixture feedback restored on top of the one-shot
+    'domain_reweight' part. Returns (round, source, rate) — one row per
+    source per round; round 1 reproduces the one-shot rates EXACTLY
+    (pinned in tests).
+
+    Per round t the per-domain excess-loss proxy is RECOMPUTED against
+    the current mixture: the bucket model's raw distribution becomes
+    the rate-weighted mixture of per-domain bucket counts, c_hat_t(b) =
+    sum_s r_s·c_s(b) over T_hat_t = sum_s r_s·t_s, and lmic_t(b) =
+    round(ln(p_target(b)/p_mix_t(b)), 6dp micro-nats) — at r = 1 this
+    is exactly dsir_micro's lambda table, so round 1 == the one-shot.
+    Upsampling a domain raises its mass in the mixture and shrinks its
+    own excess, so rates CONVERGE over rounds (the receipt) instead of
+    compounding. Documented divergence from the paper (as in the
+    one-shot): the trained proxy model's per-domain excess loss is
+    replaced by the DSIR bucket-model log-ratio; the EG update
+    alpha_t ∝ alpha_{t-1}·exp(eta·excess_t) and the normalization are
+    the paper's, on the repo's exact 6dp integer grid.
+
+    Scale shape (the trainer pattern): ONE (doc,b)-class shuffle
+    builds the (source, b) count table (<= |sources|·DSIR_B rows,
+    tracked-checkpointed); every round is tiny-table DataFrame math
+    over it with the |sources|-row rate state checkpointed per round —
+    round cost is independent of corpus size."""
+    from ..functions.hashing import poly_hash
+    from ..scratch import tracked_checkpoint
+    from ._dsir_core import DSIR_B, DSIR_SEED, DSIR_TARGET_LANG
+
+    d = t(spark, sf_dir, "documents")
+    feat = d.select(
+        "source", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "source", "lang", (poly_hash(F.col("tok"), DSIR_SEED) % DSIR_B).alias("b")
+    )
+    csb = tracked_checkpoint(
+        feat.groupBy("source", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ctb = tracked_checkpoint(
+        feat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    ttf = ctb.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    doms = tracked_checkpoint(
+        csb.groupBy("source").agg(F.sum("n").cast("long").alias("t_s"))
+    )
+
+    rates = doms.select(F.col("source").alias("g_source"), F.lit(1.0).alias("r"))
+    history = []
+    for rnd in range(1, rounds + 1):
+        pr = rates.select(F.col("g_source").alias("source"), "r")
+        # current mixture: rate-weighted per-domain bucket counts
+        mixed = csb.join(
+            pr.withColumnRenamed("source", "m_source"),
+            csb["source"].eqNullSafe(F.col("m_source")),
+            "left",
+        ).select("b", "source", "n", F.coalesce("r", F.lit(0.0)).alias("rw"))
+        ch = mixed.groupBy("b").agg(F.sum(F.col("rw") * F.col("n")).alias("ch"))
+        th = mixed.agg(F.sum(F.col("rw") * F.col("n")).alias("th"))
+        lam = (
+            ch.join(ctb, "b", "left")
+            .crossJoin(F.broadcast(th))
+            .crossJoin(F.broadcast(ttf))
+            .select(
+                "b",
+                (
+                    F.round(
+                        F.log(
+                            (
+                                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                                / (F.col("tt") + F.lit(float(DSIR_B)))
+                            )
+                            / ((F.col("ch") + F.lit(1.0)) / (F.col("th") + F.lit(float(DSIR_B))))
+                        ),
+                        6,
+                    ).cast("decimal(18,6)")
+                    * 1000000
+                )
+                .cast("long")
+                .alias("lmic"),
+            )
+        )
+        msum = (
+            csb.join(F.broadcast(lam), "b")
+            .groupBy("source")
+            .agg(F.sum(F.col("n") * F.col("lmic")).cast("long").alias("m_s"))
+        )
+        dom0 = doms.join(
+            msum.withColumnRenamed("source", "s2"),
+            doms["source"].eqNullSafe(F.col("s2")),
+            "left",
+        ).select("source", "t_s", F.coalesce("m_s", F.lit(0)).cast("long").alias("m_s"))
+        rates = tracked_checkpoint(
+            _domain_rates(dom0, prev_rate=None if rnd == 1 else pr, eta=eta)
+        )
+        history.append(rates.select(F.lit(rnd).alias("round"), F.col("g_source").alias("source"), "r"))
+    out = history[0]
+    for h in history[1:]:
+        out = out.unionByName(h)
+    return out
 
 
 def _cluster_balance_part(assign_full, d):

@@ -843,3 +843,91 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
     assert got[3]["n_run_tokens_removed"] == 0
     # single-line fixture docs pass through the line unit unchanged
     assert got[1]["dedup_lines_text"] == texts[1]
+
+
+def _one_shot_rates(spark, sf_dir):
+    """The one-shot domain_reweight rate table recomputed through the
+    factored helper — the reference the iterated loop's round 1 must
+    reproduce bit-for-bit."""
+    from flink_parameter_server_spark.operators._dsir_core import dsir_micro
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.mlprep import _domain_rates
+
+    d = t(spark, sf_dir, "documents")
+    w = dsir_micro(d.select("doc_id", "lang", "text"))
+    dw = (
+        d.select("doc_id", "source")
+        .join(w, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("ntok", F.lit(0)).alias("nt"),
+            F.coalesce("smic", F.lit(0)).alias("sm"),
+        )
+    )
+    dom0 = dw.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("t_s"), F.sum("sm").cast("long").alias("m_s")
+    )
+    return {r["g_source"]: r["r"] for r in _domain_rates(dom0).collect()}
+
+
+def test_domain_reweight_iterated_round1_equals_one_shot(spark):
+    """r10 (VERDICT r9 #4): the EG loop at k=1 IS the one-shot
+    domain_reweight — same integer micro-nat sums, same 6dp grid, same
+    op order, so the rates are bitwise-equal doubles on the real
+    fixture."""
+    from flink_parameter_server_spark.operators.mlprep import (
+        domain_reweight_iterated,
+    )
+    from tests.conftest import SF_SMALL
+
+    one = _one_shot_rates(spark, SF_SMALL)
+    got = {
+        r["source"]: r["r"]
+        for r in domain_reweight_iterated(spark, SF_SMALL, rounds=1).collect()
+    }
+    assert got == one
+
+
+def test_domain_reweight_iterated_converges_on_two_source_corpus(spark, tmp_path):
+    """r10 receipt: on the synthetic two-source corpus the mixture
+    feedback damps the EG updates — upsampling the target-like source
+    shrinks its own excess loss, so per-round rate deltas DECREASE and
+    the direction (good upsampled, bad downsampled) holds at every
+    round; round 1 equals the one-shot here too."""
+    from flink_parameter_server_spark.operators.mlprep import (
+        domain_reweight_iterated,
+    )
+
+    docs = []
+    for i in range(20):
+        docs.append((i, "alpha alpha alpha alpha", "en", "good", 23))
+    for i in range(20, 40):
+        docs.append((i, "zulu zulu zulu zulu", "de", "bad", 19))
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+
+    rounds = 5
+    hist = domain_reweight_iterated(spark, out, rounds=rounds).collect()
+    r_of = {}
+    for r in hist:
+        r_of[(r["round"], r["source"])] = r["r"]
+    assert set(r_of) == {(k, s) for k in range(1, rounds + 1) for s in ("good", "bad")}
+
+    one = _one_shot_rates(spark, out)
+    assert r_of[(1, "good")] == one["good"] and r_of[(1, "bad")] == one["bad"]
+
+    # direction holds every round; normalization holds every round
+    # (sum over sources of natural_share * rate == 1 up to the 6dp grid)
+    for k in range(1, rounds + 1):
+        assert r_of[(k, "good")] > 1.0 > r_of[(k, "bad")] >= 0.0
+        mix_mass = 0.5 * r_of[(k, "good")] + 0.5 * r_of[(k, "bad")]
+        assert abs(mix_mass - 1.0) < 1e-4  # equal token counts per source
+    # convergence: successive max-deltas shrink and the tail is tight
+    deltas = [
+        max(
+            abs(r_of[(k + 1, "good")] - r_of[(k, "good")]),
+            abs(r_of[(k + 1, "bad")] - r_of[(k, "bad")]),
+        )
+        for k in range(1, rounds)
+    ]
+    assert all(d2 < d1 for d1, d2 in zip(deltas, deltas[1:])), deltas
+    assert deltas[-1] < 0.05, deltas
