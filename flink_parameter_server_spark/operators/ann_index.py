@@ -181,6 +181,10 @@ def kmeans_assign(
     cent = centroids if centroids is not None else kmeans_centroids(
         spark, emb, n_cells=n_cells, iters=iters, seed=seed
     )
+    # zero-norm vectors have no cosine cell — exclude exactly as the
+    # persisted build's _normed does (keeps the cosine's na*nb divisor
+    # nonzero under ANSI mode)
+    emb = emb.where(F.col("ne") > 0)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
     extra = ["cos_c"] if keep_centroid_cos else []
     return (

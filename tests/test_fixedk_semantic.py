@@ -268,3 +268,25 @@ def test_fixedk_plan_constant_broadcast_and_cell_equijoin(spark):
     assert "CartesianProduct" not in pairs_plan
     assert ("SortMergeJoin" in pairs_plan) or ("BroadcastHashJoin" in pairs_plan)
     release()
+
+
+def test_kmeans_assign_degenerate_inputs(spark):
+    """Degenerate-axis coverage for the fixed-k path: an EMPTY catalog
+    trains no centroids and assigns nothing (no crash — the
+    empty-with-schema state a 100 TB lake reaches via partition
+    pruning), and zero-norm vectors are excluded exactly as the
+    persisted build excludes them."""
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>, ne double")
+    cent = kmeans_centroids(spark, empty, n_cells=4)
+    assert cent.count() == 0
+    assert kmeans_assign(spark, empty, n_cells=4, centroids=cent).count() == 0
+
+    rows = [
+        (1, [1.0, 0.0], 1.0),
+        (2, [0.0, 0.0], 0.0),  # zero-norm: no cosine cell
+        (3, [0.0, 2.0], 2.0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, ne double")
+    got = kmeans_assign(spark, emb, n_cells=2)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 2 not in ids and ids <= {1, 3} and ids

@@ -93,8 +93,36 @@ def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> 
     return round(statistics.median(samples), 3), pairs, crows
 
 
+def _time_curate(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> float:
+    """Median wall of the FULL curated pipeline (corpus_curate consumed
+    via count) with its semantic stage on the given geometry — the
+    whole-stage companion to the pair-generation timing."""
+    from flink_parameter_server_spark import scratch
+    from flink_parameter_server_spark.operators.ann_index import kmeans_assign
+    from flink_parameter_server_spark.operators.curate import corpus_curate
+    from flink_parameter_server_spark.operators.similarity import embeddings_normed
+
+    k = max(N_CELLS, int(n_vec**0.5))
+    samples = []
+    for rep in range(-1, reps):
+        scratch.release()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        if geometry == "stride":
+            corpus_curate(spark, sf_dir).count()
+        else:
+            emb = embeddings_normed(spark, sf_dir)
+            assign = scratch.scratch(kmeans_assign(spark, emb, n_cells=k))
+            corpus_curate(spark, sf_dir, sem_assign=assign).count()
+        dt = time.time() - t0
+        if rep >= 0:
+            samples.append(round(dt, 3))
+    print(f"# curate/{geometry}: {samples}", file=sys.stderr, flush=True)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> int:
-    reps, sf1 = 3, SF1
+    reps, sf1, curate = 3, SF1, False
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -102,6 +130,8 @@ def main() -> int:
             reps = int(args.pop(0))
         elif a == "--sf1":
             sf1 = args.pop(0)
+        elif a == "--curate":
+            curate = True
     from flink_parameter_server_spark.operators.similarity import embeddings_normed
     from flink_parameter_server_spark.session import get_spark
     from tools.host_health import probe
@@ -121,6 +151,11 @@ def main() -> int:
             out["sec"][geometry] = sec
             out["pairs"][geometry] = pairs
             out["centroid_rows"][geometry] = crows
+        if curate:
+            out["curate_sec"] = {
+                g: _time_curate(spark, sf_dir, g, reps, n_vec)
+                for g in ("stride", "fixedk_sqrt")
+            }
         out["probe"] = {
             k: round(v["factor"], 2) for k, v in health["entries"].items()
         }

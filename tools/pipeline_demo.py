@@ -155,6 +155,21 @@ def main() -> None:
     out["cluster_balance"] = clus
     print(f"# plan: domain_reweight {dom}; cluster_balance {clus}")
 
+    # 3c. iterate the reweight plan (r10): the real DoReMi EG loop —
+    # per-round excess recomputed against the current rate-weighted
+    # mixture, so the printed per-round rate series converges (on the
+    # homogeneous fixture sources the rates sit ~1 from round 1; the
+    # synthetic two-source receipt lives in BASELINE.md)
+    from flink_parameter_server_spark.operators.mlprep import (
+        domain_reweight_iterated,
+    )
+
+    series: dict = {}
+    for r in domain_reweight_iterated(spark, sf, rounds=3).collect():
+        series.setdefault(r["round"], {})[r["source"]] = round(r["r"], 4)
+    out["domain_reweight_rounds"] = {str(k): series[k] for k in sorted(series)}
+    print(f"# plan (iterated DoReMi): {out['domain_reweight_rounds']}")
+
     # 4. tokenize: train merges on the corpus, apply to the train docs
     merges_df = bpe_merge_vocab(spark, sf)
     merges = [
