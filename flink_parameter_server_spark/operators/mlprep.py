@@ -216,7 +216,10 @@ SELECT * FROM ({cluster}) AS cluster_part
     "a plain hash-mod split whose per-stratum fractions drift. One "
     "window shuffle on the stratum key; at 100 TB strata are large and "
     "contiguous so the sort is the only cost, and a sampled-quantile "
-    "assignment (approx ntile) drops the sort if needed. 'curated' "
+    "assignment (approx ntile) drops the sort if needed — executable "
+    "since r10 as mlprep.split_all_threshold (per-stratum "
+    "approx_percentile thresholds on the hash; boundary contract vs "
+    "the exact ntile pinned in tests). 'curated' "
     "(r7): the END-TO-END curation pipeline — quality gate -> "
     "exact-dedup keeper -> MinHash-LSH near-dup canonical -> stratified "
     "split — one decision per input document ('rejected:quality' | "
@@ -607,6 +610,47 @@ def _domain_reweight_part(d, w):
         F.lit("dropped").alias("split"),
     )
     return kept.unionByName(dropped)
+
+
+def split_all_threshold(d, accuracy: int = 100000):
+    """The 100 TB swap for split_all's per-stratum ntile, made
+    executable (the dsir_select_threshold pattern — the entry doc has
+    long documented "a sampled-quantile assignment (approx ntile)
+    drops the sort if needed"): per-(lang, source) approx-quantile
+    thresholds on the seeded hash at f = 0.8 / 0.9 replace the full
+    per-stratum sort window — one groupBy agg (mergeable sketch) + a
+    |strata|-row broadcast join back, no window sort anywhere.
+    Returns (doc_id, lang, source, split).
+
+    Contract vs the exact ntile (pinned in tests): the threshold lands
+    on the hash at ascending rank ceil(f·n) per stratum (Spark's
+    percentile-from-below convention — the r9 DSIR off-by-one lesson),
+    while ntile's 8-tile boundary sits at rank 8·floor(n/10) +
+    min(8, n%10); the two ranks agree when 10 | n and differ by at
+    most 1 otherwise, so per stratum the assignment matches the exact
+    form everywhere except <= 1 boundary rank per cut plus hash-tie
+    groups (the exact form splits hash ties by doc_id; a threshold
+    cannot — int_hash ties are vanishingly rare but the contract names
+    them)."""
+    h = int_hash(F.col("doc_id"), 0, SPLIT_SEED)
+    base = d.select("doc_id", "lang", "source", h.alias("h"))
+    f80 = 8.0 / N_TILES
+    f90 = 9.0 / N_TILES
+    thr = base.groupBy("lang", "source").agg(
+        F.expr(f"approx_percentile(h, array({f80}, {f90}), {accuracy})").alias("thr")
+    )
+    return (
+        base.join(F.broadcast(thr), ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("h") <= F.col("thr")[0], F.lit("train"))
+            .when(F.col("h") <= F.col("thr")[1], F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
 
 
 DOREMI_ROUNDS = 4

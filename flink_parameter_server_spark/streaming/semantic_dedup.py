@@ -205,7 +205,9 @@ def semantic_stream_writer(spark, emb_stream: DataFrame, index_dir: str, decisio
     )
 
 
-def build_semantic_store(spark, emb: DataFrame, index_dir: str) -> None:
+def build_semantic_store(
+    spark, emb: DataFrame, index_dir: str, centroids: DataFrame | None = None
+) -> None:
     """Seed a semantic-dedup store whose geometry IS the deterministic
     ``vec_id % IVF_STRIDE`` centroid rule of similarity.ivf_assign —
     the geometry the BATCH pipeline's semantic stage (corpus_curate)
@@ -213,7 +215,20 @@ def build_semantic_store(spark, emb: DataFrame, index_dir: str) -> None:
     comparable to the batch stage (pinned on the full fixture). Cells
     start EMPTY: unlike build_ivf_index's verbatim catalog, a dedup
     store holds ACCEPTED content only (the band-store analog); the
-    first accepted batch creates the cells table."""
+    first accepted batch creates the cells table.
+
+    ``centroids``: an explicit (cid, cv array<double>, nc) quantizer to
+    write instead of the stride rule — r10: pass
+    ann_index.kmeans_centroids(...) to run the continuous store on the
+    fixed-k sampled-k-means geometry (the 100 TB form), and feed the
+    SAME frame to corpus_curate via kmeans_assign(centroids=) for
+    streamed≡batch comparability (pinned on the full fixture in
+    tests/test_incremental_curate.py)."""
+    if centroids is not None:
+        centroids.select("cid", "cv", "nc").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "centroids")
+        )
+        return
     from ..functions.planes import IVF_STRIDE
 
     (

@@ -931,3 +931,73 @@ def test_domain_reweight_iterated_converges_on_two_source_corpus(spark, tmp_path
     ]
     assert all(d2 < d1 for d1, d2 in zip(deltas, deltas[1:])), deltas
     assert deltas[-1] < 0.05, deltas
+
+
+def test_split_all_threshold_matches_exact_ntile_up_to_boundary(spark):
+    """r10: split_all_threshold (the approx-quantile 100 TB form of the
+    split_all per-stratum ntile) vs the exact window form. With exact
+    percentiles (fixture n << accuracy) and no hash ties: the 0.9 cut
+    agrees EXACTLY (ceil(0.9r) == min(9, r) for every remainder r), the
+    0.8 cut may move at most ONE boundary doc per stratum from train to
+    valid (ceil(0.8r) == min(8, r) - 1 for r in 5..8), and test sets
+    are identical."""
+    from flink_parameter_server_spark.functions.hashing import int_hash
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.mlprep import (
+        N_TILES,
+        SPLIT_SEED,
+        split_all_threshold,
+    )
+    from pyspark.sql import Window
+    from tests.conftest import SF_SMALL
+
+    d = t(spark, SF_SMALL, "documents")
+    h = int_hash(F.col("doc_id"), 0, SPLIT_SEED)
+    win = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    tile = F.ntile(N_TILES).over(win)
+    exact_rows = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        h.alias("h"),
+        F.when(tile <= 8, F.lit("train"))
+        .when(tile == 9, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).collect()
+    got = {
+        r["doc_id"]: r["split"] for r in split_all_threshold(d).collect()
+    }
+    strata: dict = {}
+    hashes: dict = {}
+    for r in exact_rows:
+        strata.setdefault((r["lang"], r["source"]), []).append(r)
+        hashes.setdefault((r["lang"], r["source"]), []).append(r["h"])
+    assert got and len(got) == len(exact_rows)
+    moved_total = 0
+    for key, rows in strata.items():
+        # pin the no-tie regime explicitly (the DSIR lesson): a hash
+        # tie would let the threshold keep a whole tie group and mask
+        # a rank regression
+        assert len(set(hashes[key])) == len(hashes[key]), key
+        ex = {s: {r["doc_id"] for r in rows if r["split"] == s} for s in ("train", "valid", "test")}
+        th = {s: {d_ for d_, sp in got.items() if sp == s and any(r["doc_id"] == d_ for r in rows)} for s in ("train", "valid", "test")}
+        assert th["test"] == ex["test"], key
+        assert th["train"] <= ex["train"], key
+        moved = ex["train"] - th["train"]
+        assert len(moved) <= 1, (key, moved)
+        if moved:
+            # the moved doc is exactly the exact form's train boundary
+            boundary = max(
+                (r for r in rows if r["split"] == "train"),
+                key=lambda r: (r["h"], r["doc_id"]),
+            )
+            assert moved == {boundary["doc_id"]}, key
+            assert got[boundary["doc_id"]] == "valid", key
+        moved_total += len(moved)
+    # per-stratum proportions: train within 1 of the exact 8/10 count
+    for key, rows in strata.items():
+        n = len(rows)
+        k80 = 8 * (n // N_TILES) + min(8, n % N_TILES)
+        n_train = sum(1 for r in rows if got[r["doc_id"]] == "train")
+        assert k80 - 1 <= n_train <= k80, (key, n, n_train, k80)
