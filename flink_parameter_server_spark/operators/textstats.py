@@ -47,6 +47,18 @@ URL_RE = "https?://[^ \\t\\n]+"
 # anywhere in the seeded eval holdout (curate.is_eval_holdout).
 CONTAM_N = 13
 
+def redact_pii(text_col):
+    """PII REDACTION transform (r10): replace every email and URL hit
+    with a typed sentinel — the transform half of the r5 n_emails/
+    n_urls/digit_ratio signals (a redaction gate doesn't just count
+    hits, it rewrites the text). Same EMAIL_RE/URL_RE patterns whose
+    Java-regex/RE2 parity is already pinned; emails replace first so a
+    URL sentinel can't eat an embedded address. Map-only."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+
+
 def dedup_lines(text_col):
     """Within-document duplicate-LINE removal (r10, the Gopher/
     RefinedWeb repetition-removal TRANSFORM, Rae et al. 2021 §A1.1):
@@ -175,6 +187,8 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN length(sc.text) > 0 THEN
     round(CAST(len(regexp_extract_all(sc.text, '[0-9]')) AS DOUBLE) / length(sc.text), 6)
   END AS digit_ratio,
+  regexp_replace(regexp_replace(sc.text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{URL_RE}', '<URL>', 'g') AS redacted_text,
   -- coalesce: DuckDB's array_to_string over an EMPTY list is NULL
   -- where Spark's array_join is '' — the CASE already handles the
   -- true NULL-text path
@@ -223,7 +237,9 @@ LEFT JOIN cov ON cov.doc_id = sc.doc_id
     "same scan, multi-line behavior parity-pinned on a synthetic "
     "corpus since the fixture is single-line); PII/contamination "
     "signals (r5: email and URL hit counts, "
-    "digit fraction — redaction-gate inputs); bigram-LM cross-entropy "
+    "digit fraction — redaction-gate inputs; r10 adds the REDACTION "
+    "transform itself, redacted_text — typed sentinels over the same "
+    "parity-pinned patterns, emails first); bigram-LM cross-entropy "
     "(r8: the CCNet perplexity-filtering signal — an add-1 bigram model "
     "trained on the corpus scores each doc, lm_xent = mean -ln "
     "p(w2|w1), ppl = exp(lm_xent); per-term 6dp round + decimal sum "
@@ -478,6 +494,10 @@ def text_profile(spark, sf_dir):
                 6,
             ),
         ).alias("digit_ratio"),
+        # PII redaction (r10): the transform half of the count signals
+        # above — fixture text is PII-free so the driver path is
+        # identity; real hits are parity-pinned on a synthetic corpus
+        redact_pii(F.col("text")).alias("redacted_text"),
         # within-document repetition REMOVAL (r10, VERDICT r9
         # missing-#6): the Gopher/RefinedWeb (Rae et al. 2021 §A1.1)
         # TRANSFORM, not just the max_token_ratio/dup_bigram_ratio
@@ -508,6 +528,7 @@ def text_profile(spark, sf_dir):
             "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
             "stopword_ratio", "quality_score", "max_token_ratio",
             "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
+            "redacted_text",
             "dedup_lines_text", "n_dup_lines_removed", "collapse_runs_text",
             "n_run_tokens_removed", "lm_xent",
             "dsir_logw", "eval_overlap_frac", "fingerprint", "full_hash",

@@ -1001,3 +1001,38 @@ def test_split_all_threshold_matches_exact_ntile_up_to_boundary(spark):
         k80 = 8 * (n // N_TILES) + min(8, n % N_TILES)
         n_train = sum(1 for r in rows if got[r["doc_id"]] == "train")
         assert k80 - 1 <= n_train <= k80, (key, n, n_train, k80)
+
+
+def test_redact_pii_transform_parity_and_semantics(spark, duck, tmp_path):
+    """r10 PII redaction: full oracle parity of the text_profile entry
+    on a corpus with REAL email/URL hits (the fixture is PII-free, so
+    the driver path only proves identity), plus hand-computed expected
+    redactions — emails replace before URLs so a URL sentinel cannot
+    eat an embedded address."""
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    texts = {
+        0: "contact a.user+tag@example-site.org or b@x.co today",
+        1: "docs at https://docs.example.com/a?b=1 and http://t.co/xyz",
+        2: "mixed c@d.io then https://e.f/g end",
+        3: "clean words only here",
+        4: None,
+    }
+    docs = [
+        (i, s, "en", "web", len(s) if s is not None else 0)
+        for i, s in texts.items()
+    ]
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    spec = REGISTRY["text_profile"]
+    register_duck_views(duck, out)
+    ok, msg = compare(spec.fn(spark, out), duck, spec.oracle)
+    assert ok, f"text_profile synthetic PII parity: {msg}"
+
+    got = {r["doc_id"]: r["redacted_text"] for r in spec.fn(spark, out).collect()}
+    assert got[0] == "contact <EMAIL> or <EMAIL> today"
+    assert got[1] == "docs at <URL> and <URL>"
+    assert got[2] == "mixed <EMAIL> then <URL> end"
+    assert got[3] == texts[3]  # identity on clean text
+    assert got[4] is None

@@ -92,24 +92,30 @@ def main() -> None:
     from flink_parameter_server_spark.operators.textstats import (
         collapse_runs,
         dedup_lines,
+        redact_pii,
     )
 
     _dl_text, _dl_n = dedup_lines(F.col("text"))
     _cr_text, _cr_n = collapse_runs(tokens(F.col("text")))
     cleaned = _t(spark, sf, "documents").select(
-        "doc_id", _dl_n.alias("ln"), _cr_n.alias("rn")
+        "doc_id",
+        _dl_n.alias("ln"),
+        _cr_n.alias("rn"),
+        (redact_pii(F.col("text")) != F.col("text")).cast("long").alias("red"),
     )
     cagg = cleaned.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ln").alias("l"),
         F.sum("rn").alias("r"),
         F.sum((F.col("rn") > 0).cast("long")).alias("docs_hit"),
+        F.sum("red").alias("redacted"),
     ).first()
     out["clean"] = {
         "docs": cagg["n"],
         "dup_lines_removed": int(cagg["l"] or 0),
         "run_tokens_removed": int(cagg["r"] or 0),
         "docs_with_runs": int(cagg["docs_hit"] or 0),
+        "docs_pii_redacted": int(cagg["redacted"] or 0),
     }
     print(f"# clean (repetition removal): {out['clean']}")
 
