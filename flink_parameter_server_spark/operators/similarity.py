@@ -416,8 +416,19 @@ def semdedup_prune(spark, sf_dir, assign=None):
     from ._dedup_core import star_connected_components
 
     if assign is None:
+        # zero/NULL-norm vectors have no cosine cell: exclude them from
+        # the PRUNE SURFACE exactly as the CC oracle's sassign
+        # `WHERE norm2 > 0` does (r10, found by the nulls-axis sweep —
+        # the pair surfaces never exposed this because a NULL cosine
+        # fails the >= T threshold in both engines, but the prune
+        # LABELS every assigned vector). The filter applies AFTER
+        # assignment: the stride centroid set must stay the unfiltered
+        # rule (the oracle's cent CTE keeps null-embedding centroids,
+        # which shape cells only through the shared tie-break).
         emb = embeddings_normed(spark, sf_dir)
-        assign = scratch(ivf_assign(emb, keep_centroid_cos=True))
+        assign = scratch(
+            ivf_assign(emb, keep_centroid_cos=True).where(F.col("ne") > 0)
+        )
     pairs = _semantic_pairs(assign).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
     )

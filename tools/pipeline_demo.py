@@ -227,10 +227,26 @@ def main() -> None:
     #     least-central member per duplicate component), and DSIR
     #     importance-resamples the train split toward the target
     #     distribution (top half by dsir_logw)
-    from flink_parameter_server_spark.operators.similarity import semdedup_prune
+    from flink_parameter_server_spark.operators.ann_index import kmeans_assign
+    from flink_parameter_server_spark.operators.similarity import (
+        embeddings_normed,
+        semdedup_prune,
+    )
+    from flink_parameter_server_spark.scratch import release, scratch
 
     pr = semdedup_prune(spark, sf)
     sem_dropped = pr.where("keep = 0").count()
+    # the same prune on the fixed-k sampled-k-means geometry (the
+    # 100 TB form, r10) — k ~ sqrt(n) per the BASELINE.md sizing
+    emb_n = embeddings_normed(spark, sf)
+    k_fk = max(16, int(emb_n.count() ** 0.5))
+    assign_fk = scratch(
+        kmeans_assign(spark, emb_n, n_cells=k_fk, keep_centroid_cos=True)
+    )
+    sem_dropped_fk = (
+        semdedup_prune(spark, sf, assign=assign_fk).where("keep = 0").count()
+    )
+    release()
     train_w = prof.join(train_ids, "doc_id", "left_semi").where(
         F.col("dsir_logw").isNotNull()
     )
@@ -240,6 +256,7 @@ def main() -> None:
     all_mean = train_w.agg(F.round(F.avg("dsir_logw"), 3).alias("m")).collect()[0]["m"]
     out["embed_select"] = {
         "semantic_dups_dropped": sem_dropped,
+        "semantic_dups_dropped_fixedk": sem_dropped_fk,
         "dsir_selected": n_train_w // 2,
         "dsir_selected_mean_logw": stats["sel_mean"],
         "dsir_train_mean_logw": all_mean,
