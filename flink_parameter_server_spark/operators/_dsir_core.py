@@ -54,23 +54,24 @@ fmic AS (
 )"""
 
 
-def dsir_micro(d):
-    """(doc_id, smic) — per-doc DSIR importance weights as EXACT integer
-    micro-nats (Spark twin of DSIR_SQL_CTES; see the DSIR comment block
-    in text_profile). ``d``: any (doc_id, lang, text) frame. Shapes:
-    one (doc, b) count shuffle, B-row aggregates joined via a broadcast
-    lambda table; the only nested-loop joins are 1-row totals
-    broadcasts."""
+def dsir_features(d):
+    """(doc_id, lang, b, n) — hashed bag-of-unigrams bucket counts per
+    doc, the shared first stage of the batch weight pipeline and the
+    r10 incremental store (streaming/incremental_dsir.py)."""
     feat = d.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     ).select("doc_id", "lang", (poly_hash(F.col("tok"), DSIR_SEED) % DSIR_B).alias("b"))
-    fcnt = feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
-    raw = fcnt.groupBy("b").agg(F.sum("n").alias("cr"))
-    tgt = (
-        fcnt.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("n").alias("ct"))
-    )
+    return feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def dsir_lambda(raw, tgt):
+    """(b, lmic) — the integer micro-nat log-ratio table from raw
+    bucket counts ``raw`` (b, cr) and target counts ``tgt`` (b, ct).
+    Factored (r10) so the batch pipeline and the incremental count
+    store share ONE arithmetic definition: add-1 smoothing over DSIR_B
+    buckets, per-bucket ln ratio rounded to 6dp and carried as exact
+    integer micro-nats (any drift here is a hash mismatch in
+    text_profile / train_test_split)."""
     tot = raw.agg(F.sum("cr").alias("rr")).crossJoin(
         tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     )
@@ -84,11 +85,16 @@ def dsir_micro(d):
         ),
         6,
     )
-    lam = (
+    return (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))
         .select("b", (lam_val.cast("decimal(18,6)") * 1000000).cast("long").alias("lmic"))
     )
+
+
+def dsir_weights(fcnt, lam):
+    """(doc_id, smic, ntok) — exact integer per-doc weight sums from a
+    feature-count frame and a lambda table (shared final stage)."""
     return (
         fcnt.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
@@ -97,3 +103,20 @@ def dsir_micro(d):
             F.sum("n").cast("long").alias("ntok"),
         )
     )
+
+
+def dsir_micro(d):
+    """(doc_id, smic) — per-doc DSIR importance weights as EXACT integer
+    micro-nats (Spark twin of DSIR_SQL_CTES; see the DSIR comment block
+    in text_profile). ``d``: any (doc_id, lang, text) frame. Shapes:
+    one (doc, b) count shuffle, B-row aggregates joined via a broadcast
+    lambda table; the only nested-loop joins are 1-row totals
+    broadcasts."""
+    fcnt = dsir_features(d)
+    raw = fcnt.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt = (
+        fcnt.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    return dsir_weights(fcnt, dsir_lambda(raw, tgt))
