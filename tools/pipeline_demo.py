@@ -34,7 +34,9 @@ pretraining corpus takes, on the driver fixture:
                    (streaming/incremental_curate.curate_stream_writer,
                    incl. the r9 semantic stage against a persisted
                    vector store) — batch and streamed curation in one
-                   invocation.
+                   invocation; 6b (r10) stamps the same corpus through
+                   the continuous DSIR count store and checks the
+                   final rescore against the batch weight pipeline.
 
 Prints one human-readable summary per stage plus a final JSON line.
 
@@ -339,6 +341,37 @@ def main() -> None:
         batch_survivors = sum(by_decision.get(k, 0) for k in ("train", "valid", "test"))
         out["ingest_streamed"]["batch_pipeline_survivors"] = batch_survivors
         print(f"# ingest (streamed): {out['ingest_streamed']}")
+
+        # 6b. continuous importance weights (r10): the same two
+        # micro-batches stamped by the incremental DSIR store; the
+        # final rescore must agree with the batch weight pipeline
+        # (pinned in tests — here just surfaced)
+        from flink_parameter_server_spark.operators._dsir_core import dsir_micro
+        from flink_parameter_server_spark.streaming.incremental_dsir import (
+            process_dsir_batch,
+            rescore_dsir,
+        )
+
+        dsir_store = os.path.join(work, "dsir_store")
+        dsrc = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+        halves = [
+            dsrc.where(F.col("doc_id") % 2 == 0),
+            dsrc.where(F.col("doc_id") % 2 == 1),
+        ]
+        stamped = 0
+        for bid, half in enumerate(halves):
+            stamped += process_dsir_batch(spark, half, dsir_store, bid).count()
+        refreshed = rescore_dsir(spark, dsrc, dsir_store)
+        agree = refreshed.join(
+            dsir_micro(dsrc).withColumnRenamed("smic", "smic_batch"),
+            "doc_id",
+        )
+        n_agree = agree.where(F.col("smic") == F.col("smic_batch")).count()
+        out["ingest_dsir"] = {
+            "stamped": stamped,
+            "rescore_equals_batch_pipeline": n_agree == refreshed.count(),
+        }
+        print(f"# ingest (continuous DSIR): {out['ingest_dsir']}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
