@@ -31,12 +31,13 @@ BASELINE.md.
 
 Usage:
   python tools/scale_rehearsal.py gen            # once, builds ~sf1
-  python tools/fixedk_rehearsal.py [--reps 3] [--sf1 /tmp/sparkgraft_sf1]
+  python tools/fixedk_rehearsal.py [--reps 3] [--sf1 /tmp/sparkgraft_sf1] [--curate]
 
 Prints one JSON line per scale:
-{"sf": ..., "n_vectors": n, "centroid_rows": {"stride": c1, "fixedk": c2},
- "pairs": {"stride": p1, "fixedk": p2},
- "sec": {"stride": s1, "fixedk": s2}, "probe": {...}}
+{"sf": ..., "n_vectors": n,
+ "centroid_rows"/"pairs"/"sec": {"stride": ., "fixedk16": ., "fixedk_sqrt": .},
+ "curate_sec": {"stride": ., "fixedk_sqrt": .},   # with --curate
+ "probe": {...}}
 """
 
 from __future__ import annotations
