@@ -639,8 +639,18 @@ def split_all_threshold(d, accuracy: int = 100000):
     thr = base.groupBy("lang", "source").agg(
         F.expr(f"approx_percentile(h, array({f80}, {f90}), {accuracy})").alias("thr")
     )
+    # null-safe stratum join: the exact form's window partitionBy keeps
+    # a NULL lang/source as its own stratum — a plain equi-join would
+    # silently DROP those docs here (r10 self-review)
+    thr = thr.select(
+        F.col("lang").alias("t_lang"), F.col("source").alias("t_source"), "thr"
+    )
     return (
-        base.join(F.broadcast(thr), ["lang", "source"])
+        base.join(
+            F.broadcast(thr),
+            base["lang"].eqNullSafe(thr["t_lang"])
+            & base["source"].eqNullSafe(thr["t_source"]),
+        )
         .select(
             "doc_id",
             "lang",
@@ -688,6 +698,8 @@ def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: fl
     from ..scratch import tracked_checkpoint
     from ._dsir_core import DSIR_B, DSIR_SEED, DSIR_TARGET_LANG
 
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     d = t(spark, sf_dir, "documents")
     feat = d.select(
         "source", "lang", F.explode(tokens(F.col("text"))).alias("tok")

@@ -1036,3 +1036,18 @@ def test_redact_pii_transform_parity_and_semantics(spark, duck, tmp_path):
     assert got[2] == "mixed <EMAIL> then <URL> end"
     assert got[3] == texts[3]  # identity on clean text
     assert got[4] is None
+
+
+def test_split_all_threshold_keeps_null_strata(spark, tmp_path):
+    """r10 self-review: a NULL lang/source is its own stratum in the
+    exact window form — the threshold form's stratum join must be
+    null-safe so those docs don't silently vanish."""
+    from flink_parameter_server_spark.operators.mlprep import split_all_threshold
+
+    rows = [(i, f"w{i} text body", None if i % 3 == 0 else "en", None, 12) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {r["doc_id"]: r["split"] for r in split_all_threshold(docs).collect()}
+    assert set(got) == set(range(30))
+    assert set(got.values()) <= {"train", "valid", "test"}
