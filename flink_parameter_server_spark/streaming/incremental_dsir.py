@@ -24,6 +24,12 @@ pipeline over the concatenated corpus. All arithmetic is the shared
 ``_dsir_core`` definition (integer micro-nats on the 6dp grid), so
 engine-exactness carries over verbatim.
 
+Contract: doc ids are unique across the catalog (store + all batches
+share one id space, the semantic-store rule) — the count store tallies
+token occurrences and TRUSTS upstream dedup, so re-ingesting the same
+doc under a new batch id double-counts its tokens by design (run the
+curation gates first; a replayed batch with the SAME bid is safe).
+
 Scale shape: one (doc, b) shuffle per batch for the feature counts;
 the store read is a B-row-per-batch-file aggregate (sum over deltas);
 everything downstream is bounded broadcasts. Compaction is trivial if
