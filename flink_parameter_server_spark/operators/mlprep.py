@@ -622,6 +622,12 @@ def split_all_threshold(d, accuracy: int = 100000):
     |strata|-row broadcast join back, no window sort anywhere.
     Returns (doc_id, lang, source, split).
 
+    Regime (measured, BASELINE.md r10): at fixture scales the exact
+    window WINS (the two-job sketch carries more fixed overhead than a
+    sort over small strata) — this form pays off only when strata are
+    large enough that the sort's shuffle+spill dominates; pick by
+    stratum size, not by default.
+
     Contract vs the exact ntile (pinned in tests): the threshold lands
     on the hash at ascending rank ceil(f·n) per stratum (Spark's
     percentile-from-below convention — the r9 DSIR off-by-one lesson),
