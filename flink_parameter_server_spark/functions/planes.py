@@ -65,14 +65,57 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.40
 
 # IVF coarse-cell constants + the SemDeDup pair oracle (r9) — also below
 # the operator layer for the same registration-time reason. Centroids are
-# every IVF_STRIDE-th vector (a literal rule both engines replay);
-# SEMANTIC_T sits in a measured gap of the fixture's in-cell cosine
-# distribution (see operators/similarity.py for the margins).
-IVF_STRIDE = 64
+# the COUNTED-n rule (r11, replacing the fixed-stride rule whose centroid
+# count grew linearly with the corpus): count n once, take k = floor(
+# sqrt(n)) centroids via stride = ceil(n/k) — every stride-th vec_id.
+# Both engines replay it exactly (one COUNT + IEEE sqrt/floor/ceil on
+# doubles, exact for any n < 2^53), the centroid table is bounded at
+# ~sqrt(n) rows (~16 MB at 1e9 docs), and assignment costs n*sqrt(n)
+# FLOPs while the cell self-join stays ~n^1.5 — the balanced IVF sizing
+# (measured growth receipt in BASELINE.md; analysis in
+# operators/ann_index.kmeans_centroids). SEMANTIC_T sits in a measured
+# gap of the fixture's in-cell cosine distribution under this rule (see
+# operators/similarity.py for the margins).
 SEMANTIC_T = 0.422
 
+# The counted-n centroid relation over the `embeddings` view — spliced
+# verbatim into every semantic oracle (SEMANTIC_PAIRS_SQL here, the IVF
+# ANN branch, the CC keep-rule oracle, the cluster_balance oracle) so
+# the rule has one SQL source of truth.
+IVF_CENT_SQL = """(SELECT vec_id AS cid, embedding AS cv
+ FROM embeddings,
+      (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE)
+              / greatest(1.0, floor(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT)) AS stride
+       FROM embeddings) n
+ WHERE vec_id % n.stride = 0)"""
+
+
+def counted_stride(n: int) -> int:
+    """Driver-side twin of the rule: stride = ceil(n / floor(sqrt(n))).
+    Same IEEE double arithmetic as both SQL engines (exact for
+    n < 2^53), so tests can recompute centroid ids independently."""
+    import math
+
+    k = max(1.0, float(math.floor(math.sqrt(float(n)))))
+    return max(1, int(math.ceil(float(n) / k)))
+
+
+def counted_stride_col(n_col):
+    """Column-expression twin for the Spark side: the caller attaches a
+    1-row count aggregate (a bounded broadcast) and filters
+    ``vec_id % counted_stride_col(F.col("n_emb")) == 0`` — no driver
+    action, the count stays inside the declarative plan."""
+    return F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            n_col.cast("double")
+            / F.greatest(F.lit(1.0), F.floor(F.sqrt(n_col.cast("double"))).cast("double"))
+        ),
+    )
+
+
 SEMANTIC_PAIRS_SQL = f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+WITH cent AS {IVF_CENT_SQL},
 assign AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,

@@ -48,9 +48,13 @@ def read_cells(spark, index_dir: str) -> DataFrame:
     """The cells table, or an empty typed frame when no vector has
     been accepted yet — a semantic-dedup store starts centroids-only
     (streaming/semantic_dedup.build_semantic_store), exactly like the
-    band store starts empty in incremental_dedup."""
+    band store starts empty in incremental_dedup. Existence resolves
+    through the Hadoop FileSystem API (r11, ADVICE r10): a driver-local
+    os.path.isdir would read a populated HDFS/S3 store as empty."""
+    from ..sources.fsutil import path_exists
+
     path = os.path.join(index_dir, "cells")
-    if os.path.isdir(path):
+    if path_exists(spark, path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], _CELLS_SCHEMA)
 
@@ -134,12 +138,14 @@ def kmeans_centroids(spark, emb: DataFrame, n_cells: int = 16, iters: int = 2, s
     Sizing k at scale (measured, tools/fixedk_rehearsal.py +
     BASELINE.md r10): assignment costs n*k cosines, the semantic cell
     self-join costs ~n^2/k — a CONSTANT k makes the pair join the
-    quadratic term (fixedk16 measured slower than stride at 10x), the
-    stride rule (k = n/IVF_STRIDE) makes the ASSIGNMENT quadratic.
+    quadratic term (fixedk16 measured slower than stride at 10x), a
+    fixed-stride rule (k = n/stride) makes the ASSIGNMENT quadratic.
     k ~ sqrt(n) balances both at n^1.5 with a sqrt(n)-row broadcast
-    (~16 MB at 1e9 docs) — the standard IVF sizing and the geometry to
-    deploy; past that, assignment itself goes multi-level (assign
-    against a coarse quantizer of the centroids).
+    (~16 MB at 1e9 docs) — the standard IVF sizing, the geometry to
+    deploy, and (r11) the sizing the oracle-checked counted-n rule in
+    similarity.ivf_assign now uses; past that, assignment itself goes
+    multi-level (assign against a coarse quantizer of the centroids —
+    :func:`kmeans_assign_two_level`).
 
     ``emb``: (vec_id, embedding[, ne]) — zero-norm vectors excluded."""
     build_ids: set[int] = set()

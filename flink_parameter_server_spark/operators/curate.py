@@ -178,7 +178,8 @@ def corpus_curate(spark, sf_dir, sem_assign=None):
     # verified), so pair candidates come from the same full-corpus
     # IVF-cell generator the dedup 'semantic' method is hash-pinned on
     # (similarity.embedding_semantic_pairs; centroids are the
-    # deterministic vec_id % IVF_STRIDE rule, so cell assignment is
+    # deterministic counted-n rule over the FULL corpus — n is counted
+    # once, before any curation filter — so cell assignment is
     # independent of which subset survives — filtering pair endpoints
     # to survivors afterwards is exactly the subset's pair set, the
     # same single-source-of-truth argument as mh_pairs). The argument
@@ -257,9 +258,9 @@ def curate_oracle_sql(
     the Spark side's subset-signature build does);
     ``semantic_pairs_sql`` is planes.SEMANTIC_PAIRS_SQL verbatim (same
     single-source argument for the r9 semantic stage — cell assignment
-    is the deterministic full-corpus stride rule, independent of which
-    subset survives); ``int_hash_sql_expr`` the seeded integer hash of
-    doc_id used by the split ordering."""
+    is the deterministic full-corpus counted-n rule, independent of
+    which subset survives); ``int_hash_sql_expr`` the seeded integer
+    hash of doc_id used by the split ordering."""
     from ..functions.hashing import int_hash_sql
 
     eval_pred = f"({int_hash_sql('doc_id', CURATE_EVAL_J, CURATE_SEED)}) % {CURATE_EVAL_MOD} = 0"

@@ -825,7 +825,7 @@ def _install_cc_oracle() -> None:
 
     from ..plans.registry import REGISTRY
 
-    from ..functions.planes import IVF_STRIDE, SEMANTIC_PAIRS_SQL
+    from ..functions.planes import IVF_CENT_SQL, SEMANTIC_PAIRS_SQL
     from ..functions.vectors import cosine_sql, norm2_sql
 
     mh = _MINHASH_SQL
@@ -854,8 +854,7 @@ sassign AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
     FROM embeddings e
-    CROSS JOIN (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                WHERE vec_id % {IVF_STRIDE} = 0) c
+    CROSS JOIN {IVF_CENT_SQL} c
     WHERE {norm2_sql('e.embedding')} > 0
   ) WHERE rn = 1
 ),

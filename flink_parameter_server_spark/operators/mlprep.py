@@ -154,11 +154,11 @@ UNION ALL
 SELECT 'domain_reweight' AS part, doc_id, lang, source, 'dropped' AS split
 FROM domc WHERE copies = 0
 """
-    from ..functions.planes import IVF_STRIDE
+    from ..functions.planes import IVF_CENT_SQL
     from ..functions.vectors import cosine_sql
 
     cluster = f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+WITH cent AS {IVF_CENT_SQL},
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -462,9 +462,14 @@ def dsir_select_threshold(w, keep_div: int = DSIR_KEEP_DIV, accuracy: int = 1000
     ``approx_percentile(smic, 1 - 1/keep_div)`` lands on ascending
     rank ~ceil(n·(1-1/keep_div)) = n-k (one rank LOW when keep_div
     divides n), so ``>= thr`` admitted a strictly-below-boundary doc.
-    Now n is counted first (a scalar count scan — cheap next to any
-    sort at 100 TB) and the percentile is aimed at fractional rank
-    n-k+0.5, whose ceil is exactly the boundary rank n-k+1.
+    Now n is counted first and the percentile is aimed at fractional
+    rank n-k+0.5, whose ceil is exactly the boundary rank n-k+1.
+
+    Caller contract (ADVICE r10): PERSIST/checkpoint ``w`` before
+    calling — the count action executes w's plan, and an uncached w
+    re-executes the whole DSIR weight lineage a second time for the
+    percentile pass. On a materialized frame the count is a cheap
+    scan; on raw lineage it doubles the weight build.
 
     ``w``: the (doc_id, smic, ntok) weight frame from dsir_micro.
     Returns (doc_id, smic, sel)."""
@@ -787,16 +792,17 @@ def _cluster_balance_part(assign_full, d):
     truncated instead of letting head content dominate the mixture).
 
     Cells = the deterministic IVF coarse assignment shared with
-    SemDeDup and the ANN path (similarity.ivf_assign: stride centroids,
-    max-cosine cell — subset-independent, so the oracle replays it
-    exactly; at real scale centroids come from sampled k-means with the
-    identical join shape). cap = ceil(n_vectors / n_cells) via integer
-    `div` (engine-identical); within each cell docs rank by seeded hash
+    SemDeDup and the ANN path (similarity.ivf_assign: counted-n
+    centroids, k ~ sqrt(n), max-cosine cell — subset-independent, so
+    the oracle replays it exactly; at real scale centroids come from
+    sampled k-means with the identical join shape and sizing).
+    cap = ceil(n_vectors / n_cells) via integer `div`
+    (engine-identical); within each cell docs rank by seeded hash
     (deterministic pseudo-random), rank <= cap -> 'kept', else
     'capped'; docs without a vector -> 'unembedded'.
 
-    Scale: the centroid table is the whitelisted bounded broadcast; the
-    rank window partitions by cell (~IVF_STRIDE rows avg); caps is a
+    Scale: the centroid table is a ~sqrt(n)-row bounded broadcast; the
+    rank window partitions by cell (~sqrt(n) rows avg); caps is a
     |cells|-row broadcast equi-join; everything else is the documents
     scan."""
     # ``assign_full``: the entry's ONE tracked-checkpoint IVF

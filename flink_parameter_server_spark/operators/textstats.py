@@ -64,7 +64,16 @@ def dedup_lines(text_col):
     RefinedWeb repetition-removal TRANSFORM, Rae et al. 2021 §A1.1):
     keep each line's first occurrence, preserving order. Map-only
     codegen'd array math — keep-first is array_position(lines, x) ==
-    own index. Returns (clean_text_col, n_removed_col)."""
+    own index. Returns (clean_text_col, n_removed_col).
+
+    Cost bound (ADVICE r10): the per-element array_position scan makes
+    this O(L^2) in a document's LINE count, in both engines — fine for
+    web documents (L in the hundreds), quadratic for pathological
+    many-thousand-line docs. The linearithmic alternative at that
+    regime is posexplode -> min(pos) per line -> re-collect, which
+    trades the map-only shape for a per-doc shuffle; keep the array
+    form as long as a length gate (e.g. curate's quality stage) runs
+    upstream."""
     lines = F.split(text_col, "\n")
     kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
     return F.array_join(kept, "\n"), (F.size(lines) - F.size(kept)).cast("long")

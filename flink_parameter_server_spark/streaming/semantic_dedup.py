@@ -209,13 +209,18 @@ def build_semantic_store(
     spark, emb: DataFrame, index_dir: str, centroids: DataFrame | None = None
 ) -> None:
     """Seed a semantic-dedup store whose geometry IS the deterministic
-    ``vec_id % IVF_STRIDE`` centroid rule of similarity.ivf_assign —
-    the geometry the BATCH pipeline's semantic stage (corpus_curate)
-    derives pairs from, so streamed decisions over this store are
-    comparable to the batch stage (pinned on the full fixture). Cells
-    start EMPTY: unlike build_ivf_index's verbatim catalog, a dedup
-    store holds ACCEPTED content only (the band-store analog); the
-    first accepted batch creates the cells table.
+    counted-n centroid rule of similarity.ivf_assign (r11: count the
+    seed corpus once, stride = ceil(n/floor(sqrt(n))), every stride-th
+    vec_id) — the geometry the BATCH pipeline's semantic stage
+    (corpus_curate) derives pairs from, so streamed decisions over this
+    store are comparable to the batch stage (pinned on the full
+    fixture). n is FROZEN at build time (centroids must be immutable
+    for add_vectors' replay contract); later batches assign against
+    these persisted centroids, exactly as the batch rule assigns
+    against the full-corpus centroid set. Cells start EMPTY: unlike
+    build_ivf_index's verbatim catalog, a dedup store holds ACCEPTED
+    content only (the band-store analog); the first accepted batch
+    creates the cells table.
 
     ``centroids``: an explicit (cid, cv array<double>, nc) quantizer to
     write instead of the stride rule — r10: pass
@@ -229,11 +234,17 @@ def build_semantic_store(
             os.path.join(index_dir, "centroids")
         )
         return
-    from ..functions.planes import IVF_STRIDE
+    from ..functions.planes import counted_stride_col
 
+    # the count runs over the UNFILTERED seed frame (the batch rule's n
+    # counts every embeddings row, zero-norm included), while the
+    # persisted centroids keep _normed's zero-norm exclusion — a
+    # zero-norm centroid id would divide by zero in every probe cosine
+    nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
     (
         _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-        .where(F.col("vec_id") % IVF_STRIDE == 0)
+        .crossJoin(F.broadcast(nrow))
+        .where(F.col("vec_id") % counted_stride_col(F.col("n_emb")) == 0)
         .select(
             F.col("vec_id").alias("cid"),
             as_double(F.col("embedding")).alias("cv"),

@@ -28,22 +28,19 @@ from tests.conftest import SF_SMALL
 
 # name -> (max BroadcastNestedLoopJoin count, bound of the broadcast side)
 BOUNDED_BNLJ = {
-    # IVF centroid assignment broadcasts the k=IVF_K centroid table;
-    # brute/simhash variants broadcast 1-row extrema aggregates
-    "embedding_ann_topk": (3, "k centroids + 1-row norm/threshold aggs"),
+    # IVF centroid assignment broadcasts the counted-n centroid table
+    # (~sqrt(n) rows, r11) plus its 1-row count aggregate; brute/simhash
+    # variants broadcast 1-row extrema aggregates
+    "embedding_ann_topk": (5, "sqrt(n)-row centroids + 1-row count/norm aggs"),
     # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
-    # broadcast side is the stride-rule centroid table (n/IVF_STRIDE
-    # rows), appearing once per side of the cell self-join. NOTE (r10):
-    # this is the ONLY whitelisted broadcast class whose bound grows
-    # with the data — acceptable because the stride rule is the
-    # DuckDB-replayable oracle form; the scale geometry is
-    # ann_index.kmeans_assign (k ~ sqrt(n) driver-local centroids),
-    # exercised end-to-end in test_fixedk_semantic.py with the
-    # measured growth receipt in BASELINE.md r10
-    "dedup_near_dup_pairs": (2, "stride-rule centroid table, twice via cell self-join"),
+    # broadcast sides are the counted-n centroid table (~sqrt(n) rows,
+    # r11 — the retired stride rule's n/64-row table was the one
+    # whitelisted bound that grew linearly with data) and its 1-row
+    # count aggregate, each printed once per side of the cell self-join
+    "dedup_near_dup_pairs": (4, "sqrt(n)-row centroids + 1-row count, twice via cell self-join"),
     # the r9 semantic SPACE reuses the same assignment (scratch-persisted;
-    # the plan PRINTS its broadcast child once per cached-scan side)
-    "dedup_cluster_canonical": (2, "stride-rule centroid table via the semantic space"),
+    # the plan PRINTS its broadcast children once per cached-scan side)
+    "dedup_cluster_canonical": (4, "sqrt(n)-row centroids + 1-row count via the semantic space"),
     # the tier table is a constant literal frame (value-band boundaries)
     "event_value_tiers": (1, "constant tier-boundary frame"),
     # hour-grid fill: bounded spark.range over the window span

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_parameter_server_spark.functions.planes import IVF_STRIDE, SEMANTIC_T
+from flink_parameter_server_spark.functions.planes import SEMANTIC_T, counted_stride
 from flink_parameter_server_spark.operators.similarity import (
     embedding_semantic_pairs,
     embeddings_normed,
@@ -138,14 +138,37 @@ def test_semantic_pairs_plan_is_cell_equijoin(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # per cached-scan side: the ~sqrt(n)-row centroid broadcast + the
+    # 1-row count aggregate that derives it (r11 counted-n rule)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
     # the self-join's two sides must read the SAME cached assignment —
     # the r9 review's recompute fix
     assert plan.count("InMemoryTableScan") == 2
 
 
-def test_ivf_stride_centroid_count_bounded(spark):
-    cent = embeddings_normed(spark, SF_MED).where(F.col("vec_id") % IVF_STRIDE == 0)
+def test_counted_centroid_rule_bounded_at_sqrt_n(spark):
+    """r11: the counted-n rule's centroid table is ~sqrt(n) rows — the
+    bound the plan-sweep whitelist now cites (vs the retired stride
+    rule's n/64 rows, which grew linearly). The assignment's distinct
+    cid set must equal the rule's centroid ids, recomputed
+    driver-side from the same counted stride."""
+    import math
+
     n = embeddings_normed(spark, SF_MED).count()
-    assert cent.count() <= n // IVF_STRIDE + 1
+    stride = counted_stride(n)
+    want_cids = {
+        r.vec_id
+        for r in embeddings_normed(spark, SF_MED)
+        .where(F.col("vec_id") % stride == 0)
+        .collect()
+    }
+    assert len(want_cids) <= math.floor(math.sqrt(n)) + 1
+    got_cids = {
+        r.cid
+        for r in ivf_assign(embeddings_normed(spark, SF_MED))
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    assert got_cids <= want_cids and got_cids

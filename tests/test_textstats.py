@@ -691,14 +691,18 @@ def test_cluster_balance_caps_and_unembedded(spark, tmp_path):
     equal min(cell size, cap) with cap = ceil(n/k) over NON-EMPTY
     cells, capped surplus is exact, and docs without a vector surface
     as 'unembedded' — verified against a driver-side cell assignment
-    over the same stride-centroid geometry."""
+    over the same counted-n centroid geometry (r11: stride =
+    ceil(n/floor(sqrt(n))), recomputed independently here)."""
     import numpy as np
 
-    from flink_parameter_server_spark.functions.planes import IVF_STRIDE
+    from flink_parameter_server_spark.functions.planes import counted_stride
     from flink_parameter_server_spark.plans import REGISTRY
 
     rng = np.random.RandomState(7)
-    n_vec = 2 * IVF_STRIDE + 2  # centroids: 0, 64, 128
+    n_vec = 130
+    # three anchor directions; vecs at the counted-rule centroid ids
+    # (multiples of stride=ceil(130/11)=12) get whatever direction the
+    # skew rule gives them — the reference below recomputes the rule
     base = {0: [1, 0, 0, 0], 64: [0, 1, 0, 0], 128: [0, 0, 1, 0]}
     embs, vecs = [], {}
     for vid in range(n_vec):
@@ -725,8 +729,14 @@ def test_cluster_balance_caps_and_unembedded(spark, tmp_path):
     assert {d for d, s in got.items() if s == "unembedded"} == set(
         range(n_vec, n_vec + 10)
     )
-    # driver-side reference: max-cosine cell (tie -> lowest cid)
-    cents = {cid: vecs[cid] / np.linalg.norm(vecs[cid]) for cid in base}
+    # driver-side reference: counted-n centroid ids, max-cosine cell
+    # (tie -> lowest cid)
+    stride = counted_stride(n_vec)
+    cents = {
+        cid: vecs[cid] / np.linalg.norm(vecs[cid])
+        for cid in vecs
+        if cid % stride == 0
+    }
     cell_of = {}
     for vid, v in vecs.items():
         vn = v / np.linalg.norm(v)

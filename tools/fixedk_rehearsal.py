@@ -1,33 +1,33 @@
 #!/usr/bin/env python
-"""Fixed-k vs stride semantic-geometry rehearsal (r10, VERDICT r9
-wrong-#2 receipt).
+"""Semantic-geometry growth rehearsal (r10 receipt, extended r11 with
+the counted-n rule that is now the ORACLE-CHECKED default).
 
-The semantic family's PAIR JOIN is cell-bounded under either geometry,
+The semantic family's PAIR JOIN is cell-bounded under every geometry,
 but the ASSIGNMENT term differs fundamentally:
 
-- stride rule (similarity.ivf_assign): centroids = every
-  IVF_STRIDE-th vector, so the centroid table has n/IVF_STRIDE rows —
-  the broadcast grows linearly with the corpus and the argmax-cosine
-  pass costs n x n/IVF_STRIDE cosines: QUADRATIC FLOPs. At ~1e9 docs
-  that is an ~8 GB broadcast and 1e16 cosines — the scale-killer the
-  oracle-checked form carries (its virtue is DuckDB replayability).
-- fixed-k sampled k-means (ann_index.kmeans_assign): the quantizer is
-  trained once (Lloyd over broadcast centroids), collected to a
-  driver-local table, and assignment is n x k cosines. But k is a
-  REGIME CHOICE, not free: with constant k the per-cell population
-  grows as n/k and the cell SELF-JOIN becomes the quadratic term
-  (first measured here: fixedk16 is slower than stride at 10x);
-  k ~ sqrt(n) balances assignment (n*k) against pair join (n^2/k) at
-  n^1.5 each with a sqrt(n)-row broadcast (~16 MB at 1e9 docs) — the
-  standard IVF sizing, and the geometry this receipt recommends.
+- stride64 (the RETIRED r9/r10 oracle rule, reconstructed inline here
+  for the historical growth row): centroids = every 64th vector, so
+  the centroid table has n/64 rows — the broadcast grows linearly with
+  the corpus and the argmax-cosine pass costs n x n/64 cosines:
+  QUADRATIC FLOPs (~8 GB broadcast, 1e16 cosines at 1e9 docs — the
+  scale-killer VERDICT r10 carried as its one perf-weak item).
+- counted_sqrt (r11, the new oracle-checked default in
+  similarity.ivf_assign / planes.IVF_CENT_SQL): count n once, k =
+  floor(sqrt(n)) centroids via stride ceil(n/k). DuckDB-replayable
+  like the stride rule, but the broadcast is ~sqrt(n) rows and both
+  assignment (n*k) and cell self-join (~n^2/k) run at n^1.5 — the
+  balanced IVF sizing.
+- fixed-k sampled k-means (ann_index.kmeans_assign): the trained
+  quantizer. With constant k the per-cell population grows as n/k and
+  the cell SELF-JOIN becomes the quadratic term (fixedk16, measured
+  r10); k ~ sqrt(n) (fixedk_sqrt) matches counted_sqrt's growth with
+  data-adapted cells.
 
 This tool times pair generation end-to-end (assignment + cell
-self-join + threshold, consumed via count) under THREE geometries —
-stride, fixedk16 (constant-broadcast extreme), fixedk_sqrt
-(k = floor(sqrt(n))) — at sf0.1 and the ~sf1 replica set
-(tools/scale_rehearsal.py gen), recording centroid cardinalities and
-pair counts: the measured form of the "which term grows" analysis in
-BASELINE.md.
+self-join + threshold, consumed via count) under the FOUR geometries
+at sf0.1 and the ~sf1 replica set (tools/scale_rehearsal.py gen),
+recording centroid cardinalities and pair counts: the measured form of
+the "which term grows" analysis in BASELINE.md.
 
 Usage:
   python tools/scale_rehearsal.py gen            # once, builds ~sf1
@@ -35,8 +35,9 @@ Usage:
 
 Prints one JSON line per scale:
 {"sf": ..., "n_vectors": n,
- "centroid_rows"/"pairs"/"sec": {"stride": ., "fixedk16": ., "fixedk_sqrt": .},
- "curate_sec": {"stride": ., "fixedk_sqrt": .},   # with --curate
+ "centroid_rows"/"pairs"/"sec": {"stride64": ., "counted_sqrt": .,
+                                 "fixedk16": ., "fixedk_sqrt": .},
+ "curate_sec": {"counted_sqrt": ., "fixedk_sqrt": .},   # with --curate
  "probe": {...}}
 """
 
@@ -54,16 +55,44 @@ sys.path.insert(0, _REPO)
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sparkgraft_sf1"
 N_CELLS = 16
+STRIDE64 = 64
+
+
+def _stride64_assign(emb):
+    """The retired fixed-stride rule, reconstructed for the historical
+    growth row (it no longer exists in package source)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.functions.vectors import as_double
+    from flink_parameter_server_spark.operators.similarity import _fast_cosine
+
+    cent = emb.where(F.col("vec_id") % STRIDE64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+        F.col("ne").alias("nc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "ne", "cid",
+            _fast_cosine(
+                as_double(F.col("embedding")), as_double(F.col("cv")),
+                F.col("ne"), F.col("nc"),
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ne", "cid")
+    )
 
 
 def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> tuple[float, int, int]:
     """Median wall of pair generation under `geometry`; returns
     (median_sec, pair_count, centroid_rows). The fixed-k timings
     INCLUDE quantizer training — it is part of that geometry's cost."""
-    from pyspark.sql import functions as F
-
     from flink_parameter_server_spark import scratch
-    from flink_parameter_server_spark.functions.planes import IVF_STRIDE
+    from flink_parameter_server_spark.functions.planes import counted_stride
     from flink_parameter_server_spark.operators.ann_index import kmeans_assign
     from flink_parameter_server_spark.operators.similarity import (
         embedding_semantic_pairs,
@@ -76,8 +105,13 @@ def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> 
         scratch.release()
         spark.catalog.clearCache()
         t0 = time.time()
-        if geometry == "stride":
+        if geometry == "counted_sqrt":
+            # the package default — similarity.ivf_assign's counted rule
             pairs = embedding_semantic_pairs(spark, sf_dir).count()
+        elif geometry == "stride64":
+            emb = embeddings_normed(spark, sf_dir)
+            assign = scratch.scratch(_stride64_assign(emb))
+            pairs = embedding_semantic_pairs(spark, sf_dir, assign=assign).count()
         else:
             emb = embeddings_normed(spark, sf_dir)
             assign = scratch.scratch(kmeans_assign(spark, emb, n_cells=k))
@@ -85,9 +119,10 @@ def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> 
         dt = time.time() - t0
         if rep >= 0:
             samples.append(round(dt, 3))
-    if geometry == "stride":
-        emb = embeddings_normed(spark, sf_dir)
-        crows = emb.where(F.col("vec_id") % IVF_STRIDE == 0).count()
+    if geometry == "stride64":
+        crows = (n_vec + STRIDE64 - 1) // STRIDE64
+    elif geometry == "counted_sqrt":
+        crows = (n_vec + counted_stride(n_vec) - 1) // counted_stride(n_vec)
     else:
         crows = k
     print(f"# {geometry}: {samples}", file=sys.stderr, flush=True)
@@ -109,7 +144,7 @@ def _time_curate(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> fl
         scratch.release()
         spark.catalog.clearCache()
         t0 = time.time()
-        if geometry == "stride":
+        if geometry == "counted_sqrt":
             corpus_curate(spark, sf_dir).count()
         else:
             emb = embeddings_normed(spark, sf_dir)
@@ -147,7 +182,7 @@ def main() -> int:
     for label, sf_dir in scales:
         n_vec = embeddings_normed(spark, sf_dir).count()
         out = {"sf": label, "n_vectors": n_vec, "centroid_rows": {}, "pairs": {}, "sec": {}}
-        for geometry in ("stride", "fixedk16", "fixedk_sqrt"):
+        for geometry in ("stride64", "counted_sqrt", "fixedk16", "fixedk_sqrt"):
             sec, pairs, crows = _time_geometry(spark, sf_dir, geometry, reps, n_vec)
             out["sec"][geometry] = sec
             out["pairs"][geometry] = pairs
@@ -155,7 +190,7 @@ def main() -> int:
         if curate:
             out["curate_sec"] = {
                 g: _time_curate(spark, sf_dir, g, reps, n_vec)
-                for g in ("stride", "fixedk_sqrt")
+                for g in ("counted_sqrt", "fixedk_sqrt")
             }
         out["probe"] = {
             k: round(v["factor"], 2) for k, v in health["entries"].items()
