@@ -28,6 +28,8 @@ PACK_BUDGET = 256  # whitespace tokens per training pack
 MIX_GRID = 1 << 20  # integer grid for sqrt(n_g) so the group sum is exact
 MIX_MAX_COPIES = 4  # upsampling cap (guards tiny-group blowup)
 DSIR_KEEP_DIV = 5  # dsir_selected keeps the top 1/5 of weighted docs
+DSIR_GUMBEL_TAU = 0.5  # dsir_gumbel sampling temperature (>0)
+GUMBEL_J = 7  # hash stream for the per-doc Gumbel uniform
 
 
 def _split_oracle() -> str:
@@ -107,6 +109,27 @@ SELECT 'dsir_selected' AS part, d.doc_id, d.lang, d.source,
             WHEN r.rk <= r.nw // {DSIR_KEEP_DIV} THEN 'selected'
             ELSE 'rest' END AS split
 FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+"""
+    gumbel = f"""
+WITH {DSIR_SQL_CTES},
+gum AS (
+  SELECT doc_id,
+         CAST(CAST(round(
+             CAST(smic AS DOUBLE) / 1000000.0 / {DSIR_GUMBEL_TAU}
+             + (-ln(-ln(({int_hash_sql('doc_id', GUMBEL_J, SPLIT_SEED)} + 0.5) / {MOD}))),
+           6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS kmic
+  FROM fmic
+),
+granked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY kmic DESC, doc_id) AS rk,
+         count(*) OVER () AS nw
+  FROM gum
+)
+SELECT 'dsir_gumbel' AS part, d.doc_id, d.lang, d.source,
+       CASE WHEN r.doc_id IS NULL THEN 'unweighted'
+            WHEN r.rk <= r.nw // {DSIR_KEEP_DIV} THEN 'selected'
+            ELSE 'rest' END AS split
+FROM documents d LEFT JOIN granked r ON d.doc_id = r.doc_id
 """
     domain = f"""
 WITH {DSIR_SQL_CTES},
@@ -198,6 +221,8 @@ SELECT * FROM ({mixture}) AS mixture_part
 UNION ALL
 SELECT * FROM ({dsir_sel}) AS dsir_part
 UNION ALL
+SELECT * FROM ({gumbel}) AS gumbel_part
+UNION ALL
 SELECT * FROM ({domain}) AS domain_part
 UNION ALL
 SELECT * FROM ({cluster}) AS cluster_part
@@ -244,7 +269,11 @@ SELECT * FROM ({cluster}) AS cluster_part
     "ties by doc_id; docs with no tokens -> 'unweighted'. Deterministic "
     "zero-temperature variant of Xie et al.'s Gumbel resampling "
     "(divergence documented); at 100 TB the global rank window becomes "
-    "an approx-quantile threshold cut. 'domain_reweight' (r9): one-shot "
+    "an approx-quantile threshold cut. 'dsir_gumbel' (r11): the "
+    "temperature>0 form — a SEEDED, engine-replayable Gumbel "
+    "(u from the doc_id hash, g = -ln(-ln(u))) perturbs logw/tau on "
+    "the 6dp integer grid before the same top-1/5 rank cut; tau -> 0 "
+    "recovers 'dsir_selected' exactly (pinned). 'domain_reweight' (r9): one-shot "
     "importance-weighted DOMAIN mixture (the DoReMi shape with the "
     "shared DSIR weight as the excess-loss proxy) — per-source resample "
     "rate = target/natural token share with target ∝ share × exp(mean "
@@ -303,6 +332,7 @@ def train_test_split(spark, sf_dir):
         .unionByName(_packed_part(d))
         .unionByName(_mixture_part(d))
         .unionByName(_dsir_selected_part(d, w))
+        .unionByName(_dsir_gumbel_part(d, w))
         .unionByName(_domain_reweight_part(d, w))
         .unionByName(_cluster_balance_part(assign, d))
     )
@@ -433,6 +463,84 @@ def _dsir_selected_part(d, w):
         .join(lab, "doc_id", "left")
         .select(
             F.lit("dsir_selected").alias("part"),
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("sel", F.lit("unweighted")).alias("split"),
+        )
+    )
+
+
+def dsir_select_gumbel(w, tau: float = DSIR_GUMBEL_TAU, keep_div: int = DSIR_KEEP_DIV):
+    """Seeded-Gumbel DSIR selection (r11, VERDICT r10 #4): the
+    temperature>0 form of Xie et al. 2023's Gumbel-top-k RESAMPLING,
+    whose zero-temperature determinization is the 'dsir_selected' cut
+    (the divergence that part documents). The per-doc Gumbel is
+    seeded and engine-replayable: u = (int_hash(doc_id, {GUMBEL_J},
+    SPLIT_SEED) + 0.5)/MOD in (0,1), g = -ln(-ln(u)), and the sampling
+    key logw/tau + g is rounded onto the shared 6dp integer grid
+    (micro-nats) BEFORE ranking, ties -> doc_id — so DuckDB replays the
+    selection exactly (the exp()-rounding risk class the
+    domain_reweight oracle already carries, hash-green since r9).
+
+    tau -> 0 recovers the exact 'dsir_selected' cut on any no-tie
+    boundary (pinned in tests): the key is dominated by smic/tau, so
+    ordering degenerates to weight ordering with Gumbel noise only
+    splitting exact-weight ties (where the exact cut uses doc_id).
+    Higher tau mixes lower-weight docs in with seeded randomness — the
+    paper's diversity argument for resampling over hard cuts.
+
+    ``w``: the (doc_id, smic, ntok) frame from dsir_micro. Returns
+    (doc_id, smic, kmic, sel). Scale: one global rank window like the
+    exact cut; at 100 TB swap the window for the
+    :func:`dsir_select_threshold` percentile pattern on kmic."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0 (tau -> 0 IS dsir_selected), got {tau}")
+    u = (
+        int_hash(F.col("doc_id"), GUMBEL_J, SPLIT_SEED).cast("double") + F.lit(0.5)
+    ) / F.lit(float(MOD))
+    g = -F.log(-F.log(u))
+    kmic = (
+        F.round(
+            F.col("smic").cast("double") / F.lit(1000000.0) / F.lit(float(tau)) + g, 6
+        ).cast("decimal(18,6)")
+        * 1000000
+    ).cast("long")
+    ranked = w.select(
+        "doc_id",
+        "smic",
+        kmic.alias("kmic"),
+    ).select(
+        "doc_id",
+        "smic",
+        "kmic",
+        F.row_number().over(Window.orderBy(F.col("kmic").desc(), "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nw"),
+    )
+    return ranked.select(
+        "doc_id",
+        "smic",
+        "kmic",
+        F.when(
+            F.col("rk") <= F.floor(F.col("nw") / F.lit(keep_div)).cast("long"),
+            F.lit("selected"),
+        )
+        .otherwise(F.lit("rest"))
+        .alias("sel"),
+    )
+
+
+def _dsir_gumbel_part(d, w):
+    """Spark twin of the 'dsir_gumbel' oracle half — the registry
+    surface of :func:`dsir_select_gumbel` at tau = DSIR_GUMBEL_TAU,
+    sharing the one scratch-persisted weight build with
+    'dsir_selected' / 'domain_reweight'."""
+    lab = dsir_select_gumbel(w).select("doc_id", "sel")
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(lab, "doc_id", "left")
+        .select(
+            F.lit("dsir_gumbel").alias("part"),
             "doc_id",
             "lang",
             "source",
@@ -674,10 +782,69 @@ def split_all_threshold(d, accuracy: int = 100000):
     )
 
 
+def _pa_proxy_excess(doms, tri, pr):
+    """One DoReMi round's TRAINED-proxy excess (r11): rate-weighted
+    aggregated PA-I step from the seeded init, then per-domain mean
+    hinge under the trained weights, on the 6dp micro-nat grid.
+    ``tri``: the checkpointed (row_id, source, y, coef, feat_id, x_f)
+    triplets; ``pr``: the (source, r) rate state. Returns the
+    (source, t_s, m_s) dom0 frame for :func:`_domain_rates`."""
+    from ..ps.factors import factor_element
+    from ..ps.pa import W_HI, W_LO, W_SEED
+
+    dec = "decimal(28,15)"
+    pr2 = pr.select(F.col("source").alias("r_source"), F.col("r").alias("rw"))
+    weighted = tri.join(
+        F.broadcast(pr2), tri["source"].eqNullSafe(F.col("r_source")), "left"
+    ).select(
+        "row_id",
+        "source",
+        "y",
+        "feat_id",
+        "x_f",
+        (F.coalesce("rw", F.lit(0.0)) * F.col("coef") * F.col("x_f")).alias("contrib"),
+    )
+    w1 = (
+        weighted.groupBy("feat_id")
+        .agg(F.sum(F.col("contrib").cast(dec)).alias("dsum"))
+        .select(
+            "feat_id",
+            (
+                factor_element(F.lit(0), F.col("feat_id"), W_SEED, W_LO, W_HI)
+                + F.col("dsum").cast("double")
+            ).alias("wt"),
+        )
+    )
+    sc = (
+        tri.join(F.broadcast(w1), "feat_id")
+        .groupBy("row_id", "source", "y")
+        .agg(F.sum((F.col("x_f") * F.col("wt")).cast(dec)).alias("ms"))
+    )
+    hinge = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("y") * F.col("ms").cast("double"))
+    exc = (
+        sc.select("source", hinge.alias("h"))
+        .groupBy("source")
+        .agg(F.avg("h").alias("eh"))
+        .select(
+            F.col("source").alias("e_source"),
+            (F.round("eh", 6).cast("decimal(18,6)") * 1000000).cast("long").alias("emic"),
+        )
+    )
+    return doms.join(
+        exc, doms["source"].eqNullSafe(F.col("e_source")), "left"
+    ).select(
+        "source",
+        "t_s",
+        (F.coalesce("emic", F.lit(0)) * F.col("t_s")).cast("long").alias("m_s"),
+    )
+
+
 DOREMI_ROUNDS = 4
 
 
-def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: float = 1.0):
+def domain_reweight_iterated(
+    spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: float = 1.0, excess: str = "dsir"
+):
     """The REAL DoReMi loop (r10, VERDICT r9 #4): bounded driver-loop
     exponentiated-gradient iteration over domain resample rates (Xie
     et al. 2023, arXiv:2305.10429 Alg. 1), with the iteration's
@@ -685,6 +852,22 @@ def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: fl
     'domain_reweight' part. Returns (round, source, rate) — one row per
     source per round; round 1 reproduces the one-shot rates EXACTLY
     (pinned in tests).
+
+    ``excess`` picks the per-domain excess-loss proxy (r11, VERDICT
+    r10 #5): 'dsir' (default) is the DSIR bucket-model log-ratio below
+    — per-round cost INDEPENDENT of corpus size, the recommended form.
+    'pa_proxy' is a TRAINED proxy per round, closing the documented
+    divergence from the paper: each round takes one rate-weighted
+    aggregated PA-I step from the seeded init over the doc_quality
+    feature space (ps/pa.py — upweighted domains pull the proxy toward
+    themselves, the paper's mixture feedback), and the domain's excess
+    is its mean hinge loss under the freshly trained weights (a domain
+    the proxy cannot fit keeps high excess and gains rate). Costs one
+    pass over the (doc x feature) triplet table per round — inherent
+    to a trained proxy; the triplets are checkpointed once. m_s
+    encodes mean-excess x t_s on the 6dp micro-nat grid (fits a long
+    for t_s < ~1e12 tokens-per-domain; carry the mean separately past
+    that).
 
     Per round t the per-domain excess-loss proxy is RECOMPUTED against
     the current mixture: the bucket model's raw distribution becomes
@@ -711,6 +894,8 @@ def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: fl
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if excess not in ("dsir", "pa_proxy"):
+        raise ValueError(f"unknown excess source {excess!r}")
     d = t(spark, sf_dir, "documents")
     feat = d.select(
         "source", "lang", F.explode(tokens(F.col("text"))).alias("tok")
@@ -730,10 +915,42 @@ def domain_reweight_iterated(spark, sf_dir, rounds: int = DOREMI_ROUNDS, eta: fl
         csb.groupBy("source").agg(F.sum("n").cast("long").alias("t_s"))
     )
 
+    tri = None
+    if excess == "pa_proxy":
+        from ..ps.pa import _tau, doc_quality_instances, with_margin
+
+        # (row, source, y, coef, feat_id, x_f) — coef = tau_i*y_i under
+        # the seeded init (the doc_quality_filter aggregated-step shape);
+        # built once, every round re-weights it by the current rates
+        src = d.select(F.col("doc_id").alias("row_id"), F.col("source").alias("i_source"))
+        base = with_margin(doc_quality_instances(spark, sf_dir)).select(
+            "row_id", "y", "x", (_tau("pa1") * F.col("y")).alias("coef")
+        )
+        tri = tracked_checkpoint(
+            base.join(src, "row_id").select(
+                "row_id",
+                F.col("i_source").alias("source"),
+                "y",
+                "coef",
+                F.posexplode("x").alias("feat_id", "x_f"),
+            )
+        )
+
     rates = doms.select(F.col("source").alias("g_source"), F.lit(1.0).alias("r"))
     history = []
     for rnd in range(1, rounds + 1):
         pr = rates.select(F.col("g_source").alias("source"), "r")
+        if excess == "pa_proxy":
+            dom0 = _pa_proxy_excess(doms, tri, pr)
+            rates = tracked_checkpoint(
+                _domain_rates(dom0, prev_rate=None if rnd == 1 else pr, eta=eta)
+            )
+            history.append(
+                rates.select(
+                    F.lit(rnd).alias("round"), F.col("g_source").alias("source"), "r"
+                )
+            )
+            continue
         # current mixture: rate-weighted per-domain bucket counts
         mixed = csb.join(
             pr.withColumnRenamed("source", "m_source"),

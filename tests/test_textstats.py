@@ -880,6 +880,50 @@ def _one_shot_rates(spark, sf_dir):
     return {r["g_source"]: r["r"] for r in _domain_rates(dom0).collect()}
 
 
+def test_dsir_gumbel_tau_to_zero_recovers_exact_cut(spark):
+    """r11: dsir_select_gumbel is the temperature>0 Gumbel form of the
+    'dsir_selected' cut. Pins (1) tau -> 0 recovers the exact rank cut
+    on the fixture's no-tie boundary (the key is smic/tau + g with g
+    bounded ~[-4, 22], so any tau << 1e-6/|smic-gap| makes weight
+    ordering dominate); (2) at the registry temperature the selected
+    COUNT is identical (same top-1/5 rank cut) but the selection
+    itself mixes in lower-weight docs with seeded randomness — on a
+    corpus with non-trivial weight spread the two sets differ, which
+    is the resampling semantics the paper argues for; (3) the key is
+    deterministic (two calls agree)."""
+    from flink_parameter_server_spark.operators._dsir_core import dsir_micro
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.mlprep import (
+        DSIR_KEEP_DIV,
+        dsir_select_gumbel,
+    )
+    from tests.conftest import SF_SMALL
+
+    w_df = dsir_micro(
+        t(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+    )
+    w = {r["doc_id"]: r["smic"] for r in w_df.collect()}
+    k = len(w) // DSIR_KEEP_DIV
+    order = sorted(w, key=lambda d_: (-w[d_], d_))
+    exact = set(order[:k])
+    boundary = w[order[k - 1]]
+    assert sum(1 for d_ in w if w[d_] == boundary) == 1, "fixture boundary tied"
+
+    cold = {
+        r["doc_id"]
+        for r in dsir_select_gumbel(w_df, tau=1e-9).collect()
+        if r["sel"] == "selected"
+    }
+    assert cold == exact
+
+    hot1 = {(r["doc_id"], r["kmic"], r["sel"]) for r in dsir_select_gumbel(w_df).collect()}
+    hot2 = {(r["doc_id"], r["kmic"], r["sel"]) for r in dsir_select_gumbel(w_df).collect()}
+    assert hot1 == hot2  # seeded determinism
+    hot_sel = {d_ for d_, _, s in hot1 if s == "selected"}
+    assert len(hot_sel) == k
+    assert hot_sel != exact, "temperature had no effect — tau too cold for fixture"
+
+
 def test_domain_reweight_iterated_round1_equals_one_shot(spark):
     """r10 (VERDICT r9 #4): the EG loop at k=1 IS the one-shot
     domain_reweight — same integer micro-nat sums, same 6dp grid, same
@@ -941,6 +985,45 @@ def test_domain_reweight_iterated_converges_on_two_source_corpus(spark, tmp_path
     ]
     assert all(d2 < d1 for d1, d2 in zip(deltas, deltas[1:])), deltas
     assert deltas[-1] < 0.05, deltas
+
+
+def test_domain_reweight_pa_proxy_upweights_unfit_domain(spark, tmp_path):
+    """r11 (VERDICT r10 #5): the TRAINED-proxy excess leg of the DoReMi
+    loop. Corpus: 'easy' docs are consistently labeled (+1, distinct
+    token direction — one PA step fits them, hinge shrinks); 'hard'
+    docs share ONE feature vector with CONFLICTING labels (half pass
+    the weak quality gate, half fail on n_chars) — irreducible loss no
+    proxy step can remove. DoReMi must upweight the domain the proxy
+    cannot fit: rate('hard') > rate('easy') at every round, and the
+    normalization (sum share·rate = 1 on the 6dp grid) holds. Also
+    pins the excess= guard."""
+    import pytest
+
+    from flink_parameter_server_spark.operators.mlprep import (
+        domain_reweight_iterated,
+    )
+
+    text16 = " ".join(f"tok{i}" for i in range(16))  # >= 15 tokens
+    docs = []
+    for i in range(20):
+        docs.append((i, text16 + " easyword", "en", "easy", 120))
+    for i in range(20, 40):
+        # identical text (identical x); label flips on n_chars
+        docs.append((i, text16 + " hardword", "en", "hard", 120 if i % 2 else 50))
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+
+    rounds = 3
+    hist = domain_reweight_iterated(spark, out, rounds=rounds, excess="pa_proxy").collect()
+    r_of = {(r["round"], r["source"]): r["r"] for r in hist}
+    assert set(r_of) == {(k, s) for k in range(1, rounds + 1) for s in ("easy", "hard")}
+    for k in range(1, rounds + 1):
+        assert r_of[(k, "hard")] > r_of[(k, "easy")], (k, r_of)
+        # equal token mass per source -> mixture normalization
+        mix_mass = 0.5 * r_of[(k, "hard")] + 0.5 * r_of[(k, "easy")]
+        assert abs(mix_mass - 1.0) < 1e-4, (k, mix_mass)
+
+    with pytest.raises(ValueError):
+        domain_reweight_iterated(spark, out, rounds=1, excess="nope")
 
 
 def test_split_all_threshold_matches_exact_ntile_up_to_boundary(spark):
