@@ -218,6 +218,7 @@ def kmeans_assign_two_level(
     iters: int = 2,
     seed: int = IVF_SEED,
     keep_centroid_cos: bool = False,
+    n_super_probe: int = 1,
 ) -> DataFrame:
     """Two-level coarse assignment for the k > sqrt(n) regime (VERDICT
     r10 missing-#2, the `kmeans_centroids` docstring's "assignment goes
@@ -236,15 +237,19 @@ def kmeans_assign_two_level(
        broadcast HASH join on scid, not a nested loop — and argmax
        within them (~n*k/sqrt(k) FLOPs on balanced parents).
 
-    Total ~2n*sqrt(k) FLOPs vs n*k flat. NOT exactly lossless: a
-    vector whose true nearest centroid lives just across a super-cell
-    boundary lands in that centroid's neighbor instead (the standard
-    hierarchical-quantizer approximation — multi-probe over super
-    cells is the recall knob, exactly as n_probe is for cell probes).
-    On clustered corpora the disagreement fraction is small; pinned
+    Total ~2n*sqrt(k) FLOPs vs n*k flat. NOT exactly lossless at
+    n_super_probe=1: a vector whose true nearest centroid lives just
+    across a super-cell boundary lands in that centroid's neighbor
+    instead (the standard hierarchical-quantizer approximation).
+    ``n_super_probe`` is the recall knob, exactly as n_probe is for
+    cell probes: the vector keeps its p best super cells and argmaxes
+    over the UNION of their children (~n*p*k/sqrt(k) second-stage
+    FLOPs — still << n*k for p << sqrt(k)); p >= n_super degrades
+    EXACTLY to flat argmax (every child reachable — pinned). On
+    clustered corpora the p=1 disagreement fraction is small; pinned
     vs flat argmax in tests/test_fixedk_semantic.py (exact equality on
     well-separated clusters, bounded + measured divergence on the
-    fixture).
+    fixture, monotone-recovery under p).
 
     ``emb``: a normed (vec_id, embedding, ne) frame. ``centroids``: a
     kmeans_centroids-shaped driver-local (cid, cv, nc) relation.
@@ -299,7 +304,7 @@ def kmeans_assign_two_level(
             ).alias("cos_s"),
         )
         .withColumn("rn", F.row_number().over(ws))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n_super_probe)
         .select("vec_id", "embedding", "ne", "scid")
     )
     wf = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))

@@ -334,6 +334,24 @@ def test_two_level_assign_exact_on_clustered_and_bounded_on_fixture(spark):
     }
     assert fone == fflat
 
+    # (4) n_super_probe is the recall knob: disagreement is monotone
+    # non-increasing in p, and p = n_super recovers flat EXACTLY
+    # (every child reachable)
+    def _dis(p):
+        m = {
+            r["vec_id"]: r["cid"]
+            for r in kmeans_assign_two_level(
+                spark, fx, fcent, n_super_probe=p
+            ).collect()
+        }
+        return sum(1 for k_ in fflat if fflat[k_] != m[k_]), m
+
+    d1, _ = _dis(1)
+    d2, _ = _dis(2)
+    dall, mall = _dis(N_CELLS)
+    assert d2 <= d1
+    assert dall == 0 and mall == fflat
+
 
 def test_kmeans_assign_degenerate_inputs(spark):
     """Degenerate-axis coverage for the fixed-k path: an EMPTY catalog
