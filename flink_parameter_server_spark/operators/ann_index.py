@@ -85,7 +85,15 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _train_centroids(v, n_cells: int, iters: int, seed: int, build_ids: set) -> DataFrame:
+def _train_centroids(
+    v,
+    n_cells: int,
+    iters: int,
+    seed: int,
+    build_ids: set,
+    two_level: bool = False,
+    n_super: int | None = None,
+) -> DataFrame:
     """Lloyd training over a normed (vec_id, embedding, ne) frame —
     factored out of :func:`build_ivf_index` (r10) so the in-memory
     fixed-k assignment twin (:func:`kmeans_assign`) trains the same
@@ -93,7 +101,20 @@ def _train_centroids(v, n_cells: int, iters: int, seed: int, build_ids: set) -> 
     first in seeded-hash order; each iteration is one broadcast
     assignment pass + one per-dimension mean. Every intermediate is
     scoped-checkpointed into ``build_ids`` — the CALLER consumes the
-    returned frame and then frees those ids."""
+    returned frame and then frees those ids.
+
+    ``two_level`` (r11): each iteration's assignment pass runs through
+    the centroid-of-centroids prune (:func:`_two_level_assign`) —
+    TRAINING itself is n*k per iteration under flat argmax, so at
+    k >> sqrt(n-scale) the prune applies to Lloyd exactly as it does
+    to the final assignment (~2n*sqrt(k) per iteration; the
+    per-iteration super-quantizer retrains over the current k-row
+    centroid table — driver-local scale). Approximation contract:
+    n_super=1 degenerates to flat training BITWISE (one super cell
+    holds every centroid — pinned); at real n_super the pruned
+    assignment can follow a DIFFERENT Lloyd trajectory from the same
+    init (standard hierarchical k-means — same objective, measured
+    quality-comparable-or-better on the clustered pin)."""
     cent = scoped_checkpoint(
         v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
         .limit(n_cells)
@@ -107,7 +128,13 @@ def _train_centroids(v, n_cells: int, iters: int, seed: int, build_ids: set) -> 
         build_ids,
     )
     for _ in range(iters):
-        assigned = _assign(v, cent)
+        if two_level:
+            children, sup_local = _two_level_tables(
+                v.sparkSession, cent, n_super, iters, seed
+            )
+            assigned = _two_level_assign(v, children, sup_local)
+        else:
+            assigned = _assign(v, cent)
         means = (
             assigned.select("cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -128,7 +155,15 @@ def _train_centroids(v, n_cells: int, iters: int, seed: int, build_ids: set) -> 
     return cent
 
 
-def kmeans_centroids(spark, emb: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED) -> DataFrame:
+def kmeans_centroids(
+    spark,
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = IVF_SEED,
+    two_level: bool = False,
+    n_super: int | None = None,
+) -> DataFrame:
     """Train the fixed-k coarse quantizer and return it as a
     DRIVER-LOCAL relation (cid, cv array<double>, nc) — <= n_cells rows
     collected (bounded by construction, the ivf_search literal-pruning
@@ -147,10 +182,15 @@ def kmeans_centroids(spark, emb: DataFrame, n_cells: int = 16, iters: int = 2, s
     multi-level (assign against a coarse quantizer of the centroids —
     :func:`kmeans_assign_two_level`).
 
-    ``emb``: (vec_id, embedding[, ne]) — zero-norm vectors excluded."""
+    ``emb``: (vec_id, embedding[, ne]) — zero-norm vectors excluded.
+    ``two_level``: route each Lloyd iteration's assignment through the
+    centroid-of-centroids prune (see :func:`_train_centroids`) — the
+    k >> sqrt(n)-regime training form."""
     build_ids: set[int] = set()
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-    cent = _train_centroids(v, n_cells, iters, seed, build_ids)
+    cent = _train_centroids(
+        v, n_cells, iters, seed, build_ids, two_level=two_level, n_super=n_super
+    )
     rows = [(int(r["cid"]), [float(x) for x in r["cv"]], float(r["nc"])) for r in cent.collect()]
     unpersist_rdd_ids(spark, build_ids)
     return spark.createDataFrame(rows, "cid bigint, cv array<double>, nc double")
@@ -255,6 +295,18 @@ def kmeans_assign_two_level(
     kmeans_centroids-shaped driver-local (cid, cv, nc) relation.
     Output shape matches :func:`kmeans_assign` (vec_id, embedding, ne,
     cid[, cos_c]) so every semantic consumer runs on it unchanged."""
+    children, sup_local = _two_level_tables(spark, centroids, n_super, iters, seed)
+    return _two_level_assign(
+        emb, children, sup_local, n_super_probe, keep_centroid_cos
+    )
+
+
+def _two_level_tables(spark, centroids: DataFrame, n_super: int | None, iters: int, seed: int):
+    """Train the super-quantizer over the centroid table itself and
+    return the two DRIVER-LOCAL relations the prune needs:
+    ``children`` (cid, cv, nc, scid — each centroid with its parent
+    super cell) and ``sup_local`` (scid, sv, ns). Both are <= k rows —
+    the collect-bounded discipline kmeans_centroids already uses."""
     build_ids: set[int] = set()
     cent_v = centroids.select(
         F.col("cid").alias("vec_id"), F.col("cv").alias("embedding"),
@@ -292,7 +344,18 @@ def kmeans_assign_two_level(
         rows, "cid bigint, cv array<double>, nc double, scid bigint"
     )
     sup_local = spark.createDataFrame(sup_rows, "scid bigint, sv array<double>, ns double")
+    return children, sup_local
 
+
+def _two_level_assign(
+    emb: DataFrame,
+    children: DataFrame,
+    sup_local: DataFrame,
+    n_super_probe: int = 1,
+    keep_centroid_cos: bool = False,
+) -> DataFrame:
+    """The prune itself: coarse argmax against the super table, hash
+    join to the probed super cells' children, argmax within."""
     emb = emb.where(F.col("ne") > 0)
     ws = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
     coarse = (

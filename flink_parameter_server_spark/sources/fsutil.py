@@ -13,11 +13,36 @@ exactly as the read itself would.
 from __future__ import annotations
 
 
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
 def path_exists(spark, path: str) -> bool:
     """True iff ``path`` exists on whatever filesystem its scheme names
     (local paths included — the local test fixture and the remote
     deployment go through the same probe)."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).exists(p)
+    fs, p, _ = _fs(spark, path)
+    return fs.exists(p)
+
+
+def list_dir_names(spark, path: str) -> list[str]:
+    """Child entry NAMES of a directory (not full paths), any scheme."""
+    fs, p, _ = _fs(spark, path)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def delete_path(spark, path: str) -> bool:
+    """Recursive delete, any scheme. Returns Hadoop's success flag."""
+    fs, p, _ = _fs(spark, path)
+    return fs.delete(p, True)
+
+
+def rename_path(spark, src: str, dst: str) -> bool:
+    """Rename/move, any scheme. On object stores this is a copy under
+    the hood — callers doing swap-style maintenance (write tmp, delete
+    live, rename tmp over it) accept that window exactly as the local
+    form does. Returns Hadoop's success flag."""
+    fs, p, jvm = _fs(spark, src)
+    return fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst))

@@ -110,14 +110,18 @@ def compact_dsir_counts(spark, store_dir: str) -> int:
     before and after compaction (pinned in tests) because the store
     read is a sum over deltas — folding is associative. Single-writer
     discipline: run between ingest batches, not concurrently with one.
+    All filesystem ops route through the Hadoop FS API (fsutil), so
+    the maintenance path works on the same object store the read path
+    probes (the ADVICE r10 class — a driver-local listdir/rename would
+    crash or silently no-op on hdfs://, s3a://).
     Returns the number of bid deltas folded this call."""
-    import shutil
+    from ..sources.fsutil import delete_path, list_dir_names, rename_path
 
     counts_path = os.path.join(store_dir, "counts")
     bids = folded_bids(spark, store_dir)
     new_bids = {
         int(name.split("=", 1)[1])
-        for name in os.listdir(counts_path)
+        for name in list_dir_names(spark, counts_path)
         if name.startswith("bid=")
     }
     compacted = (
@@ -134,8 +138,8 @@ def compact_dsir_counts(spark, store_dir: str) -> int:
     spark.createDataFrame(
         [(int(b),) for b in sorted(bids | new_bids)], _FOLDED_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "_folded"))
-    shutil.rmtree(counts_path)
-    os.rename(tmp, counts_path)
+    delete_path(spark, counts_path)
+    rename_path(spark, tmp, counts_path)
     return len(new_bids)
 
 

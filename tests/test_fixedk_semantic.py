@@ -353,6 +353,53 @@ def test_two_level_assign_exact_on_clustered_and_bounded_on_fixture(spark):
     assert dall == 0 and mall == fflat
 
 
+def test_two_level_training_contract(spark):
+    """r11: kmeans_centroids(two_level=True) runs every Lloyd
+    iteration's assignment through the centroid-of-centroids prune —
+    the k >> sqrt(n)-regime TRAINING form. Pins: (1) n_super=1 makes
+    the prune a per-iteration no-op, so training is BITWISE identical
+    to flat; (2) at the default n_super the pruned assignment may
+    follow a different Lloyd trajectory from the same seeded init
+    (hierarchical k-means), but the trained quantizer's mean
+    within-cell centroid cosine on a clustered corpus is
+    quality-comparable to flat (measured BETTER here: 0.929 vs 0.897
+    — the prune escaped the shared bad init differently)."""
+    import numpy as np
+
+    from flink_parameter_server_spark.operators.ann_index import _normed
+
+    rng = np.random.RandomState(13)
+    rows = []
+    for a in range(6):
+        anchor = np.zeros(16)
+        anchor[2 * a] = 1.0
+        for m in range(25):
+            v = anchor + 0.03 * rng.randn(16)
+            rows.append((a * 100 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    v = _normed(emb, "embedding", "ne")
+    flat_cent = kmeans_centroids(spark, v, n_cells=6)
+    flat = {(r["cid"], tuple(r["cv"]), r["nc"]) for r in flat_cent.collect()}
+    noop = {
+        (r["cid"], tuple(r["cv"]), r["nc"])
+        for r in kmeans_centroids(spark, v, n_cells=6, two_level=True, n_super=1).collect()
+    }
+    assert noop == flat
+
+    two_cent = kmeans_centroids(spark, v, n_cells=6, two_level=True)
+    vecs = {vid: np.array(x) / np.linalg.norm(x) for vid, x in rows}
+
+    def qual(cent):
+        cv = {r["cid"]: np.array(r["cv"]) / r["nc"] for r in cent.collect()}
+        a = {
+            r["vec_id"]: r["cid"]
+            for r in kmeans_assign(spark, v, centroids=cent).collect()
+        }
+        return float(np.mean([vecs[k_] @ cv[c] for k_, c in a.items()]))
+
+    assert qual(two_cent) >= qual(flat_cent) - 0.02
+
+
 def test_kmeans_assign_degenerate_inputs(spark):
     """Degenerate-axis coverage for the fixed-k path: an EMPTY catalog
     trains no centroids and assigns nothing (no crash — the
