@@ -353,9 +353,13 @@ def _two_level_assign(
     sup_local: DataFrame,
     n_super_probe: int = 1,
     keep_centroid_cos: bool = False,
+    keep_top: int = 1,
 ) -> DataFrame:
     """The prune itself: coarse argmax against the super table, hash
-    join to the probed super cells' children, argmax within."""
+    join to the probed super cells' children, argmax within.
+    ``keep_top``: keep this many best CHILD cells per vector (> 1 is
+    the multi-cell probe shape ivf_search's n_probe wants — rows then
+    carry rn as the per-vector cell rank)."""
     emb = emb.where(F.col("ne") > 0)
     ws = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
     coarse = (
@@ -381,7 +385,7 @@ def _two_level_assign(
             ).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(wf))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= keep_top)
         .select("vec_id", "embedding", "ne", "cid", *extra)
     )
 
@@ -428,6 +432,8 @@ def ivf_search(
     k: int = 10,
     n_probe: int = 2,
     exclude_self: bool = True,
+    two_level: bool = False,
+    n_super_probe: int = 1,
 ) -> DataFrame:
     """Top-k cosine neighbors per query from the persisted index.
 
@@ -444,6 +450,14 @@ def ivf_search(
     shape). Pass False when query ids are an unrelated space (ADVICE
     r7: a coincidentally equal-id catalog item must not be silently
     excluded from top-k there).
+
+    ``two_level`` (r11): route the QUERY-side cell probe through the
+    centroid-of-centroids prune — query assignment is q*k FLOPs flat,
+    the same regime the assignment prune targets once k >> sqrt(n)
+    and queries arrive in bulk. The probed cells are the n_probe best
+    among the n_super_probe best super cells' children; covering
+    every super cell (n_super_probe >= n_super) recovers the flat
+    probe EXACTLY (pinned).
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
@@ -451,27 +465,38 @@ def ivf_search(
         "embedding",
         "ne",
     )
-    wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "ne",
-            "cid",
-            _fast_cosine(
-                as_double(F.col("embedding")), F.col("cv"), F.col("ne"), F.col("nc")
-            ).alias("cos_c"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select(
+    if two_level:
+        children, sup_local = _two_level_tables(spark, cent, None, 2, IVF_SEED)
+        probes = _two_level_assign(
+            q, children, sup_local, n_super_probe=n_super_probe, keep_top=n_probe
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("ne").alias("nq"),
             "cid",
         )
-    )
+    else:
+        wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "embedding",
+                "ne",
+                "cid",
+                _fast_cosine(
+                    as_double(F.col("embedding")), F.col("cv"), F.col("ne"), F.col("nc")
+                ).alias("cos_c"),
+            )
+            .withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= n_probe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.col("ne").alias("nq"),
+                "cid",
+            )
+        )
     # the probed_cids collect below would otherwise trigger the full
     # broadcast-cosine assignment a SECOND time when the scored join
     # recomputes the same uncached plan (ADVICE r7) — pin it once.

@@ -93,6 +93,42 @@ def test_ivf_index_partial_probe_recall_and_pruning(spark, tmp_path):
     assert recall >= 0.4, recall
 
 
+def test_ivf_search_two_level_probe(spark, tmp_path):
+    """r11: the query-side centroid-of-centroids prune. Pins (1)
+    covering every super cell (n_super_probe >= n_super = ceil(sqrt(
+    n_cells)) = 4) recovers the FLAT probe exactly at the same
+    n_probe; (2) at n_super_probe=1 the probe still returns well-formed
+    top-k rows whose recall vs brute force is a bounded-below subset of
+    the flat probe's (the documented prune approximation)."""
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
+    flat = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=2).collect()
+    }
+    covered = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in ivf_search(
+            spark, idx, _queries(spark), k=K, n_probe=2,
+            two_level=True, n_super_probe=N_CELLS,
+        ).collect()
+    }
+    assert covered == flat and covered
+
+    pruned = ivf_search(
+        spark, idx, _queries(spark), k=K, n_probe=2, two_level=True
+    ).collect()
+    assert pruned
+    per_q: dict = {}
+    for r in pruned:
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    want = {(r["query_id"], r["neighbor_id"]) for r in _brute_topk(spark, K).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in pruned}
+    assert len(got & want) / len(want) >= 0.2  # floor on worst-case fixture
+
+
 def test_add_vectors_incremental_append_and_reprobe(spark, tmp_path):
     """VERDICT r7 #8: the maintenance path. Build on half the catalog,
     add_vectors the other half (no Lloyd re-run), and a full-probe
