@@ -206,6 +206,65 @@ SELECT 'ivf' AS method, query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+# Two-level COUNTED rule (r11): super-centroids = the counted rule
+# applied to the centroid table's RANK order (every stride2-th centroid
+# by cid rank, stride2 = ceil(k/floor(sqrt(k)))) — every stage is a
+# deterministic argmax both engines replay bit-for-bit, so the
+# HIERARCHICAL approximation itself is oracle-checkable: identical
+# prune, identical cells, identical neighbors in Spark and DuckDB.
+# Assignment FLOPs: n·k^(1/2) per level ~ 2n·n^(1/4) total (vs the flat
+# counted rule's n·sqrt(n)) — at 1e9 docs, ~3.6e11 vs 3e13 cosines.
+_IVF2_ANN_SQL = f"""
+WITH cent AS {IVF_CENT_SQL},
+crk AS (
+  SELECT cid, cv,
+         row_number() OVER (ORDER BY cid) - 1 AS rnk,
+         count(*) OVER () AS k
+  FROM cent
+),
+sup AS (
+  SELECT cid AS scid, cv AS sv FROM crk
+  WHERE rnk % greatest(1, CAST(ceil(CAST(k AS DOUBLE)
+              / greatest(1.0, floor(sqrt(CAST(k AS DOUBLE))))) AS BIGINT)) = 0
+),
+parent AS (
+  SELECT cid, cv, scid FROM (
+    SELECT c.cid, c.cv, s.scid,
+           row_number() OVER (PARTITION BY c.cid
+                              ORDER BY {cosine_sql('c.cv', 's.sv')} DESC, s.scid) AS rn
+    FROM cent c CROSS JOIN sup s
+  ) WHERE rn = 1
+),
+coarse AS (
+  SELECT vec_id, embedding, scid FROM (
+    SELECT e.vec_id, e.embedding, s.scid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 's.sv')} DESC, s.scid) AS rn
+    FROM embeddings e CROSS JOIN sup s
+  ) WHERE rn = 1
+),
+assign2 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT x.vec_id, x.embedding, p.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cosine_sql('x.embedding', 'p.cv')} DESC, p.cid) AS rn
+    FROM coarse x JOIN parent p ON p.scid = x.scid
+  ) WHERE rn = 1
+),
+q2 AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign2 WHERE vec_id % 50 = 0),
+scored2 AS (
+  SELECT q2.query_id, a.vec_id AS neighbor_id,
+         round({cosine_sql('q2.qv', 'a.embedding')}, 6) + 0.0 AS cos_sim
+  FROM q2 JOIN assign2 a ON a.cid = q2.cid AND a.vec_id <> q2.query_id
+)
+SELECT 'ivf2' AS method, query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored2
+) WHERE rk = 1
+"""
+
+
 @register(
     "embedding_ann_topk",
     oracle=f"""
@@ -214,9 +273,11 @@ UNION ALL
 SELECT * FROM ({_SIMHASH_ANN_SQL}) AS simhash_part
 UNION ALL
 SELECT * FROM ({_IVF_ANN_SQL}) AS ivf_part
+UNION ALL
+SELECT * FROM ({_IVF2_ANN_SQL}) AS ivf2_part
 """,
     tags=("D25",),
-    doc="Embedding similarity search, all three forms in one query "
+    doc="Embedding similarity search, all four forms in one query "
     "discriminated by `method` (consolidated from embedding_cosine_topk "
     "/ embedding_simhash_ann / embedding_ivf_ann). 'brute': broadcast "
     "query set, exact cosine (zip_with+aggregate, fully codegen'd), "
@@ -228,7 +289,14 @@ SELECT * FROM ({_IVF_ANN_SQL}) AS ivf_part
     "stride = ceil(n/floor(sqrt(n))), r11), vectors assigned to their "
     "max-cosine cell, queries probe their own cell only, exact re-rank "
     "inside — at 100 TB centroids come from sampled k-means (the "
-    "ann_index build) with the identical cell-join shape and sizing.",
+    "ann_index build) with the identical cell-join shape and sizing. "
+    "'ivf2' (r11): the TWO-LEVEL counted rule — super-centroids are the "
+    "counted rule applied to the centroid table's own rank order, "
+    "vectors coarse-argmax to a super cell then argmax within its "
+    "children (~2n·n^(1/4) FLOPs vs the flat rule's n^1.5); every "
+    "stage is deterministic, so the hierarchical APPROXIMATION itself "
+    "is hash-checked against DuckDB — the oracle-checkable twin of "
+    "ann_index.kmeans_assign_two_level.",
 )
 def embedding_ann_topk(spark, sf_dir):
     brute = embedding_cosine_topk(spark, sf_dir).select(
@@ -240,7 +308,10 @@ def embedding_ann_topk(spark, sf_dir):
     ivf = embedding_ivf_ann(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    return brute.unionByName(simhash).unionByName(ivf)
+    ivf2 = embedding_ivf2_ann(spark, sf_dir).select(
+        F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    return brute.unionByName(simhash).unionByName(ivf).unionByName(ivf2)
 
 
 def ivf_assign(emb, keep_centroid_cos: bool = False):
@@ -282,6 +353,121 @@ def ivf_assign(emb, keep_centroid_cos: bool = False):
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "ne", "cid", *extra)
     )
+
+
+def ivf2_assign(emb, keep_centroid_cos: bool = False):
+    """Two-level counted-rule assignment (r11) — the DETERMINISTIC,
+    oracle-replayable twin of ann_index.kmeans_assign_two_level:
+
+    1. centroids = the counted-n rule (as :func:`ivf_assign`);
+    2. super-centroids = the counted rule applied AGAIN, to the
+       centroid table's cid-rank order (every stride2-th centroid,
+       stride2 = ceil(k/floor(sqrt(k))) — ~n^(1/4) rows);
+    3. each centroid argmaxes to a parent super cell (k x k^(1/2),
+       driver-scale); each vector argmaxes over the supers, then over
+       its super's CHILDREN via a broadcast hash join on scid.
+
+    Every stage is a deterministic argmax with explicit tie-breaks, so
+    the hierarchical approximation is bit-identical in Spark and
+    DuckDB — the property that lets the registry HASH-CHECK an
+    approximate ANN form. FLOPs ~2n·n^(1/4) vs the flat counted rule's
+    n^1.5; both levels' broadcast tables are bounded (sqrt(n), n^(1/4)
+    rows). The rank window in step 2 is a single-partition window over
+    the ~sqrt(n)-row centroid table — bounded by construction."""
+    nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    cent = (
+        emb.crossJoin(F.broadcast(nrow))
+        .where(F.col("vec_id") % counted_stride_col(F.col("n_emb")) == 0)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+            F.col("ne").alias("nc"),
+        )
+    )
+    crk = cent.select(
+        "cid",
+        "cv",
+        "nc",
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    sup = crk.where(F.col("rnk") % counted_stride_col(F.col("k")) == 0).select(
+        F.col("cid").alias("scid"), F.col("cv").alias("sv"), F.col("nc").alias("ns")
+    )
+    wp = Window.partitionBy("cid").orderBy(F.col("cos_s").desc(), F.col("scid"))
+    parent = (
+        cent.crossJoin(F.broadcast(sup))
+        .select(
+            "cid", "cv", "nc", "scid",
+            _fast_cosine(
+                as_double(F.col("cv")), as_double(F.col("sv")),
+                F.col("nc"), F.col("ns"),
+            ).alias("cos_s"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("cid", "cv", "nc", "scid")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
+    coarse = (
+        emb.crossJoin(F.broadcast(sup))
+        .select(
+            "vec_id", "embedding", "ne", "scid",
+            _fast_cosine(
+                as_double(F.col("embedding")), as_double(F.col("sv")),
+                F.col("ne"), F.col("ns"),
+            ).alias("cos_s"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ne", "scid")
+    )
+    wf = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    extra = ["cos_c"] if keep_centroid_cos else []
+    return (
+        coarse.join(F.broadcast(parent), "scid")
+        .select(
+            "vec_id",
+            "embedding",
+            "ne",
+            "cid",
+            _fast_cosine(
+                as_double(F.col("embedding")), as_double(F.col("cv")),
+                F.col("ne"), F.col("nc"),
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ne", "cid", *extra)
+    )
+
+
+def embedding_ivf2_ann(spark, sf_dir):
+    """IVF ANN over the two-level counted assignment (method='ivf2'):
+    queries probe their own (two-level-assigned) cell, exact re-rank,
+    top-1 — the same probe shape as :func:`embedding_ivf_ann` on the
+    pruned geometry. The assignment is scratch-persisted so the query
+    and catalog sides share one computation."""
+    from ..scratch import scratch
+
+    emb = embeddings_normed(spark, sf_dir)
+    assign = scratch(ivf2_assign(emb))
+    q = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "cid",
+    )
+    scored = q.join(assign, "cid").where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _fast_cosine(
+                as_double(F.col("qv")), as_double(F.col("embedding")),
+                F.col("nq"), F.col("ne"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 
 def embedding_ivf_ann(spark, sf_dir):
