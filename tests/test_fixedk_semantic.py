@@ -353,6 +353,35 @@ def test_two_level_assign_exact_on_clustered_and_bounded_on_fixture(spark):
     assert dall == 0 and mall == fflat
 
 
+def test_semdedup_over_ivf2_cells_matches_driver_reference(spark):
+    """r11: the whole SemDeDup keep-rule runs unchanged over the
+    DETERMINISTIC two-level (ivf2) cells — the oracle-replayable
+    geometry twin of the kmeans pin above. Same driver union-find +
+    argmin reference, recomputed over the ivf2 assignment."""
+    from flink_parameter_server_spark.operators.similarity import ivf2_assign
+
+    assign = scratch(
+        ivf2_assign(embeddings_normed(spark, SF_MED), keep_centroid_cos=True).where(
+            F.col("ne") > 0
+        )
+    )
+    cos_c = {r["vec_id"]: r["cos_c"] for r in assign.select("vec_id", "cos_c").collect()}
+    pair_rows = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_semantic_pairs(spark, SF_MED, assign=assign).collect()
+    ]
+    comps, want_keep = _union_find_keep(pair_rows, cos_c)
+    got = semdedup_prune(spark, SF_MED, assign=assign).collect()
+    assert {r.vec_id for r in got if r.keep == 1} == want_keep
+    got_comps: dict[int, set[int]] = {}
+    for r in got:
+        got_comps.setdefault(r.component, set()).add(r.vec_id)
+    assert sorted(map(sorted, got_comps.values())) == sorted(
+        sorted(m) for m in comps.values()
+    )
+    release()
+
+
 def test_two_level_training_contract(spark):
     """r11: kmeans_centroids(two_level=True) runs every Lloyd
     iteration's assignment through the centroid-of-centroids prune —

@@ -112,6 +112,12 @@ def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> 
             emb = embeddings_normed(spark, sf_dir)
             assign = scratch.scratch(_stride64_assign(emb))
             pairs = embedding_semantic_pairs(spark, sf_dir, assign=assign).count()
+        elif geometry == "counted_two_level":
+            from flink_parameter_server_spark.operators.similarity import ivf2_assign
+
+            emb = embeddings_normed(spark, sf_dir)
+            assign = scratch.scratch(ivf2_assign(emb))
+            pairs = embedding_semantic_pairs(spark, sf_dir, assign=assign).count()
         else:
             emb = embeddings_normed(spark, sf_dir)
             assign = scratch.scratch(kmeans_assign(spark, emb, n_cells=k))
@@ -121,7 +127,7 @@ def _time_geometry(spark, sf_dir: str, geometry: str, reps: int, n_vec: int) -> 
             samples.append(round(dt, 3))
     if geometry == "stride64":
         crows = (n_vec + STRIDE64 - 1) // STRIDE64
-    elif geometry == "counted_sqrt":
+    elif geometry in ("counted_sqrt", "counted_two_level"):
         crows = (n_vec + counted_stride(n_vec) - 1) // counted_stride(n_vec)
     else:
         crows = k
@@ -182,7 +188,9 @@ def main() -> int:
     for label, sf_dir in scales:
         n_vec = embeddings_normed(spark, sf_dir).count()
         out = {"sf": label, "n_vectors": n_vec, "centroid_rows": {}, "pairs": {}, "sec": {}}
-        for geometry in ("stride64", "counted_sqrt", "fixedk16", "fixedk_sqrt"):
+        for geometry in (
+            "stride64", "counted_sqrt", "counted_two_level", "fixedk16", "fixedk_sqrt"
+        ):
             sec, pairs, crows = _time_geometry(spark, sf_dir, geometry, reps, n_vec)
             out["sec"][geometry] = sec
             out["pairs"][geometry] = pairs

@@ -24,9 +24,12 @@ pretraining corpus takes, on the driver fixture:
                    labels, ps/pa.py doc_quality_filter) and the
                    bigram-LM cross-entropy signal (text_profile)
   5b. embed+select — SemDeDup semantic-dup pruning over the vector
-                   catalog (similarity.semdedup_prune) and DSIR
-                   importance selection of the train split by
-                   dsir_logw (text_profile, r9)
+                   catalog (similarity.semdedup_prune) on all three
+                   geometries (counted-n, fixed-k sampled k-means,
+                   r11 deterministic two-level), DSIR importance
+                   selection of the train split by dsir_logw
+                   (text_profile, r9), and the r11 seeded-Gumbel
+                   temperature>0 selection next to the hard cut
   6. ingest      — the CONTINUOUS form (r9): publish the corpus onto an
                    fpsqueue topic (sources/fps_queue.py), stream it
                    back in rate-limited micro-batches, and run the same
@@ -36,7 +39,10 @@ pretraining corpus takes, on the driver fixture:
                    vector store) — batch and streamed curation in one
                    invocation; 6b (r10) stamps the same corpus through
                    the continuous DSIR count store and checks the
-                   final rescore against the batch weight pipeline.
+                   final rescore against the batch weight pipeline;
+                   6c (r11) compacts the count store and replays a
+                   folded bid to surface the compaction replay
+                   contract.
 
 Prints one human-readable summary per stage plus a final JSON line.
 
@@ -256,12 +262,30 @@ def main() -> None:
     sel = train_w.orderBy(F.col("dsir_logw").desc()).limit(n_train_w // 2)
     stats = sel.agg(F.round(F.avg("dsir_logw"), 3).alias("sel_mean")).collect()[0]
     all_mean = train_w.agg(F.round(F.avg("dsir_logw"), 3).alias("m")).collect()[0]["m"]
+    # r11: the same prune on the deterministic two-level (ivf2) cells,
+    # and the temperature>0 seeded-Gumbel selection next to the hard cut
+    from flink_parameter_server_spark.operators._dsir_core import dsir_micro
+    from flink_parameter_server_spark.operators.mlprep import dsir_select_gumbel
+    from flink_parameter_server_spark.operators.similarity import ivf2_assign
+
+    assign_2l = scratch(
+        ivf2_assign(emb_n, keep_centroid_cos=True).where(F.col("ne") > 0)
+    )
+    sem_dropped_2l = (
+        semdedup_prune(spark, sf, assign=assign_2l).where("keep = 0").count()
+    )
+    release()
+    w_all = dsir_micro(_t(spark, sf, "documents").select("doc_id", "lang", "text"))
+    gum = dsir_select_gumbel(w_all.join(train_ids, "doc_id", "left_semi"))
+    n_gum = gum.where("sel = 'selected'").count()
     out["embed_select"] = {
         "semantic_dups_dropped": sem_dropped,
         "semantic_dups_dropped_fixedk": sem_dropped_fk,
+        "semantic_dups_dropped_two_level": sem_dropped_2l,
         "dsir_selected": n_train_w // 2,
         "dsir_selected_mean_logw": stats["sel_mean"],
         "dsir_train_mean_logw": all_mean,
+        "dsir_gumbel_selected": n_gum,
     }
     print(f"# embed+select: {out['embed_select']}")
 
@@ -372,6 +396,30 @@ def main() -> None:
             "rescore_equals_batch_pipeline": n_agree == refreshed.count(),
         }
         print(f"# ingest (continuous DSIR): {out['ingest_dsir']}")
+
+        # 6c (r11): compact the count store, then REPLAY a folded bid —
+        # counts stay stable because the folded-bid set makes the
+        # replay skip its delta write (the compaction replay contract)
+        from flink_parameter_server_spark.streaming.incremental_dsir import (
+            compact_dsir_counts,
+            read_dsir_counts,
+        )
+
+        before_c = {
+            r["b"]: (r["cr"], r["ct"])
+            for r in read_dsir_counts(spark, dsir_store).collect()
+        }
+        folded = compact_dsir_counts(spark, dsir_store)
+        process_dsir_batch(spark, halves[0], dsir_store, 0).count()
+        after_c = {
+            r["b"]: (r["cr"], r["ct"])
+            for r in read_dsir_counts(spark, dsir_store).collect()
+        }
+        out["ingest_dsir_compaction"] = {
+            "bids_folded": folded,
+            "counts_stable_after_folded_replay": after_c == before_c,
+        }
+        print(f"# ingest (DSIR compaction): {out['ingest_dsir_compaction']}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
