@@ -147,6 +147,39 @@ def test_semantic_pairs_plan_is_cell_equijoin(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+def test_counted_stride_arithmetic_matches_duckdb_exactly(spark):
+    """r11: the counted-stride rule's three arithmetic twins (Python
+    counted_stride, the Spark column expression, DuckDB's SQL) must
+    agree EXACTLY — the IEEE sqrt/floor/ceil-on-doubles claim the rule
+    rests on, pinned directly over a wide n sweep including perfect
+    squares, off-by-one neighbors, and large values."""
+    import duckdb
+
+    from flink_parameter_server_spark.functions.planes import counted_stride_col
+
+    ns = (
+        list(range(1, 200))
+        + [k * k for k in range(2, 60)]
+        + [k * k - 1 for k in range(2, 60)]
+        + [k * k + 1 for k in range(2, 60)]
+        + [10**6, 10**6 + 7, 10**9, 10**9 + 123, 10**12 + 3]
+    )
+    con = duckdb.connect()
+    sql = (
+        "SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE) "
+        "/ greatest(1.0, floor(sqrt(CAST(n AS DOUBLE))))) AS BIGINT)) "
+        "FROM (SELECT ? AS n)"
+    )
+    duck = {n: con.execute(sql, [n]).fetchone()[0] for n in ns}
+    py = {n: counted_stride(n) for n in ns}
+    assert py == duck
+    sdf = spark.createDataFrame([(n,) for n in ns], "n bigint").select(
+        "n", counted_stride_col(F.col("n")).alias("s")
+    )
+    sp = {r["n"]: r["s"] for r in sdf.collect()}
+    assert sp == duck
+
+
 def test_counted_centroid_rule_bounded_at_sqrt_n(spark):
     """r11: the counted-n rule's centroid table is ~sqrt(n) rows — the
     bound the plan-sweep whitelist now cites (vs the retired stride
