@@ -441,6 +441,56 @@ def ivf2_assign(emb, keep_centroid_cos: bool = False):
     )
 
 
+def semantic_cell_profile(assign) -> dict:
+    """Cell-size balance stats for an in-memory assignment frame — the
+    counted-n twin of ann_index.cell_skew (r11). The counted rule's
+    centroids are ID-STRATIFIED samples: on a corpus whose embeddings
+    CLUSTER heavily (the realistic pretraining case), a dense region's
+    vectors pile into few cells and the in-cell pair join goes
+    ~|cell|^2 — the quadratic term the sqrt(n) sizing assumes away.
+    One aggregation over (cid) -> {n_cells, total, max_cell,
+    mean_cell, skew, max_share, pair_bound}; pair_bound = sum(n_c^2)/2
+    is the pair join's actual row bound vs the balanced ~total^1.5/2
+    estimate.
+
+    Which statistic flags what: the counted centroids are a
+    density-PROPORTIONAL sample (vec_id order is independent of the
+    embedding), so SMOOTH clusters self-balance — the rule's real
+    pathology is EXACT-duplicate mass (boilerplate before dedup):
+    identical vectors all tie to one lowest-cid centroid, collapsing
+    into one cell that `skew` (max/mean over NON-EMPTY cells)
+    understates because the other cells empty out. ``max_share``
+    (max_cell/total) is the deployment flag: a cell holding > ~10% of
+    the corpus makes the pair join quadratic in that share — switch
+    the semantic stage to the density-adaptive quantizer
+    (ann_index.kmeans_assign / kmeans_assign_two_level via the
+    ``assign=`` hooks), or better, run exact dedup FIRST (the
+    corpus_curate stage order already does). The counted rule stays
+    the ORACLE form — this diagnostic is how a deployment decides
+    which geometry to run."""
+    row = (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_c").alias("total"),
+            F.max("n_c").alias("max_cell"),
+            F.avg("n_c").alias("mean_cell"),
+            F.sum(F.col("n_c") * F.col("n_c")).alias("sq"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_cells": row["n_cells"],
+        "total": row["total"],
+        "max_cell": row["max_cell"],
+        "mean_cell": row["mean_cell"],
+        "skew": (row["max_cell"] / row["mean_cell"]) if row["mean_cell"] else 0.0,
+        "max_share": (row["max_cell"] / row["total"]) if row["total"] else 0.0,
+        "pair_bound": (row["sq"] or 0) // 2,
+    }
+
+
 def embedding_ivf2_ann(spark, sf_dir):
     """IVF ANN over the two-level counted assignment (method='ivf2'):
     queries probe their own (two-level-assigned) cell, exact re-rank,

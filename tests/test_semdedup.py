@@ -147,6 +147,56 @@ def test_semantic_pairs_plan_is_cell_equijoin(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+def test_semantic_cell_profile_flags_clustered_corpus(spark):
+    """r11: semantic_cell_profile is the deployment's geometry picker.
+    The counted rule's centroids are a density-PROPORTIONAL sample of
+    the data (vec_id order is independent of the embedding), so smooth
+    clusters self-balance — the genuine pathology is EXACT-duplicate
+    mass (boilerplate before dedup): identical vectors tie to the one
+    lowest-cid centroid of their direction no matter how many centroids
+    that direction holds — and skew (max/mean over NON-EMPTY cells)
+    understates it because the other cells empty out; max_share is the
+    deployment flag. Pins: (1) on a 90%-exact-duplicate synthetic
+    max_share exceeds the documented ~0.1 switch threshold and
+    pair_bound shows the quadratic |cluster|^2/2 term; (2) on the
+    near-uniform fixture max_share stays small; (3) the arithmetic
+    (total/max/pair_bound) is exact vs a driver-side recount."""
+    import numpy as np
+
+    from flink_parameter_server_spark.operators.similarity import (
+        semantic_cell_profile,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    hub = np.zeros(8)
+    hub[0] = 1.0
+    for i in range(180):  # exact-duplicate mass: 90% of the corpus
+        rows.append((i, [float(x) for x in hub]))
+    for i in range(180, 200):  # sparse tail, spread directions
+        v = 0.02 * rng.randn(8)
+        v[1 + (i % 7)] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from flink_parameter_server_spark.operators.ann_index import _normed
+
+    assign = ivf_assign(_normed(emb, "embedding", "ne"))
+    prof = semantic_cell_profile(assign)
+    assert prof["total"] == 200 and prof["max_share"] > 0.5, prof
+    assert prof["pair_bound"] >= 180 * 180 // 2  # the quadratic term is visible
+
+    # driver recount exactness
+    cells: dict[int, int] = {}
+    for r in assign.select("cid").collect():
+        cells[r["cid"]] = cells.get(r["cid"], 0) + 1
+    assert prof["n_cells"] == len(cells)
+    assert prof["max_cell"] == max(cells.values())
+    assert prof["pair_bound"] == sum(c * c for c in cells.values()) // 2
+
+    fix = semantic_cell_profile(ivf_assign(embeddings_normed(spark, SF_MED)))
+    assert fix["max_share"] < 0.1, fix
+
+
 def test_counted_stride_arithmetic_matches_duckdb_exactly(spark):
     """r11: the counted-stride rule's three arithmetic twins (Python
     counted_stride, the Spark column expression, DuckDB's SQL) must
