@@ -428,6 +428,67 @@ def _mixture_part(d):
     )
 
 
+def pack_tokens_capped(d, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS):
+    """HARD-CAP sequence packing (r11): first-fit-decreasing bins with
+    pack token-sum <= budget — the context-window form of the 'packed'
+    part, whose running-sum pack can OVERFLOW the budget (the doc
+    crossing the boundary belongs to the earlier pack; a trainer then
+    truncates the overflow). Here every pack fits the context window
+    whole, except a single doc longer than the budget, which packs
+    alone (the trainer's chunk-long-docs case, surfaced as
+    ``oversize`` = true).
+
+    Distribution shape: docs shard by the SAME seeded hash as 'packed'
+    (shards ~= cluster parallelism at 100 TB), and FFD runs per shard
+    inside one applyInPandas — Python is the right lane here because a
+    capacity-capped bin assignment is inherently sequential state (a
+    running-sum window cannot express "reset when the next doc would
+    overflow"). Deterministic: within a shard docs sort (tok desc,
+    doc_id), bins probe first-fit in creation order. The per-shard
+    linear bin scan is O(docs x open bins); at extreme shard sizes
+    bucket bins by residual capacity — noted, not needed while shards
+    track parallelism.
+
+    Returns (doc_id, shard, pack_id, tok, oversize). Packing quality
+    vs the overflow form is utilization = total_tok/(n_packs x budget)
+    — receipt in tests (FFD is the classic 11/9·OPT+1 guarantee)."""
+    import pandas as pd
+
+    hk = int_hash(F.col("doc_id"), 4, SPLIT_SEED)
+    raw = d.select(
+        "doc_id",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).cast("long").alias("tok"),
+        (hk % F.lit(shards)).alias("shard"),
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tok", "doc_id"], ascending=[False, True])
+        loads: list[int] = []
+        packs, oversize = [], []
+        for tok in pdf["tok"].to_numpy():
+            t = int(tok)
+            if t > budget:
+                packs.append(len(loads))
+                loads.append(t)  # full — nothing else first-fits in
+                oversize.append(True)
+                continue
+            for i, ld in enumerate(loads):
+                if ld + t <= budget:
+                    loads[i] = ld + t
+                    packs.append(i)
+                    break
+            else:
+                packs.append(len(loads))
+                loads.append(t)
+            oversize.append(False)
+        pdf = pdf.assign(pack_id=packs, oversize=oversize)
+        return pdf[["doc_id", "shard", "pack_id", "tok", "oversize"]]
+
+    return raw.groupBy("shard").applyInPandas(
+        _ffd, "doc_id bigint, shard bigint, pack_id bigint, tok bigint, oversize boolean"
+    )
+
+
 def _dsir_selected_part(d, w):
     """Spark twin of the 'dsir_selected' oracle half: DSIR data
     SELECTION over the shared importance-weight pipeline

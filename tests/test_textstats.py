@@ -880,6 +880,55 @@ def _one_shot_rates(spark, sf_dir):
     return {r["g_source"]: r["r"] for r in _domain_rates(dom0).collect()}
 
 
+def test_pack_tokens_capped_invariants(spark):
+    """r11: hard-cap FFD packing (pack_tokens_capped). Pins (1) the cap
+    invariant — every pack's token sum <= budget unless it is a single
+    oversize doc (which packs ALONE, flagged); (2) every input doc
+    packs exactly once; (3) determinism (two runs identical); (4) the
+    FFD quality floor — per shard, packs used <= 11/9*ceil(tok/budget)
+    + 2 (the classic FFD guarantee over the OPT >= ceil(total/budget)
+    lower bound, oversize docs excluded from both sides)."""
+    import math
+
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.mlprep import (
+        PACK_BUDGET,
+        pack_tokens_capped,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = t(spark, SF_SMALL, "documents")
+    rows = pack_tokens_capped(spark_df := d).collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in d.select("doc_id").collect()
+    }
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for members in by_pack.values():
+        tok_sum = sum(r["tok"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1 and members[0]["tok"] > PACK_BUDGET
+        else:
+            assert tok_sum <= PACK_BUDGET, tok_sum
+
+    rows2 = pack_tokens_capped(spark_df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    shard_tok: dict = {}
+    shard_packs: dict = {}
+    for r in rows:
+        if r["oversize"]:
+            continue
+        shard_tok[r["shard"]] = shard_tok.get(r["shard"], 0) + r["tok"]
+        shard_packs.setdefault(r["shard"], set()).add(r["pack_id"])
+    for s, toks in shard_tok.items():
+        opt_lb = math.ceil(toks / PACK_BUDGET)
+        assert len(shard_packs[s]) <= math.ceil(11 / 9 * opt_lb) + 2, (
+            s, len(shard_packs[s]), opt_lb,
+        )
+
+
 def test_dsir_gumbel_tau_to_zero_recovers_exact_cut(spark):
     """r11: dsir_select_gumbel is the temperature>0 Gumbel form of the
     'dsir_selected' cut. Pins (1) tau -> 0 recovers the exact rank cut
