@@ -1,13 +1,20 @@
 """Filesystem-agnostic path probes for store readers (ADVICE r10).
 
-Store modules (ann_index cells, incremental_dsir counts) must decide
-"does this store exist yet" — and they target object-store/HDFS
-deployments, where a driver-local ``os.path.isdir`` silently reads a
-POPULATED remote store as empty (weights computed against the current
-batch alone, probes against an empty catalog). Resolve existence
-through the Hadoop FileSystem API instead: it honors the path's scheme
-(file://, hdfs://, s3a://, ...) via the session's Hadoop configuration,
-exactly as the read itself would.
+Store modules (ann_index cells, incremental_dsir counts, the
+incremental dedup/curate band/hash stores) must decide "does this
+store exist yet" — and they target object-store/HDFS deployments,
+where a driver-local ``os.path.isdir`` silently reads a POPULATED
+remote store as empty (weights computed against the current batch
+alone, probes against an empty catalog, batches deduped against
+nothing). Resolve existence through the Hadoop FileSystem API instead:
+it honors the path's scheme (file://, hdfs://, s3a://, ...) via the
+session's Hadoop configuration, exactly as the read itself would.
+
+Scope (deliberate): READ-path probes route through here because their
+failure mode is SILENT wrong results. Maintenance ops that still use
+shutil/os (compact_store, compact_index, rebuild_index's swap) fail
+LOUDLY on a remote scheme — a different class; compact_dsir_counts
+shows the FS-API form for when those are lifted too.
 """
 
 from __future__ import annotations

@@ -114,10 +114,13 @@ def curate_batch(
         "doc_id", F.col("keeper").alias("dup_of")
     )
     keepers = hashed.where(F.col("doc_id") == F.col("keeper"))
+    from ..sources.fsutil import path_exists
+
+    # FS-API existence (r11): the silent-empty-store read class
     hash_path = os.path.join(store_dir, "hashes")
     store_h = (
         spark.read.schema(_HASH_SCHEMA).parquet(hash_path)
-        if os.path.isdir(hash_path)
+        if path_exists(spark, hash_path)
         else spark.createDataFrame([], _HASH_SCHEMA)
     )
     exact_store = (

@@ -67,8 +67,13 @@ _SH_SCHEMA = "doc_id bigint, shingles array<bigint>"
 
 
 def _store(spark, store_dir: str, name: str, schema: str) -> DataFrame:
+    # existence via the Hadoop FS API (r11, ADVICE r10 class): a
+    # driver-local isdir silently reads a populated remote store as
+    # EMPTY — every batch would then dedup against nothing
+    from ..sources.fsutil import path_exists
+
     path = os.path.join(store_dir, name)
-    if os.path.isdir(path):
+    if path_exists(spark, path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
 
