@@ -205,6 +205,26 @@ def rescore_dsir(spark, docs: DataFrame, store_dir: str) -> DataFrame:
     return dsir_weights(dsir_features(docs), lam)
 
 
+def rescore_and_select(
+    spark, docs: DataFrame, store_dir: str, keep_div: int | None = None
+):
+    """Continuous DSIR SELECTION (r11): refresh ``docs``' weights under
+    the CURRENT store, then apply the scale-form threshold cut
+    (mlprep.dsir_select_threshold — approx-percentile, no global sort).
+    This is the composition a selection pass over a long-ingested
+    corpus actually runs: stamps written at arrival are stale by the
+    greedy-stamp contract, so select on a RESCORE, never on stored
+    stamps. Returns (doc_id, smic, sel). The rescored frame is
+    checkpointed before the cut (the threshold's documented
+    persist-before-count contract — the count action would otherwise
+    re-execute the whole weight lineage)."""
+    from ..operators.mlprep import DSIR_KEEP_DIV, dsir_select_threshold
+    from ..scratch import tracked_checkpoint
+
+    w = tracked_checkpoint(rescore_dsir(spark, docs, store_dir))
+    return dsir_select_threshold(w, keep_div=keep_div or DSIR_KEEP_DIV)
+
+
 def dsir_stream_writer(spark, docs_stream: DataFrame, store_dir: str, weights_dir: str):
     """Wire :func:`process_dsir_batch` into Structured Streaming:
     foreachBatch updates the count store and writes the batch's

@@ -144,17 +144,29 @@ def test_fixedk_semdedup_prune_matches_driver_reference(spark):
     release()
 
 
-def test_fixedk_corpus_curate_semantic_stage(spark):
-    """The END-TO-END curated pipeline under a fixed-k sem_assign:
-    (1) every lexical-stage decision (eval/quality/exact/contaminated/
-    near_dup) is IDENTICAL to the stride-geometry run — the semantic
-    geometry must not leak upstream; (2) the semantic rejections equal
-    a driver union-find over the fixed-k pair set restricted to the
-    stage-4 survivor set, keeping min-doc_id canonicals (the pipeline's
-    greedy rule)."""
+import pytest
+
+
+@pytest.mark.parametrize("geometry", ["kmeans", "ivf2"])
+def test_fixedk_corpus_curate_semantic_stage(spark, geometry):
+    """The END-TO-END curated pipeline under an alternate sem_assign
+    (fixed-k sampled k-means, or — r11 — the deterministic two-level
+    ivf2 cells): (1) every lexical-stage decision (eval/quality/exact/
+    contaminated/near_dup) is IDENTICAL to the default-geometry run —
+    the semantic geometry must not leak upstream; (2) the semantic
+    rejections equal a driver union-find over that geometry's pair set
+    restricted to the stage-4 survivor set, keeping min-doc_id
+    canonicals (the pipeline's greedy rule)."""
     from flink_parameter_server_spark.operators.curate import corpus_curate
 
-    assign = _fk_assign(spark)
+    if geometry == "kmeans":
+        assign = _fk_assign(spark)
+    else:
+        from flink_parameter_server_spark.operators.similarity import ivf2_assign
+
+        assign = scratch(
+            ivf2_assign(embeddings_normed(spark, SF_MED)).where(F.col("ne") > 0)
+        )
     dec_fk = {
         r["doc_id"]: r["split"]
         for r in corpus_curate(spark, SF_MED, sem_assign=assign).collect()

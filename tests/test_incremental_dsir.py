@@ -133,6 +133,41 @@ def test_compaction_preserves_weights_and_replay(spark, tmp_path):
     assert _wmap(rescore_dsir(spark, d, store)) == _wmap(dsir_micro(d))
 
 
+def test_rescore_and_select_matches_batch_threshold_cut(spark, tmp_path):
+    """r11: the continuous-selection composition — after two batches,
+    rescore_and_select over the full doc set must equal
+    dsir_select_threshold over the batch pipeline's weights (same
+    percentile arithmetic on the same refreshed weights), and its
+    selected set obeys the threshold contract vs the exact rank cut
+    (strictly-above boundary in, strictly-below out)."""
+    from flink_parameter_server_spark.operators.mlprep import (
+        DSIR_KEEP_DIV,
+        dsir_select_threshold,
+    )
+    from flink_parameter_server_spark.scratch import tracked_checkpoint
+    from flink_parameter_server_spark.streaming.incremental_dsir import (
+        rescore_and_select,
+    )
+
+    store = str(tmp_path / "store")
+    d = _docs(spark)
+    process_dsir_batch(spark, d.where(F.col("doc_id") % 2 == 0), store, 0).collect()
+    process_dsir_batch(spark, d.where(F.col("doc_id") % 2 == 1), store, 1).collect()
+    got = {(r["doc_id"], r["sel"]) for r in rescore_and_select(spark, d, store).collect()}
+    want = {
+        (r["doc_id"], r["sel"])
+        for r in dsir_select_threshold(tracked_checkpoint(dsir_micro(d))).collect()
+    }
+    assert got == want and got
+    w = {r["doc_id"]: r["smic"] for r in dsir_micro(d).collect()}
+    k = len(w) // DSIR_KEEP_DIV
+    order = sorted(w, key=lambda x: (-w[x], x))
+    boundary = w[order[k - 1]]
+    sel = {doc for doc, s in got if s == "selected"}
+    assert {x for x in w if w[x] > boundary} <= sel
+    assert not ({x for x in w if w[x] < boundary} & sel)
+
+
 def test_streaming_wireup(spark, tmp_path):
     """Two micro-batches through dsir_stream_writer: every doc gets
     exactly one stamp row, and the final store rescore equals the
