@@ -115,9 +115,11 @@ def compact_dsir_counts(spark, store_dir: str) -> int:
     probes (the ADVICE r10 class — a driver-local listdir/rename would
     crash or silently no-op on hdfs://, s3a://).
     Returns the number of bid deltas folded this call."""
-    from ..sources.fsutil import delete_path, list_dir_names, rename_path
+    from ..sources.fsutil import delete_path, list_dir_names, path_exists, rename_path
 
     counts_path = os.path.join(store_dir, "counts")
+    if not path_exists(spark, counts_path):
+        return 0  # never-ingested store: nothing to fold
     bids = folded_bids(spark, store_dir)
     new_bids = {
         int(name.split("=", 1)[1])

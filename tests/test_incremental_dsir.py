@@ -125,6 +125,9 @@ def test_compaction_preserves_weights_and_replay(spark, tmp_path):
         _wmap(dsir_micro(d))
     )
 
+    # compaction of a never-ingested store is a no-op, not a crash
+    assert compact_dsir_counts(spark, str(tmp_path / "no_store")) == 0
+
     # fresh ingest after compaction, then compact again
     process_dsir_batch(spark, b3, store, 2).collect()
     assert _wmap(rescore_dsir(spark, d, store)) == _wmap(dsir_micro(d))
