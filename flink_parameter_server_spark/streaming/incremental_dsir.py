@@ -88,7 +88,10 @@ def folded_bids(spark, store_dir: str) -> set[int]:
     :func:`compact_dsir_counts` — stored as a tiny parquet under
     ``counts/_folded`` (the underscore prefix hides it from the
     recursive delta read above; parquet, not a driver-local JSON, so
-    the probe works on any filesystem the store does)."""
+    the probe works on any filesystem the store does). The collect is
+    bounded by the number of batches ever ingested (one bigint per
+    bid — ~100k rows for a year of 5-minute batches), not by corpus
+    size."""
     from ..sources.fsutil import path_exists
 
     path = os.path.join(store_dir, "counts", "_folded")

@@ -144,7 +144,23 @@ def main() -> None:
     }
     out["packed_pack_count"] = packs
     out["mixture_copies"] = mix
-    print(f"# pack: {packs} token-budget packs; mix: {mix}")
+    # r11: the HARD-CAP form next to the overflow form — every pack
+    # fits the context window whole (FFD per shard); utilization =
+    # packed tokens / (packs x budget) over non-oversize packs
+    from flink_parameter_server_spark.operators.mlprep import (
+        PACK_BUDGET,
+        pack_tokens_capped,
+    )
+
+    capped = pack_tokens_capped(_t(spark, sf, "documents")).where(~F.col("oversize"))
+    cstats = capped.groupBy("shard", "pack_id").agg(
+        F.sum("tok").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n_packs"), F.sum("t").alias("tok")).collect()[0]
+    out["packed_capped"] = {
+        "packs": cstats["n_packs"],
+        "utilization": round(cstats["tok"] / (cstats["n_packs"] * PACK_BUDGET), 3),
+    }
+    print(f"# pack: {packs} token-budget packs; capped: {out['packed_capped']}; mix: {mix}")
 
     # 3b. mixture planning (late r9): importance-weighted DOMAIN
     # mixture (DoReMi shape over the shared DSIR weights) and
