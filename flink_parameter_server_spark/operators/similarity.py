@@ -373,7 +373,12 @@ def ivf2_assign(emb, keep_centroid_cos: bool = False):
     approximate ANN form. FLOPs ~2n·n^(1/4) vs the flat counted rule's
     n^1.5; both levels' broadcast tables are bounded (sqrt(n), n^(1/4)
     rows). The rank window in step 2 is a single-partition window over
-    the ~sqrt(n)-row centroid table — bounded by construction."""
+    the ~sqrt(n)-row centroid table — bounded by construction.
+
+    Zero-norm vectors keep the oracle's NULL-cosine ordering exactly
+    as :func:`ivf_assign` does; PRUNE consumers filter ``ne > 0``
+    AFTER assignment (the semdedup_prune default-path convention) —
+    tests/test_fixedk_semantic.py shows the composition."""
     nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
     cent = (
         emb.crossJoin(F.broadcast(nrow))
