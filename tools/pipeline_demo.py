@@ -294,7 +294,20 @@ def main() -> None:
     w_all = dsir_micro(_t(spark, sf, "documents").select("doc_id", "lang", "text"))
     gum = dsir_select_gumbel(w_all.join(train_ids, "doc_id", "left_semi"))
     n_gum = gum.where("sel = 'selected'").count()
+    # r11: the geometry-picker diagnostic — max_share > ~0.1 would say
+    # "switch this corpus's semantic stage to the kmeans quantizer"
+    from flink_parameter_server_spark.operators.similarity import (
+        ivf_assign,
+        semantic_cell_profile,
+    )
+
+    prof_cells = semantic_cell_profile(ivf_assign(embeddings_normed(spark, sf)))
     out["embed_select"] = {
+        "cell_profile": {
+            "n_cells": prof_cells["n_cells"],
+            "max_share": round(prof_cells["max_share"], 3),
+            "pair_bound": prof_cells["pair_bound"],
+        },
         "semantic_dups_dropped": sem_dropped,
         "semantic_dups_dropped_fixedk": sem_dropped_fk,
         "semantic_dups_dropped_two_level": sem_dropped_2l,
