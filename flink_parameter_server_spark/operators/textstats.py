@@ -63,17 +63,60 @@ def dedup_lines(text_col):
     """Within-document duplicate-LINE removal (r10, the Gopher/
     RefinedWeb repetition-removal TRANSFORM, Rae et al. 2021 §A1.1):
     keep each line's first occurrence, preserving order. Map-only
-    codegen'd array math — keep-first is array_position(lines, x) ==
-    own index. Returns (clean_text_col, n_removed_col).
+    codegen'd array math. Returns (clean_text_col, n_removed_col).
 
-    Cost bound (ADVICE r10): the per-element array_position scan makes
-    this O(L^2) in a document's LINE count, in both engines — fine for
-    web documents (L in the hundreds), quadratic for pathological
-    many-thousand-line docs. The linearithmic alternative at that
-    regime is posexplode -> min(pos) per line -> re-collect, which
-    trades the map-only shape for a per-doc shuffle; keep the array
-    form as long as a length gate (e.g. curate's quality stage) runs
-    upstream."""
+    Cost bound (ADVICE r10, fixed r11): the original form's
+    per-element array_position scan was O(L^2) in a document's LINE
+    count; this form is O(L log L) via two WITHIN-ROW array sorts —
+    zip each line with its index, sort by (line, index) so duplicates
+    become adjacent and the group head is the first occurrence, keep
+    heads, re-sort by index to restore document order. Still map-only
+    (no posexplode shuffle), so the transform keeps amortizing into
+    the one profile scan even on pathological many-thousand-line
+    docs. The group-head test pairs each sorted element with its
+    predecessor via zip_with against a NULL-headed shifted copy of
+    the SAME array — no lambda references an outer array expression,
+    which Spark would re-evaluate per element (turning the sort into
+    O(L^2 log L); measured 19x SLOWER than the quadratic form at
+    L=2000 before this shape was chosen). Semantics identical to the
+    array_position form (equality is the same string equality; a sort
+    only GROUPS equal lines — which line of a duplicate group
+    survives is decided by the index tiebreak, not by collation),
+    pinned by the _dedup_lines_quadratic equivalence test."""
+    lines = F.split(text_col, "\n")
+    by_line = F.array_sort(
+        F.transform(lines, lambda x, i: F.struct(x.alias("l"), i.alias("i")))
+    )
+    prev = F.concat(
+        F.array(F.lit(None).cast("struct<l:string,i:int>")), by_line
+    )
+    # element j pairs by_line[j] with by_line[j-1]; zip_with pads the
+    # shorter side with NULL, so the trailing extra element has cur
+    # NULL and is dropped by the i-NULL guard
+    marked = F.zip_with(
+        by_line,
+        prev,
+        lambda cur, prv: F.struct(
+            cur["i"].alias("i"),
+            cur["l"].alias("l"),
+            (prv.isNull() | (prv["l"] != cur["l"])).alias("keep"),
+        ),
+    )
+    heads = F.filter(marked, lambda x: x["i"].isNotNull() & x["keep"])
+    kept = F.transform(
+        F.array_sort(
+            F.transform(heads, lambda x: F.struct(x["i"].alias("i"), x["l"].alias("l")))
+        ),
+        lambda x: x["l"],
+    )
+    return F.array_join(kept, "\n"), (F.size(lines) - F.size(kept)).cast("long")
+
+
+def _dedup_lines_quadratic(text_col):
+    """The r10 array_position keep-first form, retained as the
+    equivalence reference for dedup_lines' r11 sort-based rewrite
+    (tests pin both on randomized multi-line corpora). O(L^2) per doc
+    — do not use in the hot path."""
     lines = F.split(text_col, "\n")
     kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
     return F.array_join(kept, "\n"), (F.size(lines) - F.size(kept)).cast("long")
@@ -513,10 +556,10 @@ def text_profile(spark, sf_dir):
         # signals above. Two sub-document units, both map-only
         # codegen'd array math in the same one scan:
         # - dedup_lines_text keeps each LINE's first occurrence
-        #   (keep-first is array_position(lines, x) == own index; the
-        #   fixture corpus is single-line so the driver path is
-        #   identity — multi-line behavior is parity-pinned on a
-        #   synthetic corpus in tests/test_textstats.py);
+        #   (sort-by-(line, index) group heads since r11, O(L log L)
+        #   per doc; the fixture corpus is single-line so the driver
+        #   path is identity — multi-line behavior is parity-pinned on
+        #   a synthetic corpus in tests/test_textstats.py);
         # - collapse_runs_text drops consecutive duplicate whitespace
         #   tokens (the stutter unit this corpus actually exhibits:
         #   "a a", "table table"), emitted canonically single-spaced

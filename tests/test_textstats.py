@@ -855,6 +855,59 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
     assert got[1]["dedup_lines_text"] == texts[1]
 
 
+def test_dedup_lines_sorted_form_equivalence(spark):
+    """r11 (ADVICE r10 low-#2 FIX): dedup_lines' sort-based keep-first
+    rewrite (O(L log L) per doc, still map-only) must be semantically
+    identical to the r10 array_position form it replaced — pinned on a
+    seeded randomized multi-line corpus with heavy duplication, empty
+    lines, multibyte lines, NULL and empty text, plus the pathological
+    many-thousand-line doc the rewrite exists for."""
+    import random
+
+    from flink_parameter_server_spark.operators.textstats import (
+        _dedup_lines_quadratic,
+        dedup_lines,
+    )
+
+    rng = random.Random(11)
+    pool = ["alpha", "beta", "", "ünïcodé ζ", "tab\tline", "x" * 50, "γραμμή"]
+    texts = [
+        "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    # the pathological doc: 6000 lines over an 80-line vocabulary
+    texts.append("\n".join(f"line-{rng.randint(0, 79)}" for _ in range(6000)))
+    texts.extend([None, "", "solo"])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    new_t, new_n = dedup_lines(F.col("text"))
+    old_t, old_n = _dedup_lines_quadratic(F.col("text"))
+    rows = df.select(
+        "doc_id",
+        "text",
+        new_t.alias("nt"),
+        new_n.alias("nn"),
+        old_t.alias("ot"),
+        old_n.alias("on"),
+    ).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["nt"] == r["ot"], f"doc {r['doc_id']}: text diverged"
+        assert r["nn"] == r["on"], f"doc {r['doc_id']}: count diverged"
+        # independent Python reference: first occurrence, order kept
+        if r["text"] is None:
+            assert r["nt"] is None and r["nn"] is None
+        else:
+            seen, ref = set(), []
+            for ln in r["text"].split("\n"):
+                if ln not in seen:
+                    seen.add(ln)
+                    ref.append(ln)
+            assert r["nt"] == "\n".join(ref)
+            assert r["nn"] == len(r["text"].split("\n")) - len(ref)
+
+
 def _one_shot_rates(spark, sf_dir):
     """The one-shot domain_reweight rate table recomputed through the
     factored helper — the reference the iterated loop's round 1 must
