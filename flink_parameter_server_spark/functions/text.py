@@ -31,12 +31,23 @@ def word_ngrams(col: Column, n: int) -> Column:
     """
     toks = tokens(col)
     ln = F.size(toks)
+    # n shifted slices zipped positionally — arrays_zip evaluates each
+    # slice (and therefore the tokenization) ONCE per row. The previous
+    # sequence+element_at form referenced `toks` inside the lambda,
+    # which Spark re-evaluates per gram element: O(n*L^2) splits per
+    # doc (the outer-reference pitfall measured on dedup_lines,
+    # BASELINE.md r11). The slices are guarded by the `when`, which
+    # evaluates its branch lazily, so ln < n never reaches a
+    # negative-length slice.
+    zipped = F.arrays_zip(
+        *[
+            F.slice(toks, 1 + k, ln - F.lit(n - 1)).alias(f"t{k}")
+            for k in range(n)
+        ]
+    )
     return F.when(ln < n, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), ln - F.lit(n - 1)),
-            lambda i: F.concat_ws(
-                "_", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-            ),
+            zipped, lambda s: F.concat_ws("_", *[s[f"t{k}"] for k in range(n)])
         )
     )
 

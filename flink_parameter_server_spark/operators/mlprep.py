@@ -1177,9 +1177,21 @@ FROM sc
 def embedding_quantize(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     xd = as_double(F.col("embedding"))
-    v = F.transform(xd, lambda x: x / F.sqrt(norm2(xd)))
-    nv = e.where(norm2(xd) > 0).select(
-        "vec_id", "label", xd.alias("xd"), v.alias("v")
+    # bind xd and its norm as columns BEFORE the normalize transform:
+    # a lambda that references norm2(xd) directly re-evaluates the
+    # O(d) fold per element — O(d^2) per row (the outer-reference
+    # pitfall, BASELINE.md r11). Against bound columns each element is
+    # one divide.
+    nv = (
+        e.where(norm2(xd) > 0)
+        .select("vec_id", "label", xd.alias("xd"))
+        .withColumn("nrm", F.sqrt(norm2(F.col("xd"))))
+        .select(
+            "vec_id",
+            "label",
+            "xd",
+            F.transform("xd", lambda x: x / F.col("nrm")).alias("v"),
+        )
     )
     sc = nv.select(
         "vec_id",

@@ -308,16 +308,19 @@ def _bpe_pair_counts(words):
     """One groupBy(pair) frequency aggregation over the current symbol
     states (map-side combine; the per-round shuffle both trainers
     share)."""
+    # adjacent pairs via two shifted slices zipped — each slice
+    # evaluates the split ONCE per row, where the previous
+    # sequence+element_at form re-split the state per pair element
+    # (the outer-reference pitfall, BASELINE.md r11). size(s) >= 1
+    # always (split of '' is ['']), so size-1 is never negative and a
+    # single-symbol word yields two empty slices -> no pairs — which
+    # also retires the descending-sequence(1, 0) gotcha the old guard
+    # existed for.
     s = F.split(F.trim(F.col("state")), "  ")
-    # guard: Spark sequence(1, 0) is DESCENDING, not empty (same
-    # gotcha as shingle_sets) — single-symbol words have no pairs
-    prs = F.when(F.size(s) < 2, F.array().cast("array<array<string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(s) - 1),
-            lambda i: F.array(
-                F.element_at(s, i.cast("int")), F.element_at(s, (i + 1).cast("int"))
-            ),
-        )
+    prs = F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.array(a, b),
     )
     return (
         words.select("freq", F.explode(prs).alias("pr"))
