@@ -59,11 +59,16 @@ def redact_pii(text_col):
     )
 
 
-def dedup_lines(text_col):
+def dedup_lines(text_col, sep: str = "\n"):
     """Within-document duplicate-LINE removal (r10, the Gopher/
     RefinedWeb repetition-removal TRANSFORM, Rae et al. 2021 §A1.1):
     keep each line's first occurrence, preserving order. Map-only
     codegen'd array math. Returns (clean_text_col, n_removed_col).
+    sep generalizes the unit (late r11): '\\n' = lines (default),
+    '\\n\\n' = PARAGRAPHS — the third §A1.1 repetition unit next to
+    lines and token runs. sep is a literal (used as both the split
+    regex and the join separator; newline sequences mean the same
+    thing to both).
 
     Cost bound (ADVICE r10, fixed r11): the original form's
     per-element array_position scan was O(L^2) in a document's LINE
@@ -83,7 +88,7 @@ def dedup_lines(text_col):
     only GROUPS equal lines — which line of a duplicate group
     survives is decided by the index tiebreak, not by collation),
     pinned by the _dedup_lines_quadratic equivalence test."""
-    lines = F.split(text_col, "\n")
+    lines = F.split(text_col, sep)
     by_line = F.array_sort(
         F.transform(lines, lambda x, i: F.struct(x.alias("l"), i.alias("i")))
     )
@@ -109,17 +114,17 @@ def dedup_lines(text_col):
         ),
         lambda x: x["l"],
     )
-    return F.array_join(kept, "\n"), (F.size(lines) - F.size(kept)).cast("long")
+    return F.array_join(kept, sep), (F.size(lines) - F.size(kept)).cast("long")
 
 
-def _dedup_lines_quadratic(text_col):
+def _dedup_lines_quadratic(text_col, sep: str = "\n"):
     """The r10 array_position keep-first form, retained as the
     equivalence reference for dedup_lines' r11 sort-based rewrite
     (tests pin both on randomized multi-line corpora). O(L^2) per doc
     — do not use in the hot path."""
-    lines = F.split(text_col, "\n")
+    lines = F.split(text_col, sep)
     kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
-    return F.array_join(kept, "\n"), (F.size(lines) - F.size(kept)).cast("long")
+    return F.array_join(kept, sep), (F.size(lines) - F.size(kept)).cast("long")
 
 
 def collapse_runs(toks_col):
@@ -253,6 +258,14 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
            (x, i) -> list_position(string_split(sc.text, chr(10)), x) = i))
        AS BIGINT) AS n_dup_lines_removed,
   CASE WHEN sc.text IS NOT NULL THEN
+    coalesce(array_to_string(list_filter(string_split(sc.text, chr(10) || chr(10)),
+      (x, i) -> list_position(string_split(sc.text, chr(10) || chr(10)), x) = i), chr(10) || chr(10)), '')
+  END AS dedup_paras_text,
+  CAST(len(string_split(sc.text, chr(10) || chr(10)))
+       - len(list_filter(string_split(sc.text, chr(10) || chr(10)),
+           (x, i) -> list_position(string_split(sc.text, chr(10) || chr(10)), x) = i))
+       AS BIGINT) AS n_dup_paras_removed,
+  CASE WHEN sc.text IS NOT NULL THEN
     coalesce(array_to_string(list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x), ' '), '')
   END AS collapse_runs_text,
   CAST(len(toks) - len(list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x))
@@ -283,9 +296,11 @@ LEFT JOIN cov ON cov.doc_id = sc.doc_id
     "Gopher-style degenerate-text signals a pretraining pipeline gates "
     "on); within-document repetition REMOVAL (r10: the Gopher/"
     "RefinedWeb transform itself, not just the signals — "
-    "dedup_lines_text keeps each line's first occurrence and "
-    "collapse_runs_text drops consecutive duplicate whitespace tokens, "
-    "each with its removed-count column; map-only array math in the "
+    "dedup_lines_text keeps each line's first occurrence, "
+    "dedup_paras_text the same over '\\n\\n' paragraphs (late r11 — "
+    "§A1.1's third repetition granularity), and collapse_runs_text "
+    "drops consecutive duplicate whitespace tokens, each with its "
+    "removed-count column; map-only array math in the "
     "same scan, multi-line behavior parity-pinned on a synthetic "
     "corpus since the fixture is single-line); PII/contamination "
     "signals (r5: email and URL hit counts, "
@@ -486,6 +501,7 @@ def text_profile(spark, sf_dir):
         guess = guess.when(F.col(f"c_{lg}") == best, F.lit(lg))
 
     _dl_text, _dl_n = dedup_lines(F.col("text"))
+    _dp_text, _dp_n = dedup_lines(F.col("text"), sep="\n\n")
     _cr_text, _cr_n = collapse_runs(F.col("toks"))
     wide = sc.select(
         "doc_id",
@@ -566,6 +582,13 @@ def text_profile(spark, sf_dir):
         #   over the shared token array.
         _dl_text.alias("dedup_lines_text"),
         _dl_n.alias("n_dup_lines_removed"),
+        # late r11: the PARAGRAPH unit — §A1.1's third repetition
+        # granularity (lines, paragraphs, token runs); same machinery
+        # over the '\n\n' separator. Single-line fixture docs are one
+        # paragraph, so the driver path is identity — multi-paragraph
+        # behavior is parity-pinned on the synthetic corpus.
+        _dp_text.alias("dedup_paras_text"),
+        _dp_n.alias("n_dup_paras_removed"),
         _cr_text.alias("collapse_runs_text"),
         _cr_n.alias("n_run_tokens_removed"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
@@ -581,7 +604,8 @@ def text_profile(spark, sf_dir):
             "stopword_ratio", "quality_score", "max_token_ratio",
             "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
             "redacted_text",
-            "dedup_lines_text", "n_dup_lines_removed", "collapse_runs_text",
+            "dedup_lines_text", "n_dup_lines_removed", "dedup_paras_text",
+            "n_dup_paras_removed", "collapse_runs_text",
             "n_run_tokens_removed", "lm_xent",
             "dsir_logw", "eval_overlap_frac", "fingerprint", "full_hash",
         )

@@ -821,6 +821,9 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
         3: "",
         4: "x\nx\nx",
         5: "one two\none two\nthree three",
+        # paragraph unit (late r11): duplicate and unique paragraphs
+        6: "p one\nl two\n\np one\nl two\n\nother",
+        7: "solo para\n\nsolo para",
     }
     docs = [
         (i, txt, "en", "web", len(txt) if txt is not None else 0)
@@ -853,6 +856,20 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
     assert got[3]["n_run_tokens_removed"] == 0
     # single-line fixture docs pass through the line unit unchanged
     assert got[1]["dedup_lines_text"] == texts[1]
+    # paragraph unit: keep-first over '\n\n' blocks; docs without a
+    # blank line are one paragraph -> identity
+    assert got[6]["dedup_paras_text"] == "p one\nl two\n\nother"
+    assert got[6]["n_dup_paras_removed"] == 1
+    assert got[7]["dedup_paras_text"] == "solo para"
+    assert got[7]["n_dup_paras_removed"] == 1
+    assert got[0]["dedup_paras_text"] == texts[0]
+    assert got[0]["n_dup_paras_removed"] == 0
+    assert got[2]["dedup_paras_text"] is None
+    assert got[3]["n_dup_paras_removed"] == 0
+    # the line unit sees doc 6's blank separator lines as duplicates
+    # of each other ('' kept once) — paragraph and line units are
+    # genuinely different granularities
+    assert got[6]["n_dup_lines_removed"] == 3
 
 
 def test_dedup_lines_sorted_form_equivalence(spark):
@@ -883,6 +900,8 @@ def test_dedup_lines_sorted_form_equivalence(spark):
     )
     new_t, new_n = dedup_lines(F.col("text"))
     old_t, old_n = _dedup_lines_quadratic(F.col("text"))
+    newp_t, newp_n = dedup_lines(F.col("text"), sep="\n\n")
+    oldp_t, oldp_n = _dedup_lines_quadratic(F.col("text"), sep="\n\n")
     rows = df.select(
         "doc_id",
         "text",
@@ -890,22 +909,30 @@ def test_dedup_lines_sorted_form_equivalence(spark):
         new_n.alias("nn"),
         old_t.alias("ot"),
         old_n.alias("on"),
+        newp_t.alias("npt"),
+        newp_n.alias("npn"),
+        oldp_t.alias("opt"),
+        oldp_n.alias("opn"),
     ).collect()
     assert len(rows) == len(texts)
     for r in rows:
-        assert r["nt"] == r["ot"], f"doc {r['doc_id']}: text diverged"
+        for a, b, sep in (("nt", "ot", "\n"), ("npt", "opt", "\n\n")):
+            assert r[a] == r[b], f"doc {r['doc_id']} sep={sep!r}: text diverged"
         assert r["nn"] == r["on"], f"doc {r['doc_id']}: count diverged"
+        assert r["npn"] == r["opn"], f"doc {r['doc_id']}: para count diverged"
         # independent Python reference: first occurrence, order kept
         if r["text"] is None:
             assert r["nt"] is None and r["nn"] is None
+            assert r["npt"] is None and r["npn"] is None
         else:
-            seen, ref = set(), []
-            for ln in r["text"].split("\n"):
-                if ln not in seen:
-                    seen.add(ln)
-                    ref.append(ln)
-            assert r["nt"] == "\n".join(ref)
-            assert r["nn"] == len(r["text"].split("\n")) - len(ref)
+            for out, cnt, sep in (("nt", "nn", "\n"), ("npt", "npn", "\n\n")):
+                seen, ref = set(), []
+                for ln in r["text"].split(sep):
+                    if ln not in seen:
+                        seen.add(ln)
+                        ref.append(ln)
+                assert r[out] == sep.join(ref)
+                assert r[cnt] == len(r["text"].split(sep)) - len(ref)
 
 
 def _one_shot_rates(spark, sf_dir):
