@@ -139,6 +139,16 @@ def collapse_runs(toks_col):
     return F.array_join(kept, " "), (F.size(toks_col) - F.size(kept)).cast("long")
 
 
+def _char_frac(dedup_col: str, removed_col: str, sep_len: int):
+    """Fraction of a document's characters inside removed duplicate
+    units: (orig_chars - dedup_chars - removed*sep_len) / orig_chars,
+    NULL for NULL/empty text. Expects the dedup transform and removed
+    count as BOUND columns plus n_chars_measured in scope."""
+    orig = F.col("n_chars_measured")
+    removed_chars = orig - F.length(F.col(dedup_col)) - F.col(removed_col) * sep_len
+    return F.when(orig > 0, F.round(removed_chars.cast("double") / orig, 6))
+
+
 def _stoplist_sql(words) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
@@ -265,6 +275,16 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
        - len(list_filter(string_split(sc.text, chr(10) || chr(10)),
            (x, i) -> list_position(string_split(sc.text, chr(10) || chr(10)), x) = i))
        AS BIGINT) AS n_dup_paras_removed,
+  -- char-fraction repetition signals (lateral alias refs): removed
+  -- content chars = orig - dedup - removed*len(sep)
+  CASE WHEN length(sc.text) > 0 THEN
+    round(CAST(length(sc.text) - length(dedup_lines_text) - n_dup_lines_removed AS DOUBLE)
+          / length(sc.text), 6)
+  END AS dup_line_char_frac,
+  CASE WHEN length(sc.text) > 0 THEN
+    round(CAST(length(sc.text) - length(dedup_paras_text) - 2 * n_dup_paras_removed AS DOUBLE)
+          / length(sc.text), 6)
+  END AS dup_para_char_frac,
   CASE WHEN sc.text IS NOT NULL THEN
     coalesce(array_to_string(list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x), ' '), '')
   END AS collapse_runs_text,
@@ -605,7 +625,20 @@ def text_profile(spark, sf_dir):
             "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
             "redacted_text",
             "dedup_lines_text", "n_dup_lines_removed", "dedup_paras_text",
-            "n_dup_paras_removed", "collapse_runs_text",
+            "n_dup_paras_removed",
+            # late r11: the CHAR-fraction forms of the repetition
+            # signals — Gopher's gate thresholds are defined over the
+            # fraction of CHARACTERS inside duplicate lines/paragraphs
+            # (Rae et al. 2021 Table A1), not duplicate counts.
+            # Derived from the transforms above: removed content chars
+            # = orig - dedup - removed*len(sep).
+            _char_frac("dedup_lines_text", "n_dup_lines_removed", 1).alias(
+                "dup_line_char_frac"
+            ),
+            _char_frac("dedup_paras_text", "n_dup_paras_removed", 2).alias(
+                "dup_para_char_frac"
+            ),
+            "collapse_runs_text",
             "n_run_tokens_removed", "lm_xent",
             "dsir_logw", "eval_overlap_frac", "fingerprint", "full_hash",
         )

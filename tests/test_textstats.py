@@ -870,6 +870,14 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
     # of each other ('' kept once) — paragraph and line units are
     # genuinely different granularities
     assert got[6]["n_dup_lines_removed"] == 3
+    # char-fraction signals (Gopher Table A1 definitions): doc 6 is 31
+    # chars; removed duplicate lines carry 10 content chars ("p one",
+    # "l two", ""), the removed duplicate paragraph 11 ("p one\nl two")
+    assert got[6]["dup_line_char_frac"] == round(10 / 31, 6)
+    assert got[6]["dup_para_char_frac"] == round(11 / 31, 6)
+    assert got[0]["dup_para_char_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] is None
+    assert got[3]["dup_line_char_frac"] is None
 
 
 def test_dedup_lines_sorted_form_equivalence(spark):
