@@ -287,3 +287,93 @@ def star_connected_components(
         "— component structure deeper than expected; raise max_rounds "
         "(silent fallthrough would return wrong clusters)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr, the
+# transform half; the pair-DETECT half lives in dedup.py). Lives here —
+# not in dedup.py — because textstats.text_profile consumes it, and
+# dedup.py imports plans.registry: importing these from dedup would
+# cycle through plans/__init__ whenever dedup is imported first.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per span (paper uses 50; fixture docs are 10-99 toks)
+
+SPAN_MOD = 10**15
+# removal-path modulus (late r11): pair DETECTION tolerates 1/MOD
+# collisions (a false pair just gets scored), but span REMOVAL edits
+# text, so a birthday collision at MOD=1e6 over ~25k fixture spans
+# (~300 expected) would cut genuinely unique text. The raw roll is
+# < MOD*31^(K-1) ~ 2.7e16 < 2^63, so a 1e15 modulus is exact int64 in
+# both engines and drops the expected collision count to ~3e-7.
+
+
+def _span_roll_sql(mod: int = MOD) -> str:
+    """Rolling polynomial combine of K consecutive token hashes —
+    identical nesting to the Spark zip_with chain; exact int64 (token
+    hashes < MOD=1e6, so MOD*31^7 ~ 2.7e16 stays far under 2^63)."""
+    expr = "th[i]"
+    for k in range(1, SPAN_K):
+        expr = f"({expr} * 31 + th[i + {k}])"
+    return f"({expr}) % {mod}"
+
+
+def span_removal_positions(th_df):
+    """Per-doc token positions covered by NON-CANONICAL duplicate
+    spans — the REMOVAL half of Lee et al. 2022's ExactSubstr (the
+    detect half is dedup.dedup_substring_spans): every occurrence of a
+    SPAN_K-token span shared anywhere in the corpus (across docs OR
+    repeated within one doc) is cut except the single global canonical
+    occurrence, min (doc_id, start) — a deterministic struct-min both
+    engines replay. Input: any (doc_id, th) token-hash frame; output
+    (doc_id, dpos array<int> 1-based deleted positions, n_occ removed
+    occurrence count), docs with nothing to remove absent (callers
+    left-join).
+
+    Scale shape: occurrence table ~ one row per token (the span build
+    is map-only slice+zip_with); the canonical pick is row_number over
+    (sp) ordered by (doc_id, s) — every rn >= 2 row is a non-canonical
+    occurrence of a span with >= 2 occurrences, so ONE shuffle on sp
+    replaces a groupBy + join-back (measured: the agg+join form cost
+    2 more exchanges and a cache at sf0.1); then ONE groupBy(doc_id)
+    assembles positions. Linear shuffles, no pairwise fan-out anywhere
+    (unlike the detect path, removal never joins occurrences against
+    each other, so no DF cap is needed and boilerplate spans just
+    produce more linear rows — a hot sp key is one big sorted window
+    group, salting unnecessary since groups are span-frequency-sized).
+    This is the paper's suffix-array workload re-cast as hash
+    aggregation."""
+    from pyspark.sql import Window
+
+    n = F.size("th")
+    m = n - F.lit(SPAN_K - 1)
+    acc = F.slice(F.col("th"), F.lit(1), m)
+    for k in range(1, SPAN_K):
+        acc = F.zip_with(
+            acc, F.slice(F.col("th"), F.lit(1 + k), m), lambda x, y: x * 31 + y
+        )
+    occ = (
+        th_df.select("doc_id", "th")
+        .where(n >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(acc, lambda x: x % F.lit(SPAN_MOD))).alias(
+                "p0", "sp"
+            ),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "sp")
+    )
+    w = Window.partitionBy("sp").orderBy("doc_id", "s")
+    nonc = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", "s")
+    )
+    return nonc.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("s"), F.col("s") + (SPAN_K - 1)))
+            )
+        ).alias("dpos"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )

@@ -33,14 +33,18 @@ from ._dedup_core import (  # noqa: F401 — re-exported: the public dedup surfa
     MINHASH_SEEDS,
     N_BANDS,
     SHINGLE_N,
+    SPAN_K,
+    SPAN_MOD,
     _MINHASH_SQL,
     _SH_CTES_SQL,
     _TOKHASH_SQL,
     _minhash_sql,
     _mix_sql,
     _mixer,
+    _span_roll_sql,
     minhash_bands,
     shingle_sets,
+    span_removal_positions,
     star_connected_components,
     token_hashes,
 )
@@ -278,18 +282,11 @@ def dedup_simhash(spark, sf_dir, sh=None):
 # substring, up to rolling-hash collision at 1/MOD)
 # ---------------------------------------------------------------------------
 
-SPAN_K = 8  # tokens per span (paper uses 50; fixture docs are 10-99 toks)
 SPAN_DF_CAP = 50  # drop spans present in more docs (boilerplate guard)
-
-
-def _span_roll_sql() -> str:
-    """Rolling polynomial combine of K consecutive token hashes —
-    identical nesting to the Spark zip_with chain; exact int64 (token
-    hashes < MOD=1e6, so MOD*31^7 ~ 2.7e16 stays far under 2^63)."""
-    expr = "th[i]"
-    for k in range(1, SPAN_K):
-        expr = f"({expr} * 31 + th[i + {k}])"
-    return f"({expr}) % {MOD}"
+# SPAN_K / _span_roll_sql / SPAN_MOD / span_removal_positions live in
+# _dedup_core (imported above): textstats.text_profile consumes the
+# REMOVAL half, and importing it from here would cycle through
+# plans/__init__ when this module is imported first.
 
 
 _SUBSTR_SQL = f"""

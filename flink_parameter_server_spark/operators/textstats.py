@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MOD, int_hash_sql, poly_hash, poly_hash_sql
 from ..functions.text import STOPWORDS, tokens, tokens_sql
 from ..plans.registry import register
-from ._dedup_core import _TOKHASH_SQL
+from ._dedup_core import (
+    _TOKHASH_SQL,
+    SPAN_K,
+    SPAN_MOD,
+    _span_roll_sql,
+    span_removal_positions,
+)
 from ._dsir_core import (  # noqa: F401 (re-exported: tests + mlprep history)
     DSIR_B,
     DSIR_SEED,
@@ -221,6 +227,27 @@ sc AS (
   SELECT doc_id, lang, text, n_chars, toks,
     {', '.join(f"len(list_filter(toks, s -> s IN {_stoplist_sql(LANG_MARKERS[lg])})) AS c_{lg}" for lg in _LANGS)}
   FROM tk
+),
+-- ExactSubstr removal (late r11): corpus-wide duplicate-span
+-- occurrences, global canonical = min (doc_id, start) struct
+thsp AS (SELECT doc_id, list_transform(toks, s -> {poly_hash_sql('s', 0)}) AS th FROM tk),
+socc AS (
+  SELECT doc_id, u['s'] AS s, u['sp'] AS sp
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(th) - {SPAN_K - 1} + 1),
+        i -> {{'s': i, 'sp': {_span_roll_sql(SPAN_MOD)}}})) AS u
+        FROM thsp WHERE len(th) >= {SPAN_K}) z
+),
+nonc AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY sp ORDER BY doc_id, s) AS rn
+    FROM socc) x
+  WHERE rn >= 2
+),
+delx AS (
+  SELECT doc_id, list_distinct(flatten(list(range(s, s + {SPAN_K})))) AS dpos,
+         count(*) AS n_occ
+  FROM nonc GROUP BY doc_id
 )
 SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN greatest({', '.join('c_' + lg for lg in _LANGS)}) = 0 THEN 'und'
@@ -286,6 +313,16 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
           / length(sc.text), 6)
   END AS dup_para_char_frac,
   CASE WHEN sc.text IS NOT NULL THEN
+    coalesce(array_to_string(list_filter(toks, (x, i) ->
+      delx.dpos IS NULL OR NOT list_contains(delx.dpos, i)), ' '), '')
+  END AS substr_removed_text,
+  CASE WHEN sc.text IS NOT NULL THEN CAST(coalesce(delx.n_occ, 0) AS BIGINT)
+  END AS n_dup_spans_removed,
+  CASE WHEN sc.text IS NOT NULL THEN
+    CAST(len(toks) - len(list_filter(toks, (x, i) ->
+      delx.dpos IS NULL OR NOT list_contains(delx.dpos, i))) AS BIGINT)
+  END AS n_span_tokens_removed,
+  CASE WHEN sc.text IS NOT NULL THEN
     coalesce(array_to_string(list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x), ' '), '')
   END AS collapse_runs_text,
   CAST(len(toks) - len(list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x))
@@ -299,6 +336,7 @@ FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
 LEFT JOIN docx ON docx.doc_id = sc.doc_id
 LEFT JOIN fdsir ON fdsir.doc_id = sc.doc_id
 LEFT JOIN cov ON cov.doc_id = sc.doc_id
+LEFT JOIN delx ON delx.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
     doc="The full per-document text-analysis profile in ONE pass over the "
@@ -467,6 +505,11 @@ def text_profile(spark, sf_dir):
     th_df = tk.select(
         "doc_id", F.transform("toks", lambda s_: poly_hash(s_, 0)).alias("th")
     ).repartition(32, "doc_id")
+    # ExactSubstr REMOVAL (late r11, Lee et al. 2022): per-doc deleted
+    # token positions from corpus-wide duplicate spans — reuses this
+    # entry's th build (the removal's own shuffles are linear; see
+    # span_removal_positions)
+    srp = span_removal_positions(th_df)
     nt = F.size("th")
     gram_len = nt - F.lit(CONTAM_N - 1)
     acc = F.slice(F.col("th"), 1, gram_len)
@@ -525,6 +568,7 @@ def text_profile(spark, sf_dir):
     _cr_text, _cr_n = collapse_runs(F.col("toks"))
     wide = sc.select(
         "doc_id",
+        "toks",
         F.col("lang").alias("actual_lang"),
         guess.alias("guessed_lang"),
         n.alias("n_ws_tokens"),
@@ -613,11 +657,21 @@ def text_profile(spark, sf_dir):
         _cr_n.alias("n_run_tokens_removed"),
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
+    # rebuild text minus the deleted duplicate-span positions (1-based
+    # dpos vs Spark's 0-based lambda index); docs with no removals miss
+    # the srp join -> dpos NULL -> keep everything. Emitted canonically
+    # single-spaced like collapse_runs_text; NULL text propagates NULL.
+    _sr_kept = F.filter(
+        F.col("toks"),
+        lambda x, i: F.col("dpos").isNull()
+        | ~F.array_contains(F.col("dpos"), i + 1),
+    )
     return (
         wide.join(fp, "doc_id", "left")
         .join(docx, "doc_id", "left")
         .join(dsir, "doc_id", "left")
         .join(ov, "doc_id", "left")
+        .join(srp, "doc_id", "left")
         .select(
             "doc_id", "actual_lang", "guessed_lang", "n_ws_tokens", "n_bpe_tokens",
             "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
@@ -637,6 +691,16 @@ def text_profile(spark, sf_dir):
             ),
             _char_frac("dedup_paras_text", "n_dup_paras_removed", 2).alias(
                 "dup_para_char_frac"
+            ),
+            # ExactSubstr removal (late r11): corpus-wide duplicate
+            # spans cut, one canonical occurrence kept globally
+            F.array_join(_sr_kept, " ").alias("substr_removed_text"),
+            F.when(
+                F.col("toks").isNotNull(),
+                F.coalesce(F.col("n_occ"), F.lit(0)).cast("long"),
+            ).alias("n_dup_spans_removed"),
+            (F.size("toks") - F.size(_sr_kept)).cast("long").alias(
+                "n_span_tokens_removed"
             ),
             "collapse_runs_text",
             "n_run_tokens_removed", "lm_xent",

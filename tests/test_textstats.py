@@ -880,6 +880,57 @@ def test_repetition_removal_multiline_parity_and_semantics(spark, duck, tmp_path
     assert got[3]["dup_line_char_frac"] is None
 
 
+def test_substr_removal_semantics_and_parity(spark, duck, tmp_path):
+    """late r11: the ExactSubstr REMOVAL transform (Lee et al. 2022) —
+    every occurrence of a shared SPAN_K-token span is cut except the
+    global canonical (min (doc_id, start)), across docs AND within one
+    doc. Full text_profile oracle parity on a corpus with real span
+    hits plus hand-computed expected outputs."""
+    from flink_parameter_server_spark.operators.dedup import SPAN_K
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    assert SPAN_K == 8, "test corpus is built for 8-token spans"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    within = "a1 a2 a3 a4 a5 a6 a7 a8"
+    texts = {
+        10: f"{shared} TAIL1",
+        # shares tokens 1-8 with doc 10; canonical is (10, 1) so this
+        # copy loses positions 1-8
+        11: f"{shared} TAIL2",
+        # within-doc repeat: second occurrence (pos 10) is cut
+        12: f"{within} x {within}",
+        13: None,
+        14: "one two",
+    }
+    docs = [
+        (i, txt, "en", "web", len(txt) if txt is not None else 0)
+        for i, txt in texts.items()
+    ]
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    spec = REGISTRY["text_profile"]
+    register_duck_views(duck, out)
+    ok, msg = compare(spec.fn(spark, out), duck, spec.oracle)
+    assert ok, f"text_profile span-removal parity: {msg}"
+
+    got = {r["doc_id"]: r for r in spec.fn(spark, out).collect()}
+    assert got[10]["substr_removed_text"] == texts[10]
+    assert got[10]["n_dup_spans_removed"] == 0
+    assert got[10]["n_span_tokens_removed"] == 0
+    assert got[11]["substr_removed_text"] == "TAIL2"
+    assert got[11]["n_dup_spans_removed"] == 1
+    assert got[11]["n_span_tokens_removed"] == 8
+    assert got[12]["substr_removed_text"] == f"{within} x"
+    assert got[12]["n_dup_spans_removed"] == 1
+    assert got[12]["n_span_tokens_removed"] == 8
+    assert got[13]["substr_removed_text"] is None
+    assert got[13]["n_dup_spans_removed"] is None
+    assert got[13]["n_span_tokens_removed"] is None
+    assert got[14]["substr_removed_text"] == texts[14]
+    assert got[14]["n_dup_spans_removed"] == 0
+
+
 def test_dedup_lines_sorted_form_equivalence(spark):
     """r11 (ADVICE r10 low-#2 FIX): dedup_lines' sort-based keep-first
     rewrite (O(L log L) per doc, still map-only) must be semantically
