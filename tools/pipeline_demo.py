@@ -103,17 +103,39 @@ def main() -> None:
         redact_pii,
     )
 
+    from flink_parameter_server_spark.functions.hashing import poly_hash
+    from flink_parameter_server_spark.operators._dedup_core import (
+        span_removal_positions,
+    )
+
     _dl_text, _dl_n = dedup_lines(F.col("text"))
+    _dp_text, _dp_n = dedup_lines(F.col("text"), sep="\n\n")
     _cr_text, _cr_n = collapse_runs(tokens(F.col("text")))
     cleaned = _t(spark, sf, "documents").select(
         "doc_id",
         _dl_n.alias("ln"),
+        _dp_n.alias("pn"),
         _cr_n.alias("rn"),
         (redact_pii(F.col("text")) != F.col("text")).cast("long").alias("red"),
     )
+    # corpus-wide ExactSubstr removal (late r11): duplicated 8-token
+    # spans cut everywhere but their global canonical occurrence
+    srp = span_removal_positions(
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.transform(tokens(F.col("text")), lambda s_: poly_hash(s_, 0)).alias(
+                "th"
+            ),
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_occ").alias("occ"),
+        F.sum(F.size("dpos")).alias("toks"),
+    ).first()
     cagg = cleaned.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ln").alias("l"),
+        F.sum("pn").alias("p"),
         F.sum("rn").alias("r"),
         F.sum((F.col("rn") > 0).cast("long")).alias("docs_hit"),
         F.sum("red").alias("redacted"),
@@ -121,9 +143,13 @@ def main() -> None:
     out["clean"] = {
         "docs": cagg["n"],
         "dup_lines_removed": int(cagg["l"] or 0),
+        "dup_paras_removed": int(cagg["p"] or 0),
         "run_tokens_removed": int(cagg["r"] or 0),
         "docs_with_runs": int(cagg["docs_hit"] or 0),
         "docs_pii_redacted": int(cagg["redacted"] or 0),
+        "substr_docs_edited": int(srp["docs"] or 0),
+        "substr_span_occurrences_cut": int(srp["occ"] or 0),
+        "substr_tokens_removed": int(srp["toks"] or 0),
     }
     print(f"# clean (repetition removal): {out['clean']}")
 
