@@ -138,7 +138,12 @@ def collapse_runs(toks_col):
     equal to its predecessor — the sub-line stutter unit the fixture
     corpus actually exhibits. Operates on the whitespace token array,
     emits canonically single-spaced text. Map-only. Returns
-    (clean_text_col, n_removed_col)."""
+    (clean_text_col, n_removed_col).
+
+    Contract: pass a BOUND column (or cheap expression) — the lambda
+    references toks_col for its predecessor lookup, and Spark
+    re-evaluates outer expressions per element (the O(L^2) pitfall
+    documented on dedup_lines; a bound column read is O(1))."""
     kept = F.filter(
         toks_col, lambda x, i: (i == F.lit(0)) | (x != F.get(toks_col, i - 1))
     )
