@@ -318,6 +318,32 @@ def _span_roll_sql(mod: int = MOD) -> str:
     return f"({expr}) % {mod}"
 
 
+def span_occurrences(th_df):
+    """(doc_id, s, sp): every SPAN_K-token span occurrence with its
+    1-based start position — the shared build of the batch removal
+    below and the streaming span store
+    (streaming/incremental_substr.py). Map-only slice+zip_with; one
+    row per token position."""
+    n = F.size("th")
+    m = n - F.lit(SPAN_K - 1)
+    acc = F.slice(F.col("th"), F.lit(1), m)
+    for k in range(1, SPAN_K):
+        acc = F.zip_with(
+            acc, F.slice(F.col("th"), F.lit(1 + k), m), lambda x, y: x * 31 + y
+        )
+    return (
+        th_df.select("doc_id", "th")
+        .where(n >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(acc, lambda x: x % F.lit(SPAN_MOD))).alias(
+                "p0", "sp"
+            ),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "sp")
+    )
+
+
 def span_removal_positions(th_df):
     """Per-doc token positions covered by NON-CANONICAL duplicate
     spans — the REMOVAL half of Lee et al. 2022's ExactSubstr (the
@@ -345,24 +371,7 @@ def span_removal_positions(th_df):
     aggregation."""
     from pyspark.sql import Window
 
-    n = F.size("th")
-    m = n - F.lit(SPAN_K - 1)
-    acc = F.slice(F.col("th"), F.lit(1), m)
-    for k in range(1, SPAN_K):
-        acc = F.zip_with(
-            acc, F.slice(F.col("th"), F.lit(1 + k), m), lambda x, y: x * 31 + y
-        )
-    occ = (
-        th_df.select("doc_id", "th")
-        .where(n >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(F.transform(acc, lambda x: x % F.lit(SPAN_MOD))).alias(
-                "p0", "sp"
-            ),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("s"), "sp")
-    )
+    occ = span_occurrences(th_df)
     w = Window.partitionBy("sp").orderBy("doc_id", "s")
     nonc = (
         occ.withColumn("rn", F.row_number().over(w))
