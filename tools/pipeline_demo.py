@@ -42,7 +42,10 @@ pretraining corpus takes, on the driver fixture:
                    final rescore against the batch weight pipeline;
                    6c (r11) compacts the count store and replays a
                    folded bid to surface the compaction replay
-                   contract.
+                   contract; 6d (late r11) streams the corpus through
+                   the continuous ExactSubstr span store in two
+                   in-order batches and checks the cuts against the
+                   whole-corpus batch removal.
 
 Prints one human-readable summary per stage plus a final JSON line.
 
@@ -475,6 +478,39 @@ def main() -> None:
             "counts_stable_after_folded_replay": after_c == before_c,
         }
         print(f"# ingest (DSIR compaction): {out['ingest_dsir_compaction']}")
+
+        # 6d (late r11): the same corpus through the CONTINUOUS
+        # ExactSubstr span store in two in-doc_id-order batches — the
+        # streamed cuts must equal the whole-corpus batch removal
+        from flink_parameter_server_spark.operators._dedup_core import (
+            span_removal_positions,
+            token_hashes,
+        )
+        from flink_parameter_server_spark.streaming.incremental_substr import (
+            process_substr_batch,
+        )
+
+        sdocs = docs.select("doc_id", "text")
+        mid = sdocs.agg(
+            F.percentile_approx("doc_id", 0.5).alias("m")
+        ).first()["m"]
+        store = os.path.join(work, "span_store")
+        cuts = {}
+        for bid, half in enumerate(
+            (sdocs.where(F.col("doc_id") <= mid), sdocs.where(F.col("doc_id") > mid))
+        ):
+            for r in process_substr_batch(spark, half, store, bid).collect():
+                cuts[r["doc_id"]] = (frozenset(r["dpos"]), r["n_occ"])
+        batch_cuts = {
+            r["doc_id"]: (frozenset(r["dpos"]), r["n_occ"])
+            for r in span_removal_positions(token_hashes(sdocs)).collect()
+        }
+        out["ingest_substr"] = {
+            "batches": 2,
+            "docs_edited_streamed": len(cuts),
+            "streamed_equals_batch_removal": cuts == batch_cuts,
+        }
+        print(f"# ingest (continuous substr removal): {out['ingest_substr']}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
