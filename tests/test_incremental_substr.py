@@ -120,3 +120,41 @@ def test_apply_span_cuts_rebuilds_text(spark, tmp_path):
     assert out[13]["substr_removed_text"] is None
     assert out[13]["n_dup_spans_removed"] is None
     assert out[14]["substr_removed_text"] == "one two"
+
+
+def test_compact_span_store(spark, tmp_path):
+    """Compaction folds all bid deltas into one distinct-span file:
+    probe-identical before/after, a NEW batch's decisions identical
+    against the compacted and uncompacted stores, a replayed FOLDED
+    bid skips its append (store stable), and compaction of a
+    never-ingested store is a no-op."""
+    from flink_parameter_server_spark.streaming.incremental_substr import (
+        compact_span_store,
+        folded_span_bids,
+    )
+
+    b1 = [(10, f"{SHARED} TAIL1")]
+    b2 = [(20, f"{SHARED} TAIL2"), (21, "q1 q2 q3 q4 q5 q6 q7 q8 end")]
+    b3 = [(30, f"{SHARED} T3"), (31, "q1 q2 q3 q4 q5 q6 q7 q8 again")]
+    plain, compacted = str(tmp_path / "a"), str(tmp_path / "b")
+    for store in (plain, compacted):
+        process_substr_batch(spark, _mk(spark, b1), store, 1)
+        process_substr_batch(spark, _mk(spark, b2), store, 2)
+    before = {r["sp"] for r in store_spans(spark, compacted).collect()}
+    assert compact_span_store(spark, compacted) == 2
+    after = {r["sp"] for r in store_spans(spark, compacted).collect()}
+    assert after == before, "compaction must be probe-invariant"
+    assert folded_span_bids(spark, compacted) == {1, 2}
+    # a new batch decides identically against both store forms
+    d_plain = _norm(process_substr_batch(spark, _mk(spark, b3), plain, 3))
+    d_comp = _norm(process_substr_batch(spark, _mk(spark, b3), compacted, 3))
+    assert d_plain == d_comp and 30 in d_comp and 31 in d_comp
+    # replay of a FOLDED bid: append skipped, store stable
+    n = store_spans(spark, compacted).count()
+    process_substr_batch(spark, _mk(spark, b1), compacted, 1)
+    assert store_spans(spark, compacted).count() == n
+    # second compact folds only the new bid 3
+    assert compact_span_store(spark, compacted) == 1
+    assert folded_span_bids(spark, compacted) == {1, 2, 3}
+    # never-ingested store: no-op
+    assert compact_span_store(spark, str(tmp_path / "void")) == 0
