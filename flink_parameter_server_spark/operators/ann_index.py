@@ -597,8 +597,13 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
     incremental_dedup.compact_store handles for the signature store.
     Centroids are untouched (tiny, rewritten only by a rebuild).
     Single-writer discipline: run between ingest batches, not
-    concurrently with one."""
-    import shutil
+    concurrently with one. The staged swap routes through the Hadoop
+    FS API (fsutil — r12, VERDICT r11 #2), so the same call works on
+    the hdfs://s3a:// deployment the read probes already target; see
+    fsutil.rename_path for the object-store rename-window caveat (a
+    reader racing the swap can see the cells table absent — excluded
+    here by the single-writer between-batches discipline)."""
+    from ..sources.fsutil import delete_path, rename_path
 
     path = os.path.join(index_dir, "cells")
     tmp = path + "_compacting"
@@ -606,8 +611,8 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
     df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    delete_path(spark, path)
+    rename_path(spark, tmp, path)
 
 
 def rebuild_index(
@@ -623,8 +628,13 @@ def rebuild_index(
     readable until the per-table swap (a crash mid-swap loses at most
     the rebuild, never the catalog). Returns the post-rebuild
     :func:`cell_skew` stats. Single-writer discipline as
-    :func:`compact_index`."""
-    import shutil
+    :func:`compact_index`. Per-table swap through the Hadoop FS API
+    (fsutil — r12, VERDICT r11 #2): on an object store each rename is
+    a copy, so the no-reader window is two renames wide here
+    (centroids swaps before cells) — acceptable under the same
+    single-writer discipline, and a crash mid-swap still loses at
+    most the rebuild."""
+    from ..sources.fsutil import delete_path, rename_path
 
     emb = spark.read.parquet(os.path.join(index_dir, "cells")).select(
         "vec_id", "embedding"
@@ -633,9 +643,9 @@ def rebuild_index(
     build_ivf_index(spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed)
     for name in ("centroids", "cells"):
         old = os.path.join(index_dir, name)
-        shutil.rmtree(old)
-        os.rename(os.path.join(tmp, name), old)
-    shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(spark, old)
+        rename_path(spark, os.path.join(tmp, name), old)
+    delete_path(spark, tmp)
     return cell_skew(spark, index_dir)
 
 

@@ -302,7 +302,7 @@ def curate_stream_writer(
     from ..scratch import unpersist_rdd_ids
     from .incremental_dedup import guard_decisions_dir
 
-    guard_decisions_dir(decisions_dir)
+    guard_decisions_dir(spark, decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
         # exact attribution, not a global diff (r9 review: a diff frees

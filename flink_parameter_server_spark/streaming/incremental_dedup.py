@@ -330,14 +330,18 @@ def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None
     pathology — at 100 TB the band scan becomes metadata-bound).
     Rewrites into a sibling dir then swaps atomically-enough for a
     single-writer store (run between batches, not concurrently with
-    one)."""
-    import shutil
+    one). All filesystem ops route through the Hadoop FS API (fsutil —
+    r12, VERDICT r11 #2), so the maintenance path works on the same
+    hdfs://s3a:// store the read path probes; the object-store rename
+    window (rename = copy) is covered by the same single-writer
+    between-batches discipline."""
+    from ..sources.fsutil import delete_path, path_exists, rename_path
 
     # "hashes" is the streaming-curation exact-dup table
     # (incremental_curate.py) — same append-per-batch small-file growth
     for name, part in (("bands", "b"), ("shingles", None), ("hashes", None)):
         path = os.path.join(store_dir, name)
-        if not os.path.isdir(path):
+        if not path_exists(spark, path):
             continue
         tmp = path + "_compacting"
         df = spark.read.parquet(path)
@@ -347,19 +351,24 @@ def compact_store(spark, store_dir: str, target_files_per_band: int = 1) -> None
             ).partitionBy(part).parquet(tmp)
         else:
             df.coalesce(max(1, target_files_per_band)).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        delete_path(spark, path)
+        rename_path(spark, tmp, path)
 
 
-def guard_decisions_dir(decisions_dir: str) -> None:
+def guard_decisions_dir(spark, decisions_dir: str) -> None:
     """Refuse a decisions dir holding FLAT (pre-bid-layout) parquet:
     partition discovery over a mixed flat+bid=<n> layout silently
     drops every flat row from reads (verified empirically, review r8)
-    — fail loudly instead of losing history. Shared by both stream
-    writers (dedup + curation)."""
-    if os.path.isdir(decisions_dir) and any(
+    — fail loudly instead of losing history. Shared by all three
+    stream writers (dedup + curation + semantic). Probes through the
+    Hadoop FS API (r12): a driver-local listdir returns nothing on a
+    remote scheme, which would silently WAIVE the guard — exactly the
+    silent-failure read-probe class fsutil exists for."""
+    from ..sources.fsutil import list_dir_names, path_exists
+
+    if path_exists(spark, decisions_dir) and any(
         f.endswith(".parquet") and not f.startswith(("_", "."))
-        for f in os.listdir(decisions_dir)
+        for f in list_dir_names(spark, decisions_dir)
     ):
         raise ValueError(
             f"decisions dir {decisions_dir!r} contains flat (pre-bid-layout) "
@@ -385,7 +394,7 @@ def dedup_stream_writer(spark, docs_stream: DataFrame, store_dir: str, decisions
     canonical is in the store by then) — same ``dup_of``, and the
     overwrite keeps exactly one decision row per doc."""
 
-    guard_decisions_dir(decisions_dir)
+    guard_decisions_dir(spark, decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
         # per-batch scratch release (ADVICE r8): the decisions write

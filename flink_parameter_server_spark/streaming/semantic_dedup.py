@@ -183,7 +183,7 @@ def semantic_stream_writer(spark, emb_stream: DataFrame, index_dir: str, decisio
     started StreamingQuery."""
     from .incremental_dedup import guard_decisions_dir
 
-    guard_decisions_dir(decisions_dir)
+    guard_decisions_dir(spark, decisions_dir)
 
     def _sink(batch_df, batch_id: int) -> None:
         # exact attribution, not a global diff (r9 review: a diff frees
