@@ -344,6 +344,40 @@ def span_occurrences(th_df):
     )
 
 
+def merge_cut_runs(dpos_col):
+    """Maximal-run merge of a doc's cut-position set (r12, VERDICT r11
+    #3 — the Lee et al. 2022 suffix-array semantics gap): the per-span
+    canonical rule can leave a kept fragment SHORTER than SPAN_K
+    tokens sandwiched between two cut runs of one long duplicated
+    region (boundary spans canonical elsewhere, or unique from
+    context). Such a fragment cannot contain a single complete span —
+    it is sub-span debris of a region that was duplicated on both
+    sides — so fill any gap of < SPAN_K kept tokens between adjacent
+    cut positions, turning the interference pattern into ONE
+    contiguous maximal run, which is what the suffix-array form
+    removes. Gaps of >= SPAN_K kept tokens contain at least one full
+    never-duplicated span and stay kept.
+
+    Pure array math over the existing position set (sorted adjacent
+    pairs via shifted slices + zip_with — lambdas reference only their
+    own params, the r11 HOF-lambda rule): pair (a, b) emits
+    [a .. b-1] when b - a <= SPAN_K else [a], so consecutive pairs
+    never duplicate a position; the final element is appended once.
+    Output stays sorted-distinct ascending."""
+    d = F.array_sort(dpos_col)
+    npos = F.size(d)
+    head = F.slice(d, F.lit(1), npos - 1)
+    tail = F.slice(d, F.lit(2), npos - 1)
+    filled = F.zip_with(
+        head,
+        tail,
+        lambda a, b: F.when(b - a <= F.lit(SPAN_K), F.sequence(a, b - 1)).otherwise(
+            F.array(a)
+        ),
+    )
+    return F.concat(F.flatten(filled), F.slice(d, F.lit(-1), F.lit(1)))
+
+
 def span_removal_positions(th_df):
     """Per-doc token positions covered by NON-CANONICAL duplicate
     spans — the REMOVAL half of Lee et al. 2022's ExactSubstr (the
@@ -351,7 +385,10 @@ def span_removal_positions(th_df):
     SPAN_K-token span shared anywhere in the corpus (across docs OR
     repeated within one doc) is cut except the single global canonical
     occurrence, min (doc_id, start) — a deterministic struct-min both
-    engines replay. Input: any (doc_id, th) token-hash frame; output
+    engines replay — then per-doc cut positions merge into contiguous
+    maximal runs (:func:`merge_cut_runs`, r12: sub-span kept fragments
+    between cut runs are filled, matching the paper's maximal-substring
+    removal). Input: any (doc_id, th) token-hash frame; output
     (doc_id, dpos array<int> 1-based deleted positions, n_occ removed
     occurrence count), docs with nothing to remove absent (callers
     left-join).
@@ -378,7 +415,7 @@ def span_removal_positions(th_df):
         .where(F.col("rn") >= 2)
         .select("doc_id", "s")
     )
-    return nonc.groupBy("doc_id").agg(
+    agg = nonc.groupBy("doc_id").agg(
         F.array_distinct(
             F.flatten(
                 F.collect_list(F.sequence(F.col("s"), F.col("s") + (SPAN_K - 1)))
@@ -386,3 +423,4 @@ def span_removal_positions(th_df):
         ).alias("dpos"),
         F.count(F.lit(1)).alias("n_occ"),
     )
+    return agg.select("doc_id", merge_cut_runs(F.col("dpos")).alias("dpos"), "n_occ")

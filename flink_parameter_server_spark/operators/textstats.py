@@ -249,10 +249,22 @@ nonc AS (
     FROM socc) x
   WHERE rn >= 2
 ),
-delx AS (
-  SELECT doc_id, list_distinct(flatten(list(range(s, s + {SPAN_K})))) AS dpos,
+del0 AS (
+  SELECT doc_id, list_sort(list_distinct(flatten(list(range(s, s + {SPAN_K}))))) AS dp0,
          count(*) AS n_occ
   FROM nonc GROUP BY doc_id
+),
+-- maximal-run merge (r12, _dedup_core.merge_cut_runs twin): fill any
+-- gap of < SPAN_K kept tokens between adjacent cut positions — pair
+-- (a, b) emits range(a, b) (exclusive end = Spark's sequence(a, b-1))
+-- when b - a <= SPAN_K else [a]; last element appended once
+delx AS (
+  SELECT doc_id, n_occ,
+    flatten(list_transform(range(1, len(dp0)),
+      i -> CASE WHEN dp0[i + 1] - dp0[i] <= {SPAN_K} THEN range(dp0[i], dp0[i + 1])
+                ELSE [dp0[i]] END))
+    || [dp0[len(dp0)]] AS dpos
+  FROM del0
 )
 SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN greatest({', '.join('c_' + lg for lg in _LANGS)}) = 0 THEN 'und'

@@ -56,7 +56,12 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators._dedup_core import SPAN_K, span_occurrences, token_hashes
+from ..operators._dedup_core import (
+    SPAN_K,
+    merge_cut_runs,
+    span_occurrences,
+    token_hashes,
+)
 
 _SPANS_SCHEMA = "sp bigint"
 _FOLDED_SCHEMA = "bid bigint"
@@ -170,8 +175,12 @@ def process_substr_batch(
         ranked.join(seen.withColumn("_seen", F.lit(1)), "sp", "left")
     )
     cut = probed.where((F.col("rn") >= 2) | F.col("_seen").isNotNull())
+    # same maximal-run merge as the batch half (r12, merge_cut_runs):
+    # sub-span kept fragments between a doc's cut runs are filled, so
+    # the single-batch ≡ batch pin keeps holding position-for-position
     decisions = tracked_checkpoint(
-        cut.groupBy("doc_id").agg(
+        cut.groupBy("doc_id")
+        .agg(
             F.array_distinct(
                 F.flatten(
                     F.collect_list(
@@ -181,6 +190,7 @@ def process_substr_batch(
             ).alias("dpos"),
             F.count(F.lit(1)).alias("n_occ"),
         )
+        .select("doc_id", merge_cut_runs(F.col("dpos")).alias("dpos"), "n_occ")
     )
     decisions.count()  # materialize decisions before mutating the store
     if batch_id in folded_span_bids(spark, store_dir):

