@@ -265,6 +265,82 @@ SELECT 'ivf2' AS method, query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+# Deterministic multi-probe (r12, VERDICT r11 #4 — the hash-checked
+# lane's recall knob): same geometry CTEs as _IVF2_ANN_SQL, but each
+# query keeps its top-PROBES supers (rn <= p on the very window the
+# single-probe form argmaxes) and the max-cosine CHILD within each —
+# candidate set = union of <= p cells, a superset of single-probe's,
+# so recall-vs-brute is monotone in p. Every stage stays a
+# deterministic rank: the p>1 approximation is replayed bit-for-bit.
+IVF2_PROBES = 2
+
+_IVF2P_ANN_SQL = f"""
+WITH cent AS {IVF_CENT_SQL},
+crk AS (
+  SELECT cid, cv,
+         row_number() OVER (ORDER BY cid) - 1 AS rnk,
+         count(*) OVER () AS k
+  FROM cent
+),
+sup AS (
+  SELECT cid AS scid, cv AS sv FROM crk
+  WHERE rnk % greatest(1, CAST(ceil(CAST(k AS DOUBLE)
+              / greatest(1.0, floor(sqrt(CAST(k AS DOUBLE))))) AS BIGINT)) = 0
+),
+parent AS (
+  SELECT cid, cv, scid FROM (
+    SELECT c.cid, c.cv, s.scid,
+           row_number() OVER (PARTITION BY c.cid
+                              ORDER BY {cosine_sql('c.cv', 's.sv')} DESC, s.scid) AS rn
+    FROM cent c CROSS JOIN sup s
+  ) WHERE rn = 1
+),
+coarse AS (
+  SELECT vec_id, embedding, scid FROM (
+    SELECT e.vec_id, e.embedding, s.scid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 's.sv')} DESC, s.scid) AS rn
+    FROM embeddings e CROSS JOIN sup s
+  ) WHERE rn = 1
+),
+assign2 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT x.vec_id, x.embedding, p.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cosine_sql('x.embedding', 'p.cv')} DESC, p.cid) AS rn
+    FROM coarse x JOIN parent p ON p.scid = x.scid
+  ) WHERE rn = 1
+),
+qsup AS (
+  SELECT query_id, qv, scid FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, s.scid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 's.sv')} DESC, s.scid) AS rn
+    FROM embeddings e CROSS JOIN sup s
+    WHERE e.vec_id % 50 = 0
+  ) WHERE rn <= {IVF2_PROBES}
+),
+qcell AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, p.cid,
+           row_number() OVER (PARTITION BY q.query_id, q.scid
+                              ORDER BY {cosine_sql('q.qv', 'p.cv')} DESC, p.cid) AS rn
+    FROM qsup q JOIN parent p ON p.scid = q.scid
+  ) WHERE rn = 1
+),
+scoredp AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id,
+         round({cosine_sql('qc.qv', 'a.embedding')}, 6) + 0.0 AS cos_sim
+  FROM qcell qc JOIN assign2 a ON a.cid = qc.cid AND a.vec_id <> qc.query_id
+)
+SELECT 'ivf2_p{IVF2_PROBES}' AS method, query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scoredp
+) WHERE rk = 1
+"""
+
+
 @register(
     "embedding_ann_topk",
     oracle=f"""
@@ -275,6 +351,8 @@ UNION ALL
 SELECT * FROM ({_IVF_ANN_SQL}) AS ivf_part
 UNION ALL
 SELECT * FROM ({_IVF2_ANN_SQL}) AS ivf2_part
+UNION ALL
+SELECT * FROM ({_IVF2P_ANN_SQL}) AS ivf2p_part
 """,
     tags=("D25",),
     doc="Embedding similarity search, all four forms in one query "
@@ -296,7 +374,11 @@ SELECT * FROM ({_IVF2_ANN_SQL}) AS ivf2_part
     "children (~2n·n^(1/4) FLOPs vs the flat rule's n^1.5); every "
     "stage is deterministic, so the hierarchical APPROXIMATION itself "
     "is hash-checked against DuckDB — the oracle-checkable twin of "
-    "ann_index.kmeans_assign_two_level.",
+    "ann_index.kmeans_assign_two_level. 'ivf2_p2' (r12): the lane's "
+    "deterministic multi-probe recall knob — queries probe the top-1 "
+    "child of each of their top-2 supers (rn <= p on the same windows "
+    "the single-probe form argmaxes), candidate sets are supersets of "
+    "ivf2's, recall-vs-brute monotone in p (receipt in BASELINE.md).",
 )
 def embedding_ann_topk(spark, sf_dir):
     brute = embedding_cosine_topk(spark, sf_dir).select(
@@ -308,10 +390,23 @@ def embedding_ann_topk(spark, sf_dir):
     ivf = embedding_ivf_ann(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    ivf2 = embedding_ivf2_ann(spark, sf_dir).select(
+    # one scratch-persisted two-level catalog assignment feeds BOTH
+    # ivf2 branches (r12 — the double-compute class)
+    from ..scratch import scratch
+
+    assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
+    ivf2 = embedding_ivf2_ann(spark, sf_dir, _assign=assign2).select(
         F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    return brute.unionByName(simhash).unionByName(ivf).unionByName(ivf2)
+    ivf2p = embedding_ivf2_ann(
+        spark, sf_dir, probes=IVF2_PROBES, _assign=assign2
+    ).select(
+        F.lit(f"ivf2_p{IVF2_PROBES}").alias("method"),
+        "query_id", "neighbor_id", "cos_sim", "rk",
+    )
+    return (
+        brute.unionByName(simhash).unionByName(ivf).unionByName(ivf2).unionByName(ivf2p)
+    )
 
 
 def ivf_assign(emb, keep_centroid_cos: bool = False):
@@ -355,30 +450,14 @@ def ivf_assign(emb, keep_centroid_cos: bool = False):
     )
 
 
-def ivf2_assign(emb, keep_centroid_cos: bool = False):
-    """Two-level counted-rule assignment (r11) — the DETERMINISTIC,
-    oracle-replayable twin of ann_index.kmeans_assign_two_level:
-
-    1. centroids = the counted-n rule (as :func:`ivf_assign`);
-    2. super-centroids = the counted rule applied AGAIN, to the
-       centroid table's cid-rank order (every stride2-th centroid,
-       stride2 = ceil(k/floor(sqrt(k))) — ~n^(1/4) rows);
-    3. each centroid argmaxes to a parent super cell (k x k^(1/2),
-       driver-scale); each vector argmaxes over the supers, then over
-       its super's CHILDREN via a broadcast hash join on scid.
-
-    Every stage is a deterministic argmax with explicit tie-breaks, so
-    the hierarchical approximation is bit-identical in Spark and
-    DuckDB — the property that lets the registry HASH-CHECK an
-    approximate ANN form. FLOPs ~2n·n^(1/4) vs the flat counted rule's
-    n^1.5; both levels' broadcast tables are bounded (sqrt(n), n^(1/4)
-    rows). The rank window in step 2 is a single-partition window over
-    the ~sqrt(n)-row centroid table — bounded by construction.
-
-    Zero-norm vectors keep the oracle's NULL-cosine ordering exactly
-    as :func:`ivf_assign` does; PRUNE consumers filter ``ne > 0``
-    AFTER assignment (the semdedup_prune default-path convention) —
-    tests/test_fixedk_semantic.py shows the composition."""
+def _ivf2_geometry(emb):
+    """The two bounded tables of the two-level counted rule (r11,
+    factored r12 so the multi-probe query path shares them): ``sup``
+    (~n^(1/4) super-centroids — the counted rule applied to the
+    centroid table's cid-rank order) and ``parent`` (~sqrt(n) child
+    centroids, each argmaxed to its super). Both broadcast-bounded;
+    the rank window is single-partition over the sqrt(n)-row centroid
+    table only."""
     nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
     cent = (
         emb.crossJoin(F.broadcast(nrow))
@@ -412,6 +491,84 @@ def ivf2_assign(emb, keep_centroid_cos: bool = False):
         .where(F.col("rn") == 1)
         .select("cid", "cv", "nc", "scid")
     )
+    return sup, parent
+
+
+def ivf2_probe_cells(emb, queries, probes: int):
+    """Deterministic multi-probe for the hash-checked two-level lane
+    (r12, VERDICT r11 #4 — the oracle lane's recall knob): each query
+    ranks the super-centroids and probes its top-``probes`` supers
+    (``rn <= probes`` on the same window the single-probe lane
+    argmaxes), then takes the max-cosine CHILD within each probed
+    super. Returns (query_id, qv, nq, cid) with <= probes rows per
+    query; cells are distinct because every child has exactly one
+    parent. probes=1 reproduces :func:`ivf2_assign`'s query cell
+    bit-for-bit (same windows, same tie-breaks), and the probed cell
+    SET grows monotonically with ``probes`` — so candidate sets are
+    supersets and recall-vs-brute is monotone non-decreasing (pinned
+    in tests). Every stage stays a deterministic rank, so the p>1
+    approximation is DuckDB-replayable like the rest of the lane."""
+    sup, parent = _ivf2_geometry(emb)
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
+    qsup = (
+        queries.crossJoin(F.broadcast(sup))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("ne").alias("nq"),
+            "scid",
+            _fast_cosine(
+                as_double(F.col("embedding")), as_double(F.col("sv")),
+                F.col("ne"), F.col("ns"),
+            ).alias("cos_s"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= probes)
+        .select("query_id", "qv", "nq", "scid")
+    )
+    wch = Window.partitionBy("query_id", "scid").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    return (
+        qsup.join(F.broadcast(parent), "scid")
+        .select(
+            "query_id", "qv", "nq", "scid", "cid",
+            _fast_cosine(
+                as_double(F.col("qv")), as_double(F.col("cv")),
+                F.col("nq"), F.col("nc"),
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(wch))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qv", "nq", "cid")
+    )
+
+
+def ivf2_assign(emb, keep_centroid_cos: bool = False):
+    """Two-level counted-rule assignment (r11) — the DETERMINISTIC,
+    oracle-replayable twin of ann_index.kmeans_assign_two_level:
+
+    1. centroids = the counted-n rule (as :func:`ivf_assign`);
+    2. super-centroids = the counted rule applied AGAIN, to the
+       centroid table's cid-rank order (every stride2-th centroid,
+       stride2 = ceil(k/floor(sqrt(k))) — ~n^(1/4) rows);
+    3. each centroid argmaxes to a parent super cell (k x k^(1/2),
+       driver-scale); each vector argmaxes over the supers, then over
+       its super's CHILDREN via a broadcast hash join on scid.
+
+    Every stage is a deterministic argmax with explicit tie-breaks, so
+    the hierarchical approximation is bit-identical in Spark and
+    DuckDB — the property that lets the registry HASH-CHECK an
+    approximate ANN form. FLOPs ~2n·n^(1/4) vs the flat counted rule's
+    n^1.5; both levels' broadcast tables are bounded (sqrt(n), n^(1/4)
+    rows). The rank window in step 2 is a single-partition window over
+    the ~sqrt(n)-row centroid table — bounded by construction.
+
+    Zero-norm vectors keep the oracle's NULL-cosine ordering exactly
+    as :func:`ivf_assign` does; PRUNE consumers filter ``ne > 0``
+    AFTER assignment (the semdedup_prune default-path convention) —
+    tests/test_fixedk_semantic.py shows the composition."""
+    sup, parent = _ivf2_geometry(emb)
     wc = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
     coarse = (
         emb.crossJoin(F.broadcast(sup))
@@ -496,20 +653,33 @@ def semantic_cell_profile(assign) -> dict:
     }
 
 
-def embedding_ivf2_ann(spark, sf_dir):
+def embedding_ivf2_ann(spark, sf_dir, probes: int = 1, _assign=None):
     """IVF ANN over the two-level counted assignment (method='ivf2'):
     queries probe their own (two-level-assigned) cell, exact re-rank,
     top-1 — the same probe shape as :func:`embedding_ivf_ann` on the
     pruned geometry. The assignment is scratch-persisted so the query
-    and catalog sides share one computation."""
+    and catalog sides share one computation.
+
+    ``probes`` > 1 (r12): the deterministic multi-probe — each query
+    probes the top-1 child of each of its top-``probes`` super cells
+    (:func:`ivf2_probe_cells`), so the candidate set is a superset of
+    the single-probe one and recall-vs-brute rises monotonically
+    (receipt in BASELINE.md; registry method='ivf2_p2'). The catalog
+    side stays the shared single-cell assignment either way.
+    ``_assign`` lets the consolidated registry entry share ONE
+    scratch-persisted catalog assignment across its ivf2 branches
+    (the double-compute class)."""
     from ..scratch import scratch
 
     emb = embeddings_normed(spark, sf_dir)
-    assign = scratch(ivf2_assign(emb))
-    q = assign.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("ne").alias("nq"), "cid",
-    )
+    assign = _assign if _assign is not None else scratch(ivf2_assign(emb))
+    if probes > 1:
+        q = ivf2_probe_cells(emb, emb.where(F.col("vec_id") % 50 == 0), probes)
+    else:
+        q = assign.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            F.col("ne").alias("nq"), "cid",
+        )
     scored = q.join(assign, "cid").where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

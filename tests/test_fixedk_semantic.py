@@ -461,3 +461,61 @@ def test_kmeans_assign_degenerate_inputs(spark):
     got = kmeans_assign(spark, emb, n_cells=2)
     ids = {r["vec_id"] for r in got.collect()}
     assert 2 not in ids and ids <= {1, 3} and ids
+
+
+def test_ivf2_multi_probe_monotone_and_p1_identical(spark):
+    """r12 (VERDICT r11 #4): the hash-checked lane's deterministic
+    multi-probe recall knob. Pins (1) probes=1 reproduces the
+    single-probe ivf2 result row-for-row (same windows, same
+    tie-breaks); (2) the probed-cell set grows with p (superset per
+    query), so (3) every query's top-1 cosine is monotone
+    non-decreasing in p, and recall-vs-brute (top-1 cosine agreement)
+    is monotone non-decreasing — on the real sf0.01 embeddings."""
+    from flink_parameter_server_spark.operators.similarity import (
+        embedding_cosine_topk,
+        embedding_ivf2_ann,
+        embeddings_normed,
+        ivf2_probe_cells,
+    )
+
+    p1 = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in embedding_ivf2_ann(spark, SF_MED).collect()
+    }
+    p1_via_probe = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in embedding_ivf2_ann(spark, SF_MED, probes=1).collect()
+    }
+    assert p1_via_probe == p1
+
+    emb = embeddings_normed(spark, SF_MED)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cells = {}
+    for p in (1, 2, 3):
+        rows = ivf2_probe_cells(emb, queries, p).collect()
+        cells[p] = {}
+        for r in rows:
+            cells[p].setdefault(r["query_id"], set()).add(r["cid"])
+    for p in (2, 3):
+        for qid, prev in cells[p - 1].items():
+            assert prev <= cells[p][qid], f"probe set shrank at p={p} for {qid}"
+
+    brute = {
+        r["query_id"]: r["cos_sim"]
+        for r in embedding_cosine_topk(spark, SF_MED).where(F.col("rk") == 1).collect()
+    }
+    top1 = {}
+    for p in (1, 2, 3):
+        top1[p] = {
+            r["query_id"]: r["cos_sim"]
+            for r in embedding_ivf2_ann(spark, SF_MED, probes=p).collect()
+        }
+    for p in (2, 3):
+        for qid, prev_cos in top1[p - 1].items():
+            assert top1[p][qid] >= prev_cos, f"top-1 cosine dropped at p={p} for {qid}"
+    recall = {
+        p: sum(1 for q, c in top1[p].items() if c >= brute[q]) / len(brute)
+        for p in (1, 2, 3)
+    }
+    assert recall[1] <= recall[2] <= recall[3]
+    assert set(top1[1]) == set(brute)  # every query answered in every lane

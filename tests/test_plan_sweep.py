@@ -33,9 +33,11 @@ BOUNDED_BNLJ = {
     # variants broadcast 1-row extrema aggregates; the r11 'ivf2'
     # two-level branch adds the n^(1/4)-row super table (crossed once
     # per level) and re-prints its centroid/count children on both
-    # sides of the scratch-persisted assignment — every broadcast side
-    # is sqrt(n), n^(1/4), or 1 row
-    "embedding_ann_topk": (15, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs"),
+    # sides of the scratch-persisted assignment; the r12 'ivf2_p2'
+    # multi-probe branch rebuilds the same bounded geometry for the
+    # query-probe side (its catalog side reuses the shared scratch) —
+    # every broadcast side remains sqrt(n), n^(1/4), or 1 row
+    "embedding_ann_topk": (25, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs"),
     # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
     # broadcast sides are the counted-n centroid table (~sqrt(n) rows,
     # r11 — the retired stride rule's n/64-row table was the one
