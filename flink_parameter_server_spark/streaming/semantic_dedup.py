@@ -53,6 +53,7 @@ relies on it.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -61,8 +62,23 @@ from pyspark.sql import functions as F
 from ..functions.planes import SEMANTIC_T
 from ..operators._dedup_core import star_connected_components
 from ..operators.ann_index import _assign, _normed, add_vectors, read_cells
-from ..operators.similarity import _fast_cosine
+from ..operators.similarity import _fast_cosine, semantic_cell_profile
 from ..functions.vectors import as_double
+
+_LOG = logging.getLogger(__name__)
+
+# semantic_cell_profile's documented pathology threshold (r12, VERDICT
+# r11 #6): a batch whose max cell holds more than this share of the
+# batch makes the in-cell pair join quadratic in that share. The
+# BATCH pipeline rarely hits it (corpus_curate runs exact dedup
+# first), but THIS store ingests raw streams where upstream gates may
+# be absent — so the continuous path is where the flag must live.
+# The effective threshold is max(MAX_SHARE_FLAG, 4/k) for a k-centroid
+# store: a BALANCED batch has max_share ~ 1/k, so the absolute 0.1
+# rule only discriminates when k >> 10 (the counted rule's sqrt(n)
+# regime); on a small-k store the 4x-balanced-share term (the
+# cell_skew rebuild-at-skew>4 convention) keeps a healthy batch quiet.
+MAX_SHARE_FLAG = 0.1
 
 
 def process_semantic_batch(
@@ -94,6 +110,30 @@ def process_semantic_batch(
     )
     cent = spark.read.parquet(f"{index_dir}/centroids")
     assigned = scoped_checkpoint(_assign(v, cent), sids)
+
+    # per-batch geometry diagnostic (r12, log-only — no behavior
+    # change): exact-duplicate mass collapses identical vectors into
+    # one cell, making the stage-2 pair join ~(max_share·batch)^2.
+    # One bounded aggregation over the checkpointed assignment; the
+    # operator flagged is the documented switch to the density-
+    # adaptive quantizer (build_semantic_store centroids=) or an
+    # upstream exact-dedup gate.
+    prof = semantic_cell_profile(assigned)
+    share_flag = max(MAX_SHARE_FLAG, 4.0 / max(1, cent.count()))
+    if prof["total"] and prof["max_share"] > share_flag:
+        _LOG.warning(
+            "semantic-dedup batch cell profile: max_share=%.3f > %.2f "
+            "(max_cell=%d of %d vectors in %d cells; pair_bound=%d) — "
+            "duplicate-heavy batch; consider an upstream exact-dedup "
+            "gate or the kmeans geometry (build_semantic_store "
+            "centroids=)",
+            prof["max_share"],
+            share_flag,
+            prof["max_cell"],
+            prof["total"],
+            prof["n_cells"],
+            prof["pair_bound"],
+        )
 
     # --- stage 1: against the store (touched cells only) ---
     probed_cids = sorted(r["cid"] for r in assigned.select("cid").distinct().collect())

@@ -328,3 +328,38 @@ def test_two_streams_share_one_session_without_cross_freeing(spark, tmp_path):
     assert dd[1] == ("accepted", None) and dd[2] == ("accepted", None)
     assert dd[10] == ("dup_of_store", 1)
     assert dd[11] == ("dup_of_store", 2) and dd[12] == ("accepted", None)
+
+
+def test_duplicate_heavy_batch_flags_cell_profile(spark, tmp_path, caplog):
+    """r12 (VERDICT r11 #6): the continuous path surfaces
+    semantic_cell_profile's max_share pathology flag per batch —
+    log-only, decisions unchanged. A 90%-duplicate synthetic batch
+    (identical vectors collapse into one max-cosine cell) trips the
+    warning; a spread batch does not."""
+    import logging
+
+    seed, batch = _halves(spark)
+    idx = _seed_index(spark, tmp_path, seed)
+
+    # 90%-duplicate synthetic: 18 copies of one direction + 2 others,
+    # ids disjoint from the catalog
+    dup = [(10_000 + i, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60) for i in range(18)]
+    rest = [
+        (10_100, [0.0, 1.0, 0.0, 0.0] + [0.0] * 60),
+        (10_101, [0.0, 0.0, 1.0, 0.0] + [0.0] * 60),
+    ]
+    heavy = spark.createDataFrame(dup + rest, "vec_id bigint, embedding array<float>")
+    with caplog.at_level(logging.WARNING, "flink_parameter_server_spark.streaming.semantic_dedup"):
+        dec = {r["vec_id"]: r["decision"] for r in process_semantic_batch(spark, heavy, idx).collect()}
+    assert any("max_share" in rec.message for rec in caplog.records), "flag did not fire"
+    # log-only: the duplicate pile still dedups to one accepted canonical
+    dups = [v for v in dec.values() if v in ("dup_in_batch", "dup_of_store")]
+    assert len(dups) >= 17 and len(dec) == 20
+
+    caplog.clear()
+    idx2 = _seed_index(spark, tmp_path / "idx2", seed)
+    with caplog.at_level(logging.WARNING, "flink_parameter_server_spark.streaming.semantic_dedup"):
+        process_semantic_batch(spark, batch, idx2).count()
+    assert not any("max_share" in rec.message for rec in caplog.records), (
+        "flag fired on the spread fixture batch"
+    )
