@@ -52,6 +52,27 @@ def dot_fixed(a: Column, b: Column, k: int) -> Column:
     return out
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — left-fold sum of squared differences, the
+    same sequential order as :func:`l2sq_sql` so float64 results match
+    bit-for-bit across engines (the dot/norm2 determinism contract)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        f"s -> (CAST(struct_extract(s, 1) AS DOUBLE) - CAST(struct_extract(s, 2) AS DOUBLE))"
+        f" * (CAST(struct_extract(s, 1) AS DOUBLE) - CAST(struct_extract(s, 2) AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def norm2(a: Column) -> Column:
     """Squared L2 norm."""
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)

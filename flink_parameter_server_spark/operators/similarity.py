@@ -30,7 +30,16 @@ from ..functions.planes import (  # noqa: F401 (EMB_NEAR_DUP_SQL/SEMANTIC_PAIRS_
     bucket_sql as _bucket_sql,
     counted_stride_col,
 )
-from ..functions.vectors import as_double, cosine_sql, dot, norm2
+from ..functions.vectors import (
+    as_double,
+    cosine_sql,
+    dot,
+    dot_sql,
+    l2sq,
+    l2sq_sql,
+    norm2,
+    norm2_sql,
+)
 from ..plans.registry import register
 from ._util import t
 
@@ -341,6 +350,99 @@ SELECT 'ivf2_p{IVF2_PROBES}' AS method, query_id, neighbor_id, cos_sim, rk FROM 
 """
 
 
+# Product quantization over the counted-n IVF cells (r12): the IVFADC
+# composite of Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search" — THE 100 TB ANN memory design. The unit vector is
+# split into PQ_M subvectors, each quantized to its argmin-L2 codeword
+# from a CONSTANT-size codebook (PQ_K anchors via a fixed vec_id
+# stride, so both engines pick identical codewords); a query probes its
+# IVF cell and ranks candidates by the ADC score — the sum over
+# subspaces of precomputed query-to-codeword dot products — WITHOUT
+# touching the raw vectors, then the top-PQ_SHORTLIST are re-ranked by
+# exact cosine (the standard refine step). Determinism: distances and
+# LUT dots are the shared left-fold (bit-identical cross-engine), ADC
+# sums are 6dp-micro-grid LONGS (fold-order-independent), every rank
+# ties on ids. Memory story: codes are PQ_M * log2(PQ_K) = 4 bytes per
+# vector vs 256 raw bytes (64x) — at 1e9 vectors the scan state drops
+# from 256 GB to 4 GB, which is what makes the in-cell ADC scan
+# cache-resident on real hardware.
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+PQ_SHORTLIST = 10
+
+_IVFPQ_ANN_SQL = f"""
+WITH cent AS {IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2_sql('embedding')})) AS xn
+  FROM embeddings WHERE {norm2_sql('embedding')} > 0
+),
+anch AS (
+  SELECT vec_id AS aid, xn FROM nv,
+       (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) / {PQ_K}.0) AS BIGINT)) AS stride
+        FROM embeddings) s
+  WHERE vec_id % s.stride = 0
+),
+cb AS (
+  SELECT aid, m, list_slice(xn, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cs
+  FROM anch, generate_series(0, {PQ_M - 1}) t(m)
+),
+xs AS (
+  SELECT vec_id, m, list_slice(xn, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM nv, generate_series(0, {PQ_M - 1}) t(m)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT x.vec_id, x.m, c.aid AS code,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY {l2sq_sql('x.sv', 'c.cs')}, c.aid) AS rn
+    FROM xs x JOIN cb c ON c.m = x.m
+  ) WHERE rn = 1
+),
+qp AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT n.vec_id AS query_id, c.m, c.aid,
+         CAST(CAST(round({dot_sql(f'list_slice(n.xn, c.m*{PQ_SUB}+1, c.m*{PQ_SUB}+{PQ_SUB})', 'c.cs')}, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lmic
+  FROM nv n CROSS JOIN cb c
+  WHERE n.vec_id % 50 = 0
+),
+adc AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id, sum(l.lmic) AS adc_mic
+  FROM qp JOIN assign a ON a.cid = qp.cid AND a.vec_id <> qp.query_id
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = qp.query_id AND l.m = k.m AND l.aid = k.code
+  GROUP BY qp.query_id, a.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_mic DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+scoredpq AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cosine_sql('qp.qv', 'e.embedding')}, 6) + 0.0 AS cos_sim
+  FROM short s JOIN qp ON qp.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+)
+SELECT 'ivfpq' AS method, query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scoredpq
+) WHERE rk = 1
+"""
+
+
 @register(
     "embedding_ann_topk",
     oracle=f"""
@@ -353,6 +455,8 @@ UNION ALL
 SELECT * FROM ({_IVF2_ANN_SQL}) AS ivf2_part
 UNION ALL
 SELECT * FROM ({_IVF2P_ANN_SQL}) AS ivf2p_part
+UNION ALL
+SELECT * FROM ({_IVFPQ_ANN_SQL}) AS ivfpq_part
 """,
     tags=("D25",),
     doc="Embedding similarity search, all four forms in one query "
@@ -378,22 +482,33 @@ SELECT * FROM ({_IVF2P_ANN_SQL}) AS ivf2p_part
     "deterministic multi-probe recall knob — queries probe the top-1 "
     "child of each of their top-2 supers (rn <= p on the same windows "
     "the single-probe form argmaxes), candidate sets are supersets of "
-    "ivf2's, recall-vs-brute monotone in p (receipt in BASELINE.md).",
+    "ivf2's, recall-vs-brute monotone in p (receipt in BASELINE.md). "
+    "'ivfpq' (r12): the IVFADC composite (Jegou et al. 2011) — the "
+    "query's cell ranked by ADC over 4-byte PQ codes (constant 128-row "
+    "codebook, integer micro-grid sums) without touching raw vectors, "
+    "exact-cosine refine on the top-10 — the 64x-compressed memory "
+    "lane, quantization error hash-checked (receipt in BASELINE.md).",
 )
 def embedding_ann_topk(spark, sf_dir):
+    from ..scratch import scratch
+
     brute = embedding_cosine_topk(spark, sf_dir).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
     simhash = embedding_simhash_ann(spark, sf_dir).select(
         F.lit("simhash").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    ivf = embedding_ivf_ann(spark, sf_dir).select(
+    # one scratch-persisted flat cell assignment feeds the ivf AND
+    # ivfpq branches (r12 — the double-compute class)
+    assign1 = scratch(ivf_assign(embeddings_normed(spark, sf_dir)))
+    ivf = embedding_ivf_ann(spark, sf_dir, _assign=assign1).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    ivfpq = embedding_ivfpq_ann(spark, sf_dir, _assign=assign1).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
     # one scratch-persisted two-level catalog assignment feeds BOTH
     # ivf2 branches (r12 — the double-compute class)
-    from ..scratch import scratch
-
     assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
     ivf2 = embedding_ivf2_ann(spark, sf_dir, _assign=assign2).select(
         F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
@@ -405,7 +520,11 @@ def embedding_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", "cos_sim", "rk",
     )
     return (
-        brute.unionByName(simhash).unionByName(ivf).unionByName(ivf2).unionByName(ivf2p)
+        brute.unionByName(simhash)
+        .unionByName(ivf)
+        .unionByName(ivfpq)
+        .unionByName(ivf2)
+        .unionByName(ivf2p)
     )
 
 
@@ -695,16 +814,19 @@ def embedding_ivf2_ann(spark, sf_dir, probes: int = 1, _assign=None):
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 
-def embedding_ivf_ann(spark, sf_dir):
+def embedding_ivf_ann(spark, sf_dir, _assign=None):
     """IVF-style ANN (the other scale path): deterministic counted-n
     coarse centroids (k ~ sqrt(n)), vectors assigned to their
     max-cosine cell, queries probe their own cell only, exact re-rank
     inside. At 100 TB: centroids come from sampled k-means (the
     ann_index build), cells partition the index, multi-probe tunes
     recall — the cell join shape AND the k ~ sqrt(n) sizing are
-    identical to this oracle-checked form."""
+    identical to this oracle-checked form. ``_assign`` lets the
+    consolidated registry entry share ONE scratch-persisted flat
+    assignment with the 'ivfpq' branch (the double-compute class,
+    r12)."""
     emb = embeddings_normed(spark, sf_dir)
-    assign = ivf_assign(emb)
+    assign = _assign if _assign is not None else ivf_assign(emb)
     q = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("ne").alias("nq"), "cid",
@@ -721,6 +843,168 @@ def embedding_ivf_ann(spark, sf_dir):
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+
+
+def _pq_stride_col(n_col):
+    """Anchor stride for the constant-size PQ codebook: ceil(n / PQ_K),
+    attached from a 1-row count aggregate exactly like
+    :func:`counted_stride_col` — no driver action."""
+    return F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(n_col.cast("double") / F.lit(float(PQ_K))),
+    )
+
+
+def _pq_normed(emb):
+    """(vec_id, xn): unit vectors as double arrays. Zero/null-norm rows
+    are filtered (no direction to quantize) in BOTH engines. ne is
+    bound as a column before the divide transform, so each element is
+    ONE divide (the outer-reference pitfall, BASELINE.md r11)."""
+    return (
+        emb.where(F.col("ne") > 0)
+        .select("vec_id", as_double(F.col("embedding")).alias("xd"), "ne")
+        .select("vec_id", F.transform("xd", lambda x: x / F.col("ne")).alias("xn"))
+    )
+
+
+def _pq_subvecs(df, id_col: str, out: str):
+    """Explode a (id, xn) unit-vector frame into its PQ_M subvectors:
+    (id, m, <out>) with m = 0..PQ_M-1 — literal slices, so the plan
+    stays whole-stage-codegen column math."""
+    slices = F.array(*[F.slice("xn", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+    return df.select(id_col, F.posexplode(slices).alias("m", out))
+
+
+def pq_codebook(emb):
+    """The constant-size PQ codebook: <= PQ_K anchor rows via the fixed
+    vec_id stride ceil(n/PQ_K) (1-row count attached declaratively),
+    each split into PQ_M normalized subvector codewords — <= PQ_K*PQ_M
+    = {PQ_K*PQ_M} rows total, a constant-bounded broadcast at ANY
+    corpus size (unlike the sqrt(n) centroid table, the codebook does
+    not grow: PQ quality scales with PQ_K/PQ_M, not n). At real scale
+    the anchors become sampled k-means per subspace (the ann_index
+    pattern) with the identical encode/ADC shape."""
+    nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    anch = (
+        _pq_normed(emb)
+        .crossJoin(F.broadcast(nrow))
+        .where(F.col("vec_id") % _pq_stride_col(F.col("n_emb")) == 0)
+        .select(F.col("vec_id").alias("aid"), "xn")
+    )
+    return _pq_subvecs(anch, "aid", "cs")
+
+
+def pq_codes(emb, codebook=None):
+    """PQ-encode the catalog: per (vector, subspace) the argmin-L2
+    codeword (tie -> lowest aid) via a <=128-row broadcast equi-join on
+    m + map-side min_by partial agg — returns (vec_id, m, code). The
+    distances are the shared left-fold (:func:`l2sq`), bit-identical to
+    the DuckDB twin, so the argmin is engine-identical. 100 TB shape:
+    one broadcast-join scan + one (vec_id, m)-keyed partial agg; the
+    codes relation is PQ_M*log2(PQ_K) = 4 bytes per vector vs 256 raw
+    bytes — the 64x compression the ADC scan rides on."""
+    cb = codebook if codebook is not None else pq_codebook(emb)
+    xs = _pq_subvecs(_pq_normed(emb), "vec_id", "sv")
+    return (
+        xs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "aid", l2sq(F.col("sv"), F.col("cs")).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("aid", F.struct("d2", "aid")).alias("code"))
+    )
+
+
+def _pq_lut(emb, codebook):
+    """Per-query ADC lookup table: (query_id, m, aid, lmic) with lmic =
+    round(dot(q_m, c_{m,aid}), 6dp) on the integer micro grid — the
+    per-(query, candidate) ADC score is then a SUM of longs, exact and
+    fold-order-independent in both engines (the emic pattern).
+    Bounded: |queries| x PQ_M x PQ_K rows."""
+    qs = _pq_subvecs(
+        _pq_normed(emb.where(F.col("vec_id") % 50 == 0)), "vec_id", "sv"
+    ).withColumnRenamed("vec_id", "query_id")
+    return qs.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("aid").alias("code"),
+        (F.round(dot(F.col("sv"), F.col("cs")), 6).cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("lmic"),
+    )
+
+
+def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
+    """IVFADC ANN (method='ivfpq', r12 — Jegou et al. 2011): queries
+    probe their counted-n IVF cell, candidates are ranked by the ADC
+    score over 4-byte PQ codes WITHOUT touching raw vectors (the sum
+    over subspaces of the query's precomputed codeword dots, integer
+    micro-grid so the sum is exact), the top-PQ_SHORTLIST re-rank by
+    exact cosine, top-1 emitted — the standard refine step. Every
+    stage is a deterministic rank over engine-identical values, so the
+    PQ approximation itself is hash-checked against DuckDB.
+
+    100 TB shape: all joins are equi (cid / m / code / neighbor_id);
+    broadcasts are the sqrt(n) centroid table + 1-row count (the
+    shared IVF assignment) and the CONSTANT <=128-row codebook; the
+    in-cell ADC scan reads PQ_M longs per candidate instead of the
+    256-byte vector — the memory-bandwidth win PQ exists for.
+    ``_assign`` shares the scratch-persisted flat cell assignment with
+    the 'ivf' branch of the consolidated entry."""
+    from ..scratch import scratch
+
+    emb = embeddings_normed(spark, sf_dir)
+    assign = _assign if _assign is not None else scratch(ivf_assign(emb))
+    # the <=128-row codebook feeds BOTH the encode join and the query
+    # LUT — scratch-persist it so the anchor-filter corpus scan runs once
+    cb = scratch(pq_codebook(emb))
+    codes = pq_codes(emb, codebook=cb).withColumnRenamed("vec_id", "neighbor_id")
+    lut = _pq_lut(emb, cb)
+    q = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "cid",
+    )
+    cand = (
+        q.select("query_id", "cid")
+        .join(assign.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(lut, ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lmic").alias("adc_mic"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_mic").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
+        F.col("ne").alias("nn"),
+    )
+    scored = (
+        short.join(q.select("query_id", "qv", "nq"), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")), as_double(F.col("nv")),
+                    F.col("nq"), F.col("nn"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
 
 

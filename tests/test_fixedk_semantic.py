@@ -519,3 +519,77 @@ def test_ivf2_multi_probe_monotone_and_p1_identical(spark):
     }
     assert recall[1] <= recall[2] <= recall[3]
     assert set(top1[1]) == set(brute)  # every query answered in every lane
+
+
+def test_ivfpq_codes_match_driver_argmin_and_refine_contract(spark):
+    """r12 PQ lane pins (method='ivfpq', Jegou et al. 2011 IVFADC):
+    (1) the codebook is constant-bounded (<= PQ_K anchors x PQ_M
+    subspaces) regardless of corpus size; (2) every PQ code is the
+    argmin-L2 codeword per (vector, subspace) — recomputed
+    independently with the SAME sequential left folds in Python floats
+    (IEEE doubles, so the reference is bit-identical to both engines);
+    (3) on the real sf0.01 embeddings the emitted ivfpq top-1 is a
+    same-cell candidate whose exact cosine never exceeds the 'ivf'
+    exact in-cell top-1 (the ADC refine step cannot beat the exact
+    scan it approximates), agreeing with it on most queries — the
+    quantization-error receipt."""
+    import math
+
+    from flink_parameter_server_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        embedding_ivf_ann,
+        embedding_ivfpq_ann,
+        pq_codebook,
+        pq_codes,
+    )
+
+    emb = embeddings_normed(spark, SF_SMALL)
+    cb_rows = pq_codebook(emb).collect()
+    assert 0 < len(cb_rows) <= PQ_K * PQ_M
+
+    def fold_norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def fold_l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cb = {}
+    for r in cb_rows:
+        cb.setdefault(r["m"], []).append((r["aid"], list(r["cs"])))
+    got = {(r["vec_id"], r["m"]): r["code"] for r in pq_codes(emb).collect()}
+    raw = {r["vec_id"]: list(r["embedding"]) for r in emb.collect() if r["ne"]}
+    assert got and set(v for v, _ in got) == set(raw)
+    for vid, x in raw.items():
+        nrm = fold_norm(x)
+        xn = [xi / nrm for xi in x]
+        for m in range(PQ_M):
+            sv = xn[m * PQ_SUB : (m + 1) * PQ_SUB]
+            want = min((fold_l2sq(sv, cs), aid) for aid, cs in cb[m])[1]
+            assert got[(vid, m)] == want, f"code mismatch at ({vid}, {m})"
+
+    release()
+    ivf_top = {
+        r["query_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in embedding_ivf_ann(spark, SF_MED).collect()
+    }
+    pq_top = {
+        r["query_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in embedding_ivfpq_ann(spark, SF_MED).collect()
+    }
+    assert set(pq_top) == set(ivf_top)
+    agree = 0
+    for q, (nb, cos) in pq_top.items():
+        inb, icos = ivf_top[q]
+        assert cos <= icos, f"refine beat the exact in-cell scan for {q}"
+        if nb == inb:
+            assert cos == icos
+            agree += 1
+    assert agree > 0, "ADC shortlist never contained the exact winner"

@@ -35,9 +35,14 @@ BOUNDED_BNLJ = {
     # per level) and re-prints its centroid/count children on both
     # sides of the scratch-persisted assignment; the r12 'ivf2_p2'
     # multi-probe branch rebuilds the same bounded geometry for the
-    # query-probe side (its catalog side reuses the shared scratch) —
-    # every broadcast side remains sqrt(n), n^(1/4), or 1 row
-    "embedding_ann_topk": (25, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs"),
+    # query-probe side (its catalog side reuses the shared scratch);
+    # the r12 'ivfpq' branch adds the CONSTANT <=128-row PQ codebook
+    # (scratch-persisted; its 1-row anchor-stride count agg prints on
+    # the encode and LUT sides) and shares the flat assignment with
+    # 'ivf' via scratch (children re-print per cached-scan side) —
+    # every broadcast side remains sqrt(n), n^(1/4), 1 row, or the
+    # constant codebook
+    "embedding_ann_topk": (34, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs + constant PQ codebook"),
     # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
     # broadcast sides are the counted-n centroid table (~sqrt(n) rows,
     # r11 — the retired stride rule's n/64-row table was the one
