@@ -160,6 +160,205 @@ def _char_frac(dedup_col: str, removed_col: str, sep_len: int):
     return F.when(orig > 0, F.round(removed_chars.cast("double") / orig, 6))
 
 
+# Gopher Table A1 n-gram repetition signals (r12, Rae et al. 2021):
+# the remaining repetition thresholds of the table — fraction of
+# characters in the MOST COMMON {2,3,4}-gram (top_{n}gram_char_frac)
+# and fraction of characters inside DUPLICATED {5..10}-grams
+# (dup_{n}gram_char_frac). Conventions (documented, both engines
+# identical): grams are hashes of token windows (the CONTAM_N Horner
+# fold, so equality is engine-exact); a gram's char length = sum of
+# its token lengths + (n-1) separators; the top fraction is
+# count*gram_chars / total text chars (can exceed 1 on overlapping
+# self-similar grams — a gate signal, not a probability); ties for
+# most-common break by (char length, gram hash) max; the dup fraction
+# is CHARACTER COVERAGE — token positions inside >= 1 duplicated-gram
+# occurrence, counted once, over total token chars (full coverage =
+# 1.0, separators excluded from both sides). All per-doc bounded array
+# math in the same profile scan — no new shuffle at any scale.
+TOP_NGRAM_NS = (2, 3, 4)
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _gram_hashes(th_col, n: int):
+    """Rolling n-gram hashes over a BOUND token-hash array column —
+    the eval-contamination Horner fold at window n (slices reference
+    the bound column top-level, lambdas bind only their own params)."""
+    m = F.size(th_col) - F.lit(n - 1)
+    acc = F.slice(th_col, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(th_col, k, m), lambda a, b: (a * 31 + b) % MOD
+        )
+    return F.when(F.size(th_col) < n, F.array().cast("array<bigint>")).otherwise(acc)
+
+
+def _dup_set(gh_col):
+    """Distinct gram hashes occurring >= 2 times in the doc: sort the
+    gram array, keep values equal to their successor — O(m log m) per
+    doc (the dedup_lines sort-based pattern)."""
+    srt = F.array_sort(gh_col)
+    m = F.size(srt)
+    adj = F.zip_with(
+        F.slice(srt, 1, m - 1),
+        F.slice(srt, 2, m - 1),
+        lambda a, b: F.when(a == b, a),
+    )
+    return F.when(m < 2, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(F.filter(adj, lambda x: x.isNotNull()))
+    )
+
+
+def _top_gram_frac(gh_name: str, n: int):
+    """top_{n}gram_char_frac over bound gh/wlen columns: argmax gram by
+    (count, char length, hash) via struct array_max, count via the
+    distinct-scan (the max_token_ratio cost class, O(m*U) per doc)."""
+    gh = F.col(gh_name)
+    clen = lambda x: (  # noqa: E731 — char length of gram x (first occurrence; identical at every occurrence)
+        F.aggregate(
+            F.slice(F.col("wlen"), F.array_position(gh, x).cast("int"), n),
+            F.lit(0).cast("long"),
+            lambda a, w: a + w,
+        )
+        + F.lit(n - 1)
+    )
+    best = F.array_max(
+        F.transform(
+            F.array_distinct(gh),
+            lambda x: F.struct(
+                F.size(F.filter(gh, lambda e: e == x)).cast("long").alias("cnt"),
+                clen(x).alias("clen"),
+                x.alias("h"),
+            ),
+        )
+    )
+    chars = F.length("text")
+    return F.when(
+        (F.size(gh) > 0) & (chars > 0),
+        F.round((best["cnt"] * best["clen"]).cast("double") / chars, 6),
+    )
+
+
+def _dup_gram_frac(f_name: str, n: int):
+    """dup_{n}gram_char_frac over bound f (per-gram duplicate flags)
+    and wlen columns: a token position is covered iff any of the <= n
+    gram windows containing it is flagged — O(n) bound-column reads
+    per position, never an outer-expression re-eval."""
+    L = F.size("toks")
+    cov = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda j: F.greatest(
+            *[
+                F.when(
+                    j > k, F.coalesce(F.try_element_at(F.col(f_name), j - k), F.lit(0))
+                ).otherwise(F.lit(0))
+                for k in range(n)
+            ]
+        ),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("wlen"), cov, lambda w, c: w * c),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    sumw = F.aggregate(F.col("wlen"), F.lit(0).cast("long"), lambda a, v: a + v)
+    return F.when((L >= n) & (sumw > 0), F.round(num.cast("double") / sumw, 6))
+
+
+def _gram_hash_sql(n: int) -> str:
+    """DuckDB twin of :func:`_gram_hashes` over a bound ``th`` column
+    (the cg CTE's Horner form — congruent mod MOD with the Spark fold)."""
+    return (
+        f"list_transform(range(1, len(th) - {n - 1} + 1), "
+        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+{n - 1}]), "
+        f"(a, x) -> (a * 31 + x) % {MOD}))"
+    )
+
+
+def _rep_ngram_sql() -> str:
+    """The repx CTE CHAIN: per-doc Gopher n-gram signals as staged
+    MATERIALIZED CTEs. DuckDB expands lateral column aliases (and
+    plain CTEs) by TEXTUAL substitution, so a lambda referencing a
+    same-stage alias re-inlines the whole producing expression per
+    element — the frac -> cov -> f -> dup -> srt chain blew up
+    exponentially as laterals (measured: oracle hang at sf0.001).
+    Each level a lambda reads is therefore a MATERIALIZED column of
+    the previous stage — the SQL twin of the Spark side's
+    bound-column discipline."""
+    all_ns = (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+    rep0 = (
+        "rep0 AS MATERIALIZED (SELECT doc_id, toks, length(text) AS nch, "
+        "list_transform(toks, s -> CAST(length(s) AS BIGINT)) AS wl, "
+        f"list_transform(toks, s -> {poly_hash_sql('s', 0)}) AS th "
+        "FROM tk)"
+    )
+    gh = ", ".join(f"{_gram_hash_sql(n)} AS gh{n}" for n in all_ns)
+    rep1 = (
+        "rep1 AS MATERIALIZED (SELECT *, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), wl), (a, x) -> a + x) AS sumw, "
+        f"{gh} FROM rep0)"
+    )
+    best = []
+    for n in TOP_NGRAM_NS:
+        clen = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"wl[list_position(gh{n}, x):list_position(gh{n}, x)+{n - 1}]), "
+            f"(a, w) -> a + w) + {n - 1}"
+        )
+        best.append(
+            f"list_sort(list_transform(list_distinct(gh{n}), x -> "
+            f"{{'cnt': CAST(len(list_filter(gh{n}, e -> e = x)) AS BIGINT), "
+            f"'clen': {clen}, 'h': x}}))[-1] AS best{n}"
+        )
+    srt = ", ".join(f"list_sort(gh{n}) AS srt{n}" for n in DUP_NGRAM_NS)
+    rep2 = f"rep2 AS MATERIALIZED (SELECT *, {', '.join(best)}, {srt} FROM rep1)"
+    dup = ", ".join(
+        f"list_distinct(list_filter(list_transform(range(1, len(srt{n})), "
+        f"i -> CASE WHEN srt{n}[i] = srt{n}[i+1] THEN srt{n}[i] END), "
+        f"x -> x IS NOT NULL)) AS dup{n}"
+        for n in DUP_NGRAM_NS
+    )
+    rep3 = f"rep3 AS MATERIALIZED (SELECT *, {dup} FROM rep2)"
+    flags = ", ".join(
+        f"list_transform(gh{n}, x -> CASE WHEN list_contains(dup{n}, x) "
+        f"THEN 1 ELSE 0 END) AS f{n}"
+        for n in DUP_NGRAM_NS
+    )
+    rep4 = f"rep4 AS MATERIALIZED (SELECT *, {flags} FROM rep3)"
+    covs = []
+    for n in DUP_NGRAM_NS:
+        cov_terms = ", ".join(
+            f"CASE WHEN j > {k} THEN coalesce(f{n}[j - {k}], 0) ELSE 0 END"
+            for k in range(n)
+        )
+        covs.append(
+            f"list_transform(range(1, len(toks) + 1), "
+            f"j -> greatest({cov_terms})) AS cov{n}"
+        )
+    rep5 = f"rep5 AS MATERIALIZED (SELECT *, {', '.join(covs)} FROM rep4)"
+    nums = ", ".join(
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len(toks) + 1), "
+        f"j -> CASE WHEN cov{n}[j] = 1 THEN wl[j] ELSE 0 END)), "
+        f"(a, x) -> a + x) AS num{n}"
+        for n in DUP_NGRAM_NS
+    )
+    rep6 = f"rep6 AS MATERIALIZED (SELECT *, {nums} FROM rep5)"
+    fracs = ["doc_id"]
+    for n in TOP_NGRAM_NS:
+        fracs.append(
+            f"CASE WHEN len(gh{n}) > 0 AND nch > 0 THEN "
+            f"round(CAST(best{n}['cnt'] * best{n}['clen'] AS DOUBLE) / nch, 6) "
+            f"END AS top_{n}gram_char_frac"
+        )
+    for n in DUP_NGRAM_NS:
+        fracs.append(
+            f"CASE WHEN len(toks) >= {n} AND sumw > 0 THEN "
+            f"round(CAST(num{n} AS DOUBLE) / sumw, 6) END AS dup_{n}gram_char_frac"
+        )
+    repx = "repx AS (SELECT " + ", ".join(fracs) + " FROM rep6)"
+    return ",\n".join([rep0, rep1, rep2, rep3, rep4, rep5, rep6, repx])
+
+
 def _stoplist_sql(words) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
@@ -265,7 +464,11 @@ delx AS (
                 ELSE [dp0[i]] END))
     || [dp0[len(dp0)]] AS dpos
   FROM del0
-)
+),
+-- Gopher Table A1 n-gram repetition signals (r12): top-(2,3,4)-gram
+-- char fraction + duplicated-(5..10)-gram char coverage, staged
+-- MATERIALIZED CTEs mirroring the Spark bound-column build
+{_rep_ngram_sql()}
 SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN greatest({', '.join('c_' + lg for lg in _LANGS)}) = 0 THEN 'und'
        {' '.join(f"WHEN c_{lg} = greatest({', '.join('c_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
@@ -329,6 +532,9 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
     round(CAST(length(sc.text) - length(dedup_paras_text) - 2 * n_dup_paras_removed AS DOUBLE)
           / length(sc.text), 6)
   END AS dup_para_char_frac,
+  repx.top_2gram_char_frac, repx.top_3gram_char_frac, repx.top_4gram_char_frac,
+  repx.dup_5gram_char_frac, repx.dup_6gram_char_frac, repx.dup_7gram_char_frac,
+  repx.dup_8gram_char_frac, repx.dup_9gram_char_frac, repx.dup_10gram_char_frac,
   CASE WHEN sc.text IS NOT NULL THEN
     coalesce(array_to_string(list_filter(toks, (x, i) ->
       delx.dpos IS NULL OR NOT list_contains(delx.dpos, i)), ' '), '')
@@ -354,6 +560,7 @@ LEFT JOIN docx ON docx.doc_id = sc.doc_id
 LEFT JOIN fdsir ON fdsir.doc_id = sc.doc_id
 LEFT JOIN cov ON cov.doc_id = sc.doc_id
 LEFT JOIN delx ON delx.doc_id = sc.doc_id
+LEFT JOIN repx ON repx.doc_id = sc.doc_id
 """,
     tags=("D26", "D23"),
     doc="The full per-document text-analysis profile in ONE pass over the "
@@ -377,7 +584,18 @@ LEFT JOIN delx ON delx.doc_id = sc.doc_id
     "drops consecutive duplicate whitespace tokens, each with its "
     "removed-count column; map-only array math in the "
     "same scan, multi-line behavior parity-pinned on a synthetic "
-    "corpus since the fixture is single-line); PII/contamination "
+    "corpus since the fixture is single-line); the r12 Gopher Table A1 "
+    "n-gram repetition thresholds (Rae et al. 2021): "
+    "top_{2,3,4}gram_char_frac — count x char-length of the most "
+    "common n-gram over total text chars (ties by char length then "
+    "gram hash; can exceed 1 on overlapping self-similar grams) — and "
+    "dup_{5..10}gram_char_frac — CHARACTER COVERAGE of token positions "
+    "inside any duplicated n-gram occurrence over total token chars — "
+    "all per-doc bounded array math over bound gram-hash columns in "
+    "the same scan (no new shuffle; the oracle twin runs staged "
+    "MATERIALIZED CTEs because DuckDB inlines lateral aliases "
+    "textually, which re-evaluates producer expressions per lambda "
+    "element); PII/contamination "
     "signals (r5: email and URL hit counts, "
     "digit fraction — redaction-gate inputs; r10 adds the REDACTION "
     "transform itself, redacted_text — typed sentinels over the same "
@@ -583,7 +801,35 @@ def text_profile(spark, sf_dir):
     _dl_text, _dl_n = dedup_lines(F.col("text"))
     _dp_text, _dp_n = dedup_lines(F.col("text"), sep="\n\n")
     _cr_text, _cr_n = collapse_runs(F.col("toks"))
-    wide = sc.select(
+    # Gopher Table A1 n-gram repetition signals (r12): every
+    # intermediate (token lengths, token hashes, per-n gram hashes,
+    # duplicate sets, per-gram flags) is BOUND as a column before any
+    # lambda reads it — the outer-reference O(L^2) pitfall class.
+    rep = sc.withColumns(
+        {
+            "wlen": F.transform("toks", lambda s: F.length(s).cast("long")),
+            "th_rep": F.transform("toks", lambda s_: poly_hash(s_, 0)),
+        }
+    )
+    rep = rep.withColumns(
+        {
+            f"gh{n}": _gram_hashes(F.col("th_rep"), n)
+            for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+        }
+    )
+    rep = rep.withColumns(
+        {f"dupset{n}": _dup_set(F.col(f"gh{n}")) for n in DUP_NGRAM_NS}
+    )
+    def _flag_col(gh_name: str, dup_name: str):
+        return F.transform(
+            F.col(gh_name),
+            lambda x: F.array_contains(F.col(dup_name), x).cast("int"),
+        )
+
+    rep = rep.withColumns(
+        {f"f{n}": _flag_col(f"gh{n}", f"dupset{n}") for n in DUP_NGRAM_NS}
+    )
+    wide = rep.select(
         "doc_id",
         "toks",
         F.col("lang").alias("actual_lang"),
@@ -672,6 +918,19 @@ def text_profile(spark, sf_dir):
         _dp_n.alias("n_dup_paras_removed"),
         _cr_text.alias("collapse_runs_text"),
         _cr_n.alias("n_run_tokens_removed"),
+        # Gopher Table A1 n-gram repetition signals (r12): the
+        # most-common-{2,3,4}-gram char fraction and the duplicated-
+        # {5..10}-gram char coverage (conventions documented on the
+        # helpers above) — per-doc bounded array math over the bound
+        # gram columns, same scan
+        *[
+            _top_gram_frac(f"gh{n}", n).alias(f"top_{n}gram_char_frac")
+            for n in TOP_NGRAM_NS
+        ],
+        *[
+            _dup_gram_frac(f"f{n}", n).alias(f"dup_{n}gram_char_frac")
+            for n in DUP_NGRAM_NS
+        ],
         poly_hash(F.col("text"), 1).alias("full_hash"),
     )
     # rebuild text minus the deleted duplicate-span positions (1-based
@@ -709,6 +968,8 @@ def text_profile(spark, sf_dir):
             _char_frac("dedup_paras_text", "n_dup_paras_removed", 2).alias(
                 "dup_para_char_frac"
             ),
+            *[f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS],
+            *[f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS],
             # ExactSubstr removal (late r11): corpus-wide duplicate
             # spans cut, one canonical occurrence kept globally
             F.array_join(_sr_kept, " ").alias("substr_removed_text"),

@@ -1375,3 +1375,51 @@ def test_split_all_threshold_keeps_null_strata(spark, tmp_path):
     got = {r["doc_id"]: r["split"] for r in split_all_threshold(docs).collect()}
     assert set(got) == set(range(30))
     assert set(got.values()) <= {"train", "valid", "test"}
+
+
+def test_gopher_ngram_repetition_signals(spark, duck, tmp_path):
+    """r12: the remaining Gopher Table A1 repetition thresholds —
+    top-{2,3,4}-gram char fraction and duplicated-{5..10}-gram char
+    coverage. Hand-computed pins on a synthetic corpus (the fixture
+    text has few long self-repeats) plus full-entry Spark-vs-DuckDB
+    parity over the same corpus, covering the NULL/empty/short-doc
+    guards and the documented can-exceed-1 overlap case."""
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import register_duck_views
+    from tests.oracle import compare
+
+    texts = {
+        0: "a b a b a b",          # top2: 'a b' x3, clen 3 -> 9/11
+        1: "x y z w v x y z w v",  # dup5: the 5-gram repeats -> full coverage
+        2: "aa aa aa",             # top2 overlap: 2*5/8 > 1 (documented)
+        3: "a",                    # too short for any gram -> NULLs
+        4: "",
+        5: None,
+        6: "p q r s t u q r s t u v",  # inner 5-gram 'q r s t u' x2
+    }
+    docs = [
+        (i, txt, "en", "web", len(txt) if txt is not None else 0)
+        for i, txt in texts.items()
+    ]
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    spec = REGISTRY["text_profile"]
+    register_duck_views(duck, out)
+    ok, msg = compare(spec.fn(spark, out), duck, spec.oracle)
+    assert ok, f"text_profile gopher-ngram synthetic parity: {msg}"
+
+    got = {r["doc_id"]: r for r in spec.fn(spark, out).collect()}
+    assert got[0]["top_2gram_char_frac"] == round(3 * 3 / 11, 6)
+    assert got[0]["top_3gram_char_frac"] == round(2 * 5 / 11, 6)
+    assert got[0]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
+    assert got[1]["dup_5gram_char_frac"] == 1.0  # period-5 repeat covers all
+    assert got[1]["dup_6gram_char_frac"] == 0.0
+    assert got[2]["top_2gram_char_frac"] == round(2 * 5 / 8, 6)  # 1.25 > 1
+    for n in (5, 6, 7, 8, 9, 10):
+        assert got[2][f"dup_{n}gram_char_frac"] is None  # L=3 < n
+    for col in ("top_2gram_char_frac", "dup_5gram_char_frac"):
+        assert got[3][col] is None or got[3][col] == 0.0
+        assert got[4][col] is None
+        assert got[5][col] is None
+    # doc 6: positions 2..6 and 7..11 covered (union 2..11 of 12) —
+    # 10 covered single-char tokens over 12 token chars
+    assert got[6]["dup_5gram_char_frac"] == round(10 / 12, 6)
