@@ -501,6 +501,26 @@ SELECT sc.doc_id, sc.lang AS actual_lang,
   CASE WHEN length(sc.text) > 0 THEN
     round(CAST(len(regexp_extract_all(sc.text, '[0-9]')) AS DOUBLE) / length(sc.text), 6)
   END AS digit_ratio,
+  -- Gopher Table A1 QUALITY rules (r12): the four thresholds the
+  -- profile did not already carry (word-count/mean-length/stopword
+  -- bounds ride on n_ws_tokens/avg_token_len/stopword_ratio)
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(regexp_extract_all(sc.text, '#|[.][.][.]|…')) AS DOUBLE) / len(toks), 6)
+  END AS symbol_word_ratio,
+  CASE WHEN sc.text IS NOT NULL THEN
+    round(CAST(len(list_filter(string_split(sc.text, chr(10)),
+      l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
+      / len(string_split(sc.text, chr(10))), 6)
+  END AS bullet_line_frac,
+  CASE WHEN sc.text IS NOT NULL THEN
+    round(CAST(len(list_filter(string_split(sc.text, chr(10)),
+      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+      / len(string_split(sc.text, chr(10))), 6)
+  END AS ellipsis_line_frac,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE)
+      / len(toks), 6)
+  END AS alpha_word_frac,
   regexp_replace(regexp_replace(sc.text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                  '{URL_RE}', '<URL>', 'g') AS redacted_text,
   -- coalesce: DuckDB's array_to_string over an EMPTY list is NULL
@@ -595,7 +615,11 @@ LEFT JOIN repx ON repx.doc_id = sc.doc_id
     "the same scan (no new shuffle; the oracle twin runs staged "
     "MATERIALIZED CTEs because DuckDB inlines lateral aliases "
     "textually, which re-evaluates producer expressions per lambda "
-    "element); PII/contamination "
+    "element); the r12 Gopher QUALITY rules the profile did not already "
+    "carry (word-count/mean-length/stopword bounds ride on existing "
+    "columns): symbol_word_ratio ('#'/ellipsis hits per word), "
+    "bullet_line_frac, ellipsis_line_frac, alpha_word_frac — map-only, "
+    "real hits parity-pinned on the synthetic corpus; PII/contamination "
     "signals (r5: email and URL hit counts, "
     "digit fraction — redaction-gate inputs; r10 adds the REDACTION "
     "transform itself, redacted_text — typed sentinels over the same "
@@ -889,6 +913,60 @@ def text_profile(spark, sf_dir):
                 6,
             ),
         ).alias("digit_ratio"),
+        # Gopher Table A1 QUALITY rules (r12): the four thresholds not
+        # already carried (word-count / mean-word-length / stopword
+        # bounds ride on n_ws_tokens / avg_token_len / stopword_ratio):
+        # symbol-to-word ratio ('#' or ellipsis per word), fraction of
+        # lines starting with a bullet, fraction of lines ending with
+        # an ellipsis, fraction of words with >= 1 alphabetic char —
+        # map-only in the same scan; fixture text is clean so real hits
+        # are parity-pinned on the synthetic corpus in tests
+        F.when(
+            nonempty,
+            F.round(
+                F.size(
+                    F.regexp_extract_all("text", F.lit("#|[.][.][.]|…"), 0)
+                ).cast("double")
+                / n,
+                6,
+            ),
+        ).alias("symbol_word_ratio"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.round(
+                F.size(
+                    F.filter(
+                        F.split("text", "\n"),
+                        lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"),
+                    )
+                ).cast("double")
+                / F.size(F.split("text", "\n")),
+                6,
+            ),
+        ).alias("bullet_line_frac"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.round(
+                F.size(
+                    F.filter(
+                        F.split("text", "\n"),
+                        lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+                    )
+                ).cast("double")
+                / F.size(F.split("text", "\n")),
+                6,
+            ),
+        ).alias("ellipsis_line_frac"),
+        F.when(
+            nonempty,
+            F.round(
+                F.size(
+                    F.filter(F.col("toks"), lambda t2: t2.rlike("[A-Za-z]"))
+                ).cast("double")
+                / n,
+                6,
+            ),
+        ).alias("alpha_word_frac"),
         # PII redaction (r10): the transform half of the count signals
         # above — fixture text is PII-free so the driver path is
         # identity; real hits are parity-pinned on a synthetic corpus
@@ -953,6 +1031,8 @@ def text_profile(spark, sf_dir):
             "n_chars_measured", "n_chars", "n_unique", "avg_token_len",
             "stopword_ratio", "quality_score", "max_token_ratio",
             "dup_bigram_ratio", "n_emails", "n_urls", "digit_ratio",
+            "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+            "alpha_word_frac",
             "redacted_text",
             "dedup_lines_text", "n_dup_lines_removed", "dedup_paras_text",
             "n_dup_paras_removed",

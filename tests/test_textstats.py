@@ -1396,6 +1396,9 @@ def test_gopher_ngram_repetition_signals(spark, duck, tmp_path):
         4: "",
         5: None,
         6: "p q r s t u q r s t u v",  # inner 5-gram 'q r s t u' x2
+        # r12 quality rules: 4 lines — 2 bullets, 1 ellipsis ending,
+        # '#'+'...' symbols over 8 ws-tokens, one all-digit token
+        7: "• first item\n- second 12 #\nplain tail...\nx9",
     }
     docs = [
         (i, txt, "en", "web", len(txt) if txt is not None else 0)
@@ -1423,3 +1426,15 @@ def test_gopher_ngram_repetition_signals(spark, duck, tmp_path):
     # doc 6: positions 2..6 and 7..11 covered (union 2..11 of 12) —
     # 10 covered single-char tokens over 12 token chars
     assert got[6]["dup_5gram_char_frac"] == round(10 / 12, 6)
+    # r12 quality rules (doc 7: 7 space-tokens — newlines stay inside
+    # tokens — 4 lines, '#' + '...' symbols, 5 alphabetic tokens)
+    assert got[7]["symbol_word_ratio"] == round(2 / 7, 6)
+    assert got[7]["bullet_line_frac"] == 0.5
+    assert got[7]["ellipsis_line_frac"] == 0.25
+    assert got[7]["alpha_word_frac"] == round(5 / 7, 6)
+    for col in ("symbol_word_ratio", "bullet_line_frac",
+                "ellipsis_line_frac", "alpha_word_frac"):
+        assert got[5][col] is None  # NULL text
+    assert got[4]["symbol_word_ratio"] is None  # empty: no tokens
+    assert got[4]["bullet_line_frac"] == 0.0    # one empty line
+    assert got[4]["ellipsis_line_frac"] == 0.0
