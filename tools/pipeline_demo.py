@@ -275,6 +275,32 @@ def main() -> None:
     }
     print(f"# score: {out['score']}")
 
+    # 5a. Gopher Table A1 gates (r12): how many docs each published
+    # threshold would reject on this corpus — the repetition fractions
+    # (top-n-gram / dup-n-gram char coverage) and the quality rules,
+    # all read from the same oracle-checked profile scan
+    gates = {
+        "top_2gram_char_frac > 0.20": "top_2gram_char_frac > 0.20",
+        "top_3gram_char_frac > 0.18": "top_3gram_char_frac > 0.18",
+        "top_4gram_char_frac > 0.16": "top_4gram_char_frac > 0.16",
+        "dup_5gram_char_frac > 0.15": "dup_5gram_char_frac > 0.15",
+        "dup_10gram_char_frac > 0.10": "dup_10gram_char_frac > 0.10",
+        "symbol_word_ratio > 0.1": "symbol_word_ratio > 0.1",
+        "bullet_line_frac > 0.9": "bullet_line_frac > 0.9",
+        "ellipsis_line_frac > 0.3": "ellipsis_line_frac > 0.3",
+        "alpha_word_frac < 0.8": "alpha_word_frac < 0.8",
+    }
+    grow = prof.agg(
+        *[
+            F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(f"g{i}")
+            for i, cond in enumerate(gates.values())
+        ]
+    ).first()
+    out["gopher_gates"] = {
+        label: int(grow[f"g{i}"] or 0) for i, label in enumerate(gates)
+    }
+    print(f"# gopher gates (docs tripped): {out['gopher_gates']}")
+
     # 5b. embedding-space prune + importance selection (r9): SemDeDup
     #     drops semantic duplicates from the vector catalog (keep the
     #     least-central member per duplicate component), and DSIR
