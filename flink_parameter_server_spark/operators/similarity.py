@@ -949,7 +949,15 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
     in-cell ADC scan reads PQ_M longs per candidate instead of the
     256-byte vector — the memory-bandwidth win PQ exists for.
     ``_assign`` shares the scratch-persisted flat cell assignment with
-    the 'ivf' branch of the consolidated entry."""
+    the 'ivf' branch of the consolidated entry.
+
+    Documented divergence from Jegou et al.'s by-residual IVFADC: the
+    codes quantize the normalized vector itself, not the residual
+    x - centroid (FAISS IndexIVFPQ by_residual=false — the form whose
+    ADC score decomposes as a plain codeword-dot LUT; residual
+    encoding would entangle the LUT with the query's cell centroid
+    and is a quality knob, not a scale knob). The exact-cosine refine
+    step absorbs most of the quality gap at the emitted top-1."""
     from ..scratch import scratch
 
     emb = embeddings_normed(spark, sf_dir)
