@@ -232,6 +232,10 @@ def ams_sketches(spark, sf_dir):
 CMS_W = 256
 CMS_SEEDS = (3, 5, 11, 17)
 CMS_PROBE_WORDS = ("key", "table", "spark", "zzzz_not_a_word")
+# Heavy-hitters threshold denominator (r12): a token is emitted as
+# heavy when its CMS estimate clears ceil(N_lang / CMS_HH_PHI) — the
+# classic phi-heavy-hitters rule (Cormode & Muthukrishnan 2005 §4.2).
+CMS_HH_PHI = 128
 
 
 _CMS_SQL = f"""
@@ -269,12 +273,40 @@ FROM est JOIN exact ON est.lang = exact.lang AND est.word = exact.word
 """
 
 
+_CMS_HEAVY_SQL = f"""
+WITH occ AS (SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
+hfreq AS (SELECT lang, tok, count(*) AS f FROM occ GROUP BY 1, 2),
+hcells AS (
+  SELECT lang, s.seed,
+         CASE s.seed {' '.join(f"WHEN {sd} THEN {poly_hash_sql('tok', sd)} % {CMS_W}" for sd in CMS_SEEDS)} END AS col,
+         sum(f) AS c
+  FROM hfreq CROSS JOIN (SELECT unnest({list(CMS_SEEDS)}) AS seed) s
+  GROUP BY 1, 2, 3
+),
+htot AS (SELECT lang, sum(f) AS ntok FROM hfreq GROUP BY lang),
+hest AS (
+  SELECT f.lang, f.tok, f.f, min(coalesce(c.c, 0)) AS est
+  FROM hfreq f
+  CROSS JOIN (SELECT unnest({list(CMS_SEEDS)}) AS seed) s
+  LEFT JOIN hcells c ON c.lang = f.lang AND c.seed = s.seed
+    AND c.col = CASE s.seed {' '.join(f"WHEN {sd} THEN {poly_hash_sql('f.tok', sd)} % {CMS_W}" for sd in CMS_SEEDS)} END
+  GROUP BY 1, 2, 3
+)
+SELECT 'cms_heavy' AS sketch, e.lang, e.tok AS word,
+       CAST(e.est AS BIGINT) AS estimate, CAST(e.f AS BIGINT) AS check_value
+FROM hest e JOIN htot t ON t.lang = e.lang
+WHERE e.est >= (t.ntok + {CMS_HH_PHI - 1}) // {CMS_HH_PHI}
+"""
+
+
 @register(
     "sketch_point_queries",
     oracle=f"""
 SELECT * FROM ({_BLOOM_SQL}) AS bloom_part
 UNION ALL
 SELECT * FROM ({_CMS_SQL}) AS cms_part
+UNION ALL
+SELECT * FROM ({_CMS_HEAVY_SQL}) AS cms_heavy_part
 """,
     tags=("C1", "C4"),
     doc="Point-query sketches — Bloom membership and Count-Min frequency "
@@ -286,14 +318,22 @@ SELECT * FROM ({_CMS_SQL}) AS cms_part
     "estimate = maybe_present, check_value = bits set. 'cms': 4 seeded "
     "hash rows x 256 counter columns; estimate = min over rows of the "
     "probed cell (one-sided overestimate), check_value = exact count. "
+    "'cms_heavy' (r12): phi-heavy-hitters over the same sketch "
+    "(Cormode & Muthukrishnan 2005) — every distinct token whose CMS "
+    "estimate clears ceil(N_lang/128); one-sided error means truly "
+    "heavy tokens are NEVER missed while near-threshold collisions "
+    "emit as visible false positives (check_value = exact count), all "
+    "integer math so the property itself is hash-checked. "
     "Production built-ins (df.stat.bloomFilter, count_min_sketch, HLL) "
     "are exercised in tests/test_sketches.py. All-integer -> bit-exact "
     "oracle.",
 )
 def sketch_point_queries(spark, sf_dir):
     freq = _lang_token_freq(spark, sf_dir)
-    return _bloom_membership(spark, sf_dir, freq=freq).unionByName(
-        _cms_frequency(spark, sf_dir, freq=freq)
+    return (
+        _bloom_membership(spark, sf_dir, freq=freq)
+        .unionByName(_cms_frequency(spark, sf_dir, freq=freq))
+        .unionByName(_cms_heavy(spark, sf_dir, freq=freq))
     )
 
 
@@ -307,6 +347,56 @@ def _lang_token_freq(spark, sf_dir):
         .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     )
     return scratch(occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))
+
+
+def _cms_heavy(spark, sf_dir, freq=None):
+    """phi-heavy-hitters over the CMS (r12, sketch='cms_heavy'): every
+    distinct token whose CMS estimate clears ceil(N_lang / CMS_HH_PHI).
+    Batch-side this probes ALL distinct tokens against the sketch (the
+    verification form of the streaming heap — at real scale the heap
+    rides in the same stateful op that maintains the counters);
+    one-sided error means a truly heavy token is NEVER missed, while
+    near-threshold hash collisions emit as false positives with their
+    exact count in check_value — the CMS guarantee made visible (and
+    hash-checked) in the output. Shapes: the shared (lang, tok, f)
+    build + one bounded cells agg (<= langs x 4 x 256 rows, broadcast
+    equi-join) + one (lang, tok) re-agg — two shuffles on the same key
+    class at any scale."""
+    if freq is None:
+        freq = _lang_token_freq(spark, sf_dir)
+    seed_cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(sd).alias("seed"), (poly_hash(F.col("tok"), sd) % CMS_W).alias("col"))
+                for sd in CMS_SEEDS
+            ]
+        )
+    ).alias("sc")
+    cells = (
+        freq.select("lang", "f", seed_cols)
+        .groupBy("lang", F.col("sc.seed").alias("seed"), F.col("sc.col").alias("col"))
+        .agg(F.sum("f").alias("c"))
+    )
+    probes = freq.select("lang", "tok", "f", seed_cols).select(
+        "lang", "tok", "f", F.col("sc.seed").alias("seed"), F.col("sc.col").alias("col")
+    )
+    est = (
+        probes.join(cells, ["lang", "seed", "col"], "left")
+        .groupBy("lang", "tok", "f")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    tot = freq.groupBy("lang").agg(F.sum("f").alias("ntok"))
+    return (
+        est.join(tot, "lang")
+        .where(F.col("est") >= F.expr(f"(ntok + {CMS_HH_PHI - 1}) div {CMS_HH_PHI}"))
+        .select(
+            F.lit("cms_heavy").alias("sketch"),
+            "lang",
+            F.col("tok").alias("word"),
+            F.col("est").cast("long").alias("estimate"),
+            F.col("f").cast("long").alias("check_value"),
+        )
+    )
 
 
 def _cms_frequency(spark, sf_dir, freq=None):

@@ -53,3 +53,42 @@ def test_sql_count_min_sketch_and_approx_top_k(spark):
         for r in ev.groupBy("event_type").count().orderBy(F.desc("count")).limit(3).collect()
     }
     assert top_items == exact_top  # small domain: approx == exact
+
+
+def test_cms_heavy_hitters_one_sided_and_no_misses(spark):
+    """r12 sketch='cms_heavy' contract: (1) every estimate is a
+    one-sided OVERestimate (est >= exact, the CMS guarantee); (2) NO
+    truly heavy token is missed — every (lang, tok) whose exact count
+    clears ceil(N_lang/CMS_HH_PHI) appears in the output (recomputed
+    driver-side from the raw corpus); (3) the output is exactly the
+    estimate-clears-threshold set, so any emitted row with
+    check_value < threshold is a visible false positive."""
+    from flink_parameter_server_spark.operators.sketches import (
+        CMS_HH_PHI,
+        _cms_heavy,
+    )
+
+    rows = _cms_heavy(spark, SF_SMALL).collect()
+    assert rows
+    got = {(r["lang"], r["word"]): (r["estimate"], r["check_value"]) for r in rows}
+    for (lang, w), (est, exact) in got.items():
+        assert est >= exact, f"CMS underestimated ({lang}, {w})"
+
+    d = t(spark, SF_SMALL, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = {
+        (r["lang"], r["tok"]): r["n"]
+        for r in d.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["lang"] is not None
+    }
+    ntok = {}
+    for (lang, _), n in freq.items():
+        ntok[lang] = ntok.get(lang, 0) + n
+    thr = {lang: -(-n // CMS_HH_PHI) for lang, n in ntok.items()}
+    truly_heavy = {k for k, n in freq.items() if n >= thr[k[0]]}
+    assert truly_heavy, "fixture has no heavy tokens — threshold too high"
+    missed = truly_heavy - set(got)
+    assert not missed, f"heavy tokens missed: {sorted(missed)[:5]}"
+    for k in truly_heavy:
+        assert got[k][1] == freq[k]  # check_value carries the exact count
