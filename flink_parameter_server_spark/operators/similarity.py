@@ -896,22 +896,48 @@ def pq_codebook(emb):
 
 
 def pq_codes(emb, codebook=None):
-    """PQ-encode the catalog: per (vector, subspace) the argmin-L2
-    codeword (tie -> lowest aid) via a <=128-row broadcast equi-join on
-    m + map-side min_by partial agg — returns (vec_id, m, code). The
-    distances are the shared left-fold (:func:`l2sq`), bit-identical to
-    the DuckDB twin, so the argmin is engine-identical. 100 TB shape:
-    one broadcast-join scan + one (vec_id, m)-keyed partial agg; the
-    codes relation is PQ_M*log2(PQ_K) = 4 bytes per vector vs 256 raw
-    bytes — the 64x compression the ADC scan rides on."""
+    """PQ-encode the catalog MAP-ONLY: the <=128-row codebook folds to
+    a 1-row struct-array aggregate (the counted-n 1-row-broadcast
+    pattern), and each vector computes all PQ_M argmin-L2 codewords in
+    one projection — array_min over (d2, aid) structs, tie -> lowest
+    aid, distances the shared left-fold (:func:`l2sq`), bit-identical
+    to the DuckDB twin. Returns (vec_id, m, code) via a map-side
+    posexplode. 100 TB shape: ZERO shuffles — the encode is a pure
+    scan + constant broadcast (the first cut shuffled n*PQ_M rows
+    through a (vec_id, m) agg; at fixture scale the stage overhead
+    alone cost ~1 s, and at real scale the shuffle is n*8 rows of
+    pure overhead)."""
+    arr = pq_codes_arr(emb, codebook)
+    return arr.select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+
+def pq_codes_arr(emb, codebook=None):
+    """The map-only encode itself: (vec_id, codes array<long>) — see
+    :func:`pq_codes` for the contract."""
     cb = codebook if codebook is not None else pq_codebook(emb)
-    xs = _pq_subvecs(_pq_normed(emb), "vec_id", "sv")
-    return (
-        xs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "aid", l2sq(F.col("sv"), F.col("cs")).alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("aid", F.struct("d2", "aid")).alias("code"))
+    cba = cb.groupBy().agg(
+        F.collect_list(F.struct("m", "aid", "cs")).alias("cba")
     )
+    xs = (
+        _pq_normed(emb)
+        .crossJoin(F.broadcast(cba))
+        .withColumn(
+            "svs", F.array(*[F.slice("xn", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        )
+    )
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda mm: F.array_min(
+            F.transform(
+                F.filter(F.col("cba"), lambda c: c["m"] == mm),
+                lambda c: F.struct(
+                    l2sq(F.element_at(F.col("svs"), mm + 1), c["cs"]).alias("d2"),
+                    c["aid"].alias("aid"),
+                ),
+            )
+        )["aid"],
+    )
+    return xs.select("vec_id", codes_arr.alias("codes"))
 
 
 def _pq_lut(emb, codebook):
@@ -965,8 +991,26 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
     # the <=128-row codebook feeds BOTH the encode join and the query
     # LUT — scratch-persist it so the anchor-filter corpus scan runs once
     cb = scratch(pq_codebook(emb))
-    codes = pq_codes(emb, codebook=cb).withColumnRenamed("vec_id", "neighbor_id")
-    lut = _pq_lut(emb, cb)
+    codes = pq_codes_arr(emb, codebook=cb).withColumnRenamed("vec_id", "neighbor_id")
+    # per-query LUT folded to a (code*PQ_M + m) -> lmic map (code is
+    # the anchor vec_id — unbounded — so m must be the low digit): the ADC
+    # score is then pure per-row array math over the codes array — the
+    # (query, neighbor, m) explode + re-agg of the first cut is gone
+    # (collect_list order is irrelevant: map keys are unique)
+    lutmap = (
+        _pq_lut(emb, cb)
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("code") * PQ_M + F.col("m")).cast("long").alias("k"),
+                        F.col("lmic").alias("v"),
+                    )
+                )
+            ).alias("lmap")
+        )
+    )
     q = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("ne").alias("nq"), "cid",
@@ -977,11 +1021,19 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
+    adc_sum = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda cd, mm: F.element_at(F.col("lmap"), (cd * PQ_M + mm).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
     adc = (
         cand.join(codes, "neighbor_id")
-        .join(lut, ["query_id", "m", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("lmic").alias("adc_mic"))
+        .join(lutmap, "query_id")
+        .select("query_id", "neighbor_id", adc_sum.alias("adc_mic"))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("adc_mic").desc(), F.col("neighbor_id")
