@@ -390,6 +390,25 @@ def _two_level_assign(
     )
 
 
+def _pq_train_codebook(v: DataFrame, seed: int = IVF_SEED) -> DataFrame:
+    """Index-lane PQ codebook (r12): anchors = the PQ_K vectors first
+    in seeded-hash order — the same sampling discipline as the Lloyd
+    init (at 100 TB swap for per-subspace sampled k-means; the encode
+    and ADC shapes are unchanged) — normalized and split into PQ_M
+    subvector codewords. Returns (m, aid, cs): <= PQ_K*PQ_M rows, a
+    CONSTANT-size table at any catalog size."""
+    from .similarity import PQ_K, _pq_normed, _pq_subvecs
+
+    anch = (
+        v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
+        .limit(PQ_K)
+        .select("vec_id", "embedding", "ne")
+    )
+    return _pq_subvecs(_pq_normed(anch), "vec_id", "cs").select(
+        F.col("vec_id").alias("aid"), "m", "cs"
+    )
+
+
 def build_ivf_index(
     spark,
     emb: DataFrame,
@@ -397,6 +416,7 @@ def build_ivf_index(
     n_cells: int = 16,
     iters: int = 2,
     seed: int = IVF_SEED,
+    pq: bool = False,
 ) -> None:
     """Train the coarse quantizer and write the index.
 
@@ -408,7 +428,15 @@ def build_ivf_index(
     (cid, pos) -> rebuild), i.e. two shuffles per iteration on the
     exploded (row x dim) relation. Zero-norm vectors are excluded (they
     have no cosine cell).
-    """
+
+    ``pq=True`` (r12 — the persisted IVFADC form): additionally train
+    a constant-size PQ codebook (:func:`_pq_train_codebook`) and write
+    a ``pq_codes`` table — (vec_id, codes array<long>), partitioned by
+    the SAME cid as the cells so an ADC probe prunes identically. The
+    codes replica is PQ_M small codes per vector vs the raw 256-byte
+    embedding: the probe's scan side; the raw cells table is then
+    touched only for the shortlist refine (:func:`ivf_search`
+    ``adc=True``). Encode is map-only (similarity.pq_codes_arr)."""
     # the build consumes every iteration checkpoint by the final writes,
     # so its scratch is self-contained: collect the exact ids each
     # checkpoint pins (scoped_checkpoint — a global before/after diff
@@ -419,9 +447,19 @@ def build_ivf_index(
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
     cent = _train_centroids(v, n_cells, iters, seed, build_ids)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    _assign(v, cent).select("vec_id", "embedding", "ne", "cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{index_dir}/cells")
+    assigned = scoped_checkpoint(
+        _assign(v, cent).select("vec_id", "embedding", "ne", "cid"), build_ids
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/cells")
+    if pq:
+        from .similarity import pq_codes_arr
+
+        cb = _pq_train_codebook(v, seed)
+        cb.write.mode("overwrite").parquet(f"{index_dir}/pq_codebook")
+        cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
+        pq_codes_arr(assigned, codebook=cbq, keep=("cid",)).select(
+            "vec_id", "codes", "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/pq_codes")
     unpersist_rdd_ids(spark, build_ids)
 
 
@@ -434,6 +472,8 @@ def ivf_search(
     exclude_self: bool = True,
     two_level: bool = False,
     n_super_probe: int = 1,
+    adc: bool = False,
+    shortlist: int = 32,
 ) -> DataFrame:
     """Top-k cosine neighbors per query from the persisted index.
 
@@ -458,6 +498,17 @@ def ivf_search(
     among the n_super_probe best super cells' children; covering
     every super cell (n_super_probe >= n_super) recovers the flat
     probe EXACTLY (pinned).
+
+    ``adc=True`` (r12 — requires a ``pq=True`` build): rank the probed
+    cells' candidates by the ADC score over the persisted 4-byte PQ
+    codes — the scan side reads the ``pq_codes`` replica ONLY (same
+    cid partition pruning), the raw cells table is touched just for
+    the top-``shortlist`` exact-cosine refine per query. Identical
+    output contract. ``shortlist`` covering the whole probed candidate
+    set recovers the exact probe result EXACTLY (the refine re-ranks
+    everything by true cosine — pinned); smaller shortlists trade the
+    raw-vector reads for ADC-approximation risk at ranks the refine
+    cannot repair.
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
@@ -508,6 +559,57 @@ def ivf_search(
     cells = spark.read.parquet(f"{index_dir}/cells").where(
         F.col("cid").isin(probed_cids)
     )
+    if adc:
+        from .similarity import pq_adc_mic, pq_lut_map
+
+        cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
+        codes = spark.read.parquet(f"{index_dir}/pq_codes").where(
+            F.col("cid").isin(probed_cids)
+        )
+        lutmap = pq_lut_map(q, cbq)
+        cand = probes.select("query_id", "cid").join(codes, "cid")
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        adcs = cand.join(lutmap, "query_id").select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pq_adc_mic(F.col("codes"), F.col("lmap")).alias("adc_mic"),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("adc_mic").desc(), F.col("neighbor_id")
+        )
+        short = (
+            adcs.withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") <= shortlist)
+            .select("query_id", "neighbor_id")
+        )
+        qref = probes.select("query_id", "qv", "nq").dropDuplicates(["query_id"])
+        scored = (
+            short.join(qref, "query_id")
+            .join(
+                cells.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"),
+                    F.col("ne").alias("nn"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _fast_cosine(
+                        as_double(F.col("qv")), as_double(F.col("nv")),
+                        F.col("nq"), F.col("nn"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
     scored = probes.join(cells, "cid")
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
@@ -577,15 +679,33 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
             .drop("_rn"),
             cent,
         )
-    # pin the assignment once: both the touched-cid collect and the
-    # final write consume it (the ivf_search double-compute class)
+    # pin the assignment once: the touched-cid collect, the cells
+    # append, and (on a PQ index) the codes append all consume it
+    # (the ivf_search double-compute class)
+    from ..sources.fsutil import path_exists
+
     ids: set[int] = set()
     v = scoped_checkpoint(v, ids)
     touched = sorted(r["cid"] for r in v.select("cid").distinct().collect())
     existing = read_cells(spark, index_dir).where(F.col("cid").isin(touched)).select("vec_id")
-    v.join(existing, "vec_id", "left_anti").select(
-        "vec_id", "embedding", "ne", "cid"
-    ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")
+    accepted = scoped_checkpoint(
+        v.join(existing, "vec_id", "left_anti").select(
+            "vec_id", "embedding", "ne", "cid"
+        ),
+        ids,
+    )
+    accepted.write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")
+    # PQ maintenance (r12): a pq=True index keeps its codes replica in
+    # lockstep — encode the SAME accepted rows against the PERSISTED
+    # codebook (codes never drift from their vectors; the codebook,
+    # like the centroids, is only retrained by a rebuild)
+    if path_exists(spark, f"{index_dir}/pq_codebook"):
+        from .similarity import pq_codes_arr
+
+        cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
+        pq_codes_arr(accepted, codebook=cbq, keep=("cid",)).select(
+            "vec_id", "codes", "cid"
+        ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/pq_codes")
     unpersist_rdd_ids(spark, ids)
 
 
@@ -603,16 +723,23 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
     fsutil.rename_path for the object-store rename-window caveat (a
     reader racing the swap can see the cells table absent — excluded
     here by the single-writer between-batches discipline)."""
-    from ..sources.fsutil import delete_path, rename_path
+    from ..sources.fsutil import delete_path, path_exists, rename_path
 
-    path = os.path.join(index_dir, "cells")
-    tmp = path + "_compacting"
-    df = spark.read.parquet(path)
-    df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(tmp)
-    delete_path(spark, path)
-    rename_path(spark, tmp, path)
+    tables = ["cells"]
+    # a pq=True index compacts its codes replica the same way — it
+    # accretes one small file per touched cell per batch exactly like
+    # the cells table (r12)
+    if path_exists(spark, os.path.join(index_dir, "pq_codes")):
+        tables.append("pq_codes")
+    for name in tables:
+        path = os.path.join(index_dir, name)
+        tmp = path + "_compacting"
+        df = spark.read.parquet(path)
+        df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(tmp)
+        delete_path(spark, path)
+        rename_path(spark, tmp, path)
 
 
 def rebuild_index(
@@ -634,14 +761,20 @@ def rebuild_index(
     (centroids swaps before cells) — acceptable under the same
     single-writer discipline, and a crash mid-swap still loses at
     most the rebuild."""
-    from ..sources.fsutil import delete_path, rename_path
+    from ..sources.fsutil import delete_path, path_exists, rename_path
 
     emb = spark.read.parquet(os.path.join(index_dir, "cells")).select(
         "vec_id", "embedding"
     )
+    # a pq=True index rebuilds WITH its PQ side: the rebuild retrains
+    # both quantizers over the current catalog (coarse cells AND the
+    # PQ codebook — fresh anchors from the same seeded order), so
+    # codes stay consistent with the codebook that scores them (r12)
+    pq = path_exists(spark, os.path.join(index_dir, "pq_codebook"))
     tmp = index_dir.rstrip("/") + "_rebuild"
-    build_ivf_index(spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed)
-    for name in ("centroids", "cells"):
+    build_ivf_index(spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq)
+    tables = ["centroids", "cells"] + (["pq_codebook", "pq_codes"] if pq else [])
+    for name in tables:
         old = os.path.join(index_dir, name)
         delete_path(spark, old)
         rename_path(spark, os.path.join(tmp, name), old)

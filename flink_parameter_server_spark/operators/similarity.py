@@ -856,15 +856,17 @@ def _pq_stride_col(n_col):
     )
 
 
-def _pq_normed(emb):
-    """(vec_id, xn): unit vectors as double arrays. Zero/null-norm rows
-    are filtered (no direction to quantize) in BOTH engines. ne is
+def _pq_normed(emb, keep=()):
+    """(vec_id, *keep, xn): unit vectors as double arrays. Zero/null-norm
+    rows are filtered (no direction to quantize) in BOTH engines. ne is
     bound as a column before the divide transform, so each element is
     ONE divide (the outer-reference pitfall, BASELINE.md r11)."""
     return (
         emb.where(F.col("ne") > 0)
-        .select("vec_id", as_double(F.col("embedding")).alias("xd"), "ne")
-        .select("vec_id", F.transform("xd", lambda x: x / F.col("ne")).alias("xn"))
+        .select("vec_id", *keep, as_double(F.col("embedding")).alias("xd"), "ne")
+        .select(
+            "vec_id", *keep, F.transform("xd", lambda x: x / F.col("ne")).alias("xn")
+        )
     )
 
 
@@ -911,15 +913,17 @@ def pq_codes(emb, codebook=None):
     return arr.select("vec_id", F.posexplode("codes").alias("m", "code"))
 
 
-def pq_codes_arr(emb, codebook=None):
-    """The map-only encode itself: (vec_id, codes array<long>) — see
-    :func:`pq_codes` for the contract."""
+def pq_codes_arr(emb, codebook=None, keep=()):
+    """The map-only encode itself: (vec_id, *keep, codes array<long>) —
+    see :func:`pq_codes` for the contract. ``keep`` passes columns
+    through (the persisted-index lane keeps cid so codes land in the
+    same cell partitions as their vectors)."""
     cb = codebook if codebook is not None else pq_codebook(emb)
     cba = cb.groupBy().agg(
         F.collect_list(F.struct("m", "aid", "cs")).alias("cba")
     )
     xs = (
-        _pq_normed(emb)
+        _pq_normed(emb, keep=keep)
         .crossJoin(F.broadcast(cba))
         .withColumn(
             "svs", F.array(*[F.slice("xn", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
@@ -937,18 +941,20 @@ def pq_codes_arr(emb, codebook=None):
             )
         )["aid"],
     )
-    return xs.select("vec_id", codes_arr.alias("codes"))
+    return xs.select("vec_id", *keep, codes_arr.alias("codes"))
 
 
-def _pq_lut(emb, codebook):
-    """Per-query ADC lookup table: (query_id, m, aid, lmic) with lmic =
+def pq_lut(qdf, codebook):
+    """Per-query ADC lookup table over an arbitrary (vec_id, embedding,
+    ne) query frame: (query_id, m, code, lmic) with lmic =
     round(dot(q_m, c_{m,aid}), 6dp) on the integer micro grid — the
     per-(query, candidate) ADC score is then a SUM of longs, exact and
     fold-order-independent in both engines (the emic pattern).
-    Bounded: |queries| x PQ_M x PQ_K rows."""
-    qs = _pq_subvecs(
-        _pq_normed(emb.where(F.col("vec_id") % 50 == 0)), "vec_id", "sv"
-    ).withColumnRenamed("vec_id", "query_id")
+    Bounded: |queries| x PQ_M x PQ_K rows. Shared by the oracle lane
+    (the %50 query subset) and the persisted-index ADC probe (r12)."""
+    qs = _pq_subvecs(_pq_normed(qdf), "vec_id", "sv").withColumnRenamed(
+        "vec_id", "query_id"
+    )
     return qs.join(F.broadcast(codebook), "m").select(
         "query_id",
         "m",
@@ -956,6 +962,40 @@ def _pq_lut(emb, codebook):
         (F.round(dot(F.col("sv"), F.col("cs")), 6).cast("decimal(18,6)") * 1000000)
         .cast("long")
         .alias("lmic"),
+    )
+
+
+def pq_lut_map(qdf, codebook):
+    """:func:`pq_lut` folded to one (code*PQ_M + m) -> lmic map row per
+    query (m is the LOW digit — code is the unbounded anchor vec_id;
+    collect_list order is irrelevant, keys are unique)."""
+    return (
+        pq_lut(qdf, codebook)
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("code") * PQ_M + F.col("m")).cast("long").alias("k"),
+                        F.col("lmic").alias("v"),
+                    )
+                )
+            ).alias("lmap")
+        )
+    )
+
+
+def pq_adc_mic(codes_col, lmap_col):
+    """The per-row ADC score: sum over subspaces of the query's
+    precomputed codeword dot (integer micro grid — exact, order-free)."""
+    return F.aggregate(
+        F.zip_with(
+            codes_col,
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda cd, mm: F.element_at(lmap_col, (cd * PQ_M + mm).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
 
 
@@ -992,25 +1032,10 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
     # LUT — scratch-persist it so the anchor-filter corpus scan runs once
     cb = scratch(pq_codebook(emb))
     codes = pq_codes_arr(emb, codebook=cb).withColumnRenamed("vec_id", "neighbor_id")
-    # per-query LUT folded to a (code*PQ_M + m) -> lmic map (code is
-    # the anchor vec_id — unbounded — so m must be the low digit): the ADC
+    # per-query LUT folded to a (code*PQ_M + m) -> lmic map: the ADC
     # score is then pure per-row array math over the codes array — the
     # (query, neighbor, m) explode + re-agg of the first cut is gone
-    # (collect_list order is irrelevant: map keys are unique)
-    lutmap = (
-        _pq_lut(emb, cb)
-        .groupBy("query_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("code") * PQ_M + F.col("m")).cast("long").alias("k"),
-                        F.col("lmic").alias("v"),
-                    )
-                )
-            ).alias("lmap")
-        )
-    )
+    lutmap = pq_lut_map(emb.where(F.col("vec_id") % 50 == 0), cb)
     q = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("ne").alias("nq"), "cid",
@@ -1021,19 +1046,14 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    adc_sum = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda cd, mm: F.element_at(F.col("lmap"), (cd * PQ_M + mm).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
     adc = (
         cand.join(codes, "neighbor_id")
         .join(lutmap, "query_id")
-        .select("query_id", "neighbor_id", adc_sum.alias("adc_mic"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_mic(F.col("codes"), F.col("lmap")).alias("adc_mic"),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("adc_mic").desc(), F.col("neighbor_id")

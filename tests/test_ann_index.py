@@ -312,3 +312,99 @@ def test_compact_and_rebuild_preserve_catalog_and_results(spark, tmp_path):
         for r in ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS + 4).collect()
     }
     assert full == brute
+
+
+def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
+    """r12 persisted IVFADC: a pq=True build writes a constant-bounded
+    codebook and a cid-partitioned 4-byte-codes replica; the ADC probe
+    scans the codes table only and refines the shortlist from raw
+    cells. Pins: (1) shortlist covering every candidate + full probe
+    recovers the EXACT brute result (the refine re-ranks everything by
+    true cosine — losslessness); (2) a small shortlist's per-query
+    top-1 never beats the exact probe's (refine-can't-beat) and every
+    emitted neighbor is real; (3) add_vectors keeps the codes replica
+    in lockstep (grown-index full-recovery still exact); (4)
+    compact_index rewrites both replicas with probe results identical."""
+    import glob
+
+    from flink_parameter_server_spark.operators.ann_index import (
+        add_vectors,
+        compact_index,
+    )
+    from flink_parameter_server_spark.operators.similarity import PQ_K, PQ_M
+
+    idx = str(tmp_path / "ivfpq")
+    emb = t(spark, SF, "embeddings")
+    build_ivf_index(spark, emb, idx, n_cells=N_CELLS, iters=2, pq=True)
+
+    cb = spark.read.parquet(f"{idx}/pq_codebook")
+    assert 0 < cb.count() <= PQ_K * PQ_M
+    n_cells_rows = spark.read.parquet(f"{idx}/cells").count()
+    codes = spark.read.parquet(f"{idx}/pq_codes")
+    assert codes.count() == n_cells_rows
+    assert {r["n"] for r in codes.select(F.size("codes").alias("n")).distinct().collect()} == {PQ_M}
+
+    def rows(df):
+        return {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"]) for r in df.collect()}
+
+    want = rows(_brute_topk(spark, K))
+    got_full = rows(
+        ivf_search(
+            spark, idx, _queries(spark), k=K, n_probe=N_CELLS,
+            adc=True, shortlist=10**6,
+        )
+    )
+    assert got_full == want and got_full
+
+    exact1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in ivf_search(spark, idx, _queries(spark), k=1, n_probe=2).collect()
+    }
+    adc1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in ivf_search(
+            spark, idx, _queries(spark), k=1, n_probe=2, adc=True, shortlist=8
+        ).collect()
+    }
+    assert set(adc1) == set(exact1)
+    for qid, cos in adc1.items():
+        assert cos <= exact1[qid]
+
+    # grow the catalog: remainder-1 ids re-keyed into a fresh id space
+    newv = emb.where(F.col("vec_id") % 7 == 1).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    add_vectors(spark, idx, newv)
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == spark.read.parquet(
+        f"{idx}/cells"
+    ).count()
+    before = rows(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True,
+                   shortlist=10**6)
+    )
+    exact_grown = rows(ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS))
+    assert before == exact_grown and before
+
+    files_before = len(glob.glob(f"{idx}/pq_codes/cid=*/*.parquet"))
+    compact_index(spark, idx)
+    files_after = len(glob.glob(f"{idx}/pq_codes/cid=*/*.parquet"))
+    assert files_after <= files_before
+    after = rows(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True,
+                   shortlist=10**6)
+    )
+    assert after == before
+
+    # rebuild retrains BOTH quantizers (fresh coarse cells + fresh PQ
+    # codebook over the grown catalog); same ids, full probe + full
+    # shortlist still recovers the exact result
+    from flink_parameter_server_spark.operators.ann_index import rebuild_index
+
+    stats = rebuild_index(spark, idx, n_cells=N_CELLS, iters=2)
+    assert stats["total"] == spark.read.parquet(f"{idx}/cells").count()
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == stats["total"]
+    rebuilt = rows(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True,
+                   shortlist=10**6)
+    )
+    assert rebuilt == exact_grown
