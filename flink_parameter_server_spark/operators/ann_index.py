@@ -566,7 +566,10 @@ def ivf_search(
         codes = spark.read.parquet(f"{index_dir}/pq_codes").where(
             F.col("cid").isin(probed_cids)
         )
-        lutmap = pq_lut_map(q, cbq)
+        # duplicate query ids would produce duplicate LUT map keys
+        # (map_from_entries is strict) — one LUT per id is also the
+        # only coherent reading of a duplicated query
+        lutmap = pq_lut_map(q.dropDuplicates(["vec_id"]), cbq)
         cand = probes.select("query_id", "cid").join(codes, "cid")
         if exclude_self:
             cand = cand.where(F.col("vec_id") != F.col("query_id"))
