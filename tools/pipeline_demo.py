@@ -373,6 +373,47 @@ def main() -> None:
     }
     print(f"# embed+select: {out['embed_select']}")
 
+    # 5c. persisted IVFADC serving probe (r12): the index a serving
+    #     deployment would hold — pq=True build, ADC probe over the
+    #     4-byte codes replica, lossless at covering shortlist
+    import tempfile as _tf
+
+    from flink_parameter_server_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    idxdir = _tf.mkdtemp(prefix="ivfpq_demo_")
+    try:
+        build_ivf_index(
+            spark, _t(spark, sf, "embeddings"), idxdir, n_cells=16, iters=2, pq=True
+        )
+        qs = (
+            _t(spark, sf, "embeddings")
+            .where(F.col("vec_id") % 50 == 0)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        )
+        exact = {
+            (r["query_id"], r["rk"]): r["neighbor_id"]
+            for r in ivf_search(spark, idxdir, qs, k=5, n_probe=2).collect()
+        }
+        adc = {
+            (r["query_id"], r["rk"]): r["neighbor_id"]
+            for r in ivf_search(
+                spark, idxdir, qs, k=5, n_probe=2, adc=True, shortlist=16
+            ).collect()
+        }
+        agree = sum(1 for kk, v in adc.items() if exact.get(kk) == v)
+        out["ivfpq_probe"] = {
+            "topk_slots": len(exact),
+            "adc_shortlist16_agreement": round(agree / max(1, len(exact)), 3),
+        }
+        print(f"# ivfpq serving probe: {out['ivfpq_probe']}")
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(idxdir, ignore_errors=True)
+
     # 6. ingest (streamed): the same corpus arriving as a topic — the
     #    continuous-ingestion form of stage 1, through the native
     #    fpsqueue source and the per-micro-batch curation writer
