@@ -509,6 +509,14 @@ def ivf_search(
     everything by true cosine — pinned); smaller shortlists trade the
     raw-vector reads for ADC-approximation risk at ranks the refine
     cannot repair.
+
+    Measured honesty (BASELINE.md r12): at a 20k-vector catalog the
+    ADC probe's WALL is slower than exact (5.6 vs 3.9 s) — its LUT
+    build and extra joins are pure stage overhead while the exact scan
+    is nowhere near data-bound. The trade pays in the memory/IO-bound
+    regime the codes replica exists for (1e9+ vectors, 10.3x smaller
+    on disk as array<long>; packing 4-bit codes into a binary column
+    recovers the remaining 16x if a deployment needs it).
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
