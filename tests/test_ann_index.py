@@ -408,3 +408,13 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
                    shortlist=10**6)
     )
     assert rebuilt == exact_grown
+
+    # the ADC scan composes with the two-level QUERY probe: covering
+    # supers + full probe + covering shortlist is still the exact result
+    two = rows(
+        ivf_search(
+            spark, idx, _queries(spark), k=K, n_probe=N_CELLS,
+            two_level=True, n_super_probe=10**6, adc=True, shortlist=10**6,
+        )
+    )
+    assert two == exact_grown
