@@ -769,14 +769,9 @@ def text_profile(spark, sf_dir):
     # entry's th build (the removal's own shuffles are linear; see
     # span_removal_positions)
     srp = span_removal_positions(th_df)
-    nt = F.size("th")
-    gram_len = nt - F.lit(CONTAM_N - 1)
-    acc = F.slice(F.col("th"), 1, gram_len)
-    for k in range(2, CONTAM_N + 1):
-        acc = F.zip_with(
-            acc, F.slice(F.col("th"), F.lit(k), gram_len), lambda x, y: (x * 31 + y) % MOD
-        )
-    grams = F.when(nt < CONTAM_N, F.array().cast("array<bigint>")).otherwise(acc)
+    # the CONTAM_N-gram Horner fold is the shared rolling-gram helper
+    # (r12 — the Gopher signals factored the identical construction)
+    grams = _gram_hashes(F.col("th"), CONTAM_N)
     gr = th_df.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     eval_g = (
         gr.join(d.where(is_eval_holdout()).select("doc_id"), "doc_id", "left_semi")
