@@ -92,3 +92,31 @@ def test_cms_heavy_hitters_one_sided_and_no_misses(spark):
     assert not missed, f"heavy tokens missed: {sorted(missed)[:5]}"
     for k in truly_heavy:
         assert got[k][1] == freq[k]  # check_value carries the exact count
+
+
+def test_cms_heavy_overestimate_visible_on_wide_vocab(spark, tmp_path):
+    """The fixture's narrow vocab never collides (BASELINE r12: zero
+    overestimates), so this pins the CMS property the fixture cannot:
+    with vocab >> CMS_W counters, the min-over-rows estimate of a
+    heavy token strictly EXCEEDS its exact count (collisions add, never
+    subtract) while the no-miss contract still holds."""
+    from flink_parameter_server_spark.operators.sketches import (
+        CMS_HH_PHI,
+        _cms_heavy,
+    )
+    from tests.test_textstats import _mk_mix_corpus
+
+    # 4096 distinct filler tokens over 256 counter columns force
+    # collisions onto the one heavy token; N = 4096 + 512 occurrences,
+    # thr = ceil(N/128) = 36 << 512, so 'hot' is deeply heavy
+    docs = []
+    for i in range(64):
+        toks = [f"t{i}_{j}" for j in range(64)] + ["hot"] * 8
+        docs.append((i, " ".join(toks), "en", "web", 0))
+    out = _mk_mix_corpus(spark, tmp_path, docs)
+    rows = {r["word"]: (r["estimate"], r["check_value"])
+            for r in _cms_heavy(spark, out).collect()}
+    assert "hot" in rows, "truly heavy token missed"
+    est, exact = rows["hot"]
+    assert exact == 512
+    assert est > exact, "wide vocab must collide into the heavy token's cells"
