@@ -80,7 +80,17 @@ def is_eval_holdout():
     return int_hash(F.col("doc_id"), CURATE_EVAL_J, CURATE_SEED) % CURATE_EVAL_MOD == 0
 
 
-def corpus_curate(spark, sf_dir, sem_assign=None):
+def corpus_curate(spark, sf_dir, sem_assign=None, quality_rules=None):
+    """``quality_rules`` (r13, VERDICT r12 #2): opt-in Gopher Table A1
+    threshold gate — True applies the full published rule set
+    (textstats.GOPHER_RULES), an iterable of rule labels applies that
+    subset, None/False keeps the structural-only stage-1 gate. When
+    on, stage 1b runs the map-only textstats.gopher_reason_frame over
+    structural survivors; a doc failing rule R gets decision
+    'rejected:quality:R' (first failing rule in published order) and
+    never reaches the dedup stages. The registered train_test_split
+    entry passes True — the flagship pipeline now rejects on the same
+    17 signals text_profile computes (the r12 wiring gap)."""
     d = t(spark, sf_dir, "documents")
     full = d.select(
         "doc_id",
@@ -102,6 +112,24 @@ def corpus_curate(spark, sf_dir, sem_assign=None):
         F.col("n_toks") >= CURATE_MIN_TOKENS
     )
     surv1 = base.where(q_ok)
+
+    # stage 1b (r13, opt-in) — Gopher Table A1 threshold gate over the
+    # structural survivors (map-only; scratch-persisted because the
+    # final assembly reads the reasons a second time). Lazy import:
+    # textstats imports this module's constants at load time.
+    from ..scratch import scratch
+
+    if quality_rules:
+        from ._gopher_core import gopher_reason_frame
+
+        greason = scratch(
+            gopher_reason_frame(surv1.select("doc_id", "text"), quality_rules)
+        )
+        surv1 = surv1.join(
+            greason.where(F.col("g_reason").isNotNull()).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
 
     # stage 2 — exact-dup keeper among quality survivors
     from ._dedup_core import norm_content_hash
@@ -224,31 +252,42 @@ def corpus_curate(spark, sf_dir, sem_assign=None):
     )
 
     # assemble one decision per input document
-    return (
+    dec = F.when(F.col("is_eval"), F.lit("eval_holdout")).when(
+        ~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality")
+    )
+    if quality_rules:
+        dec = dec.when(
+            F.col("g_reason").isNotNull(),
+            F.concat(F.lit("rejected:quality:"), F.col("g_reason")),
+        )
+    out = (
         full.select("doc_id", "lang", "source", "is_eval", q_ok.alias("q_ok"))
         .join(surv1k.select("doc_id", "e_ok"), "doc_id", "left")
         .join(contam.withColumn("is_contam", F.lit(True)), "doc_id", "left")
         .join(rooted.select("doc_id", "root"), "doc_id", "left")
         .join(rooted2.select("doc_id", "sroot"), "doc_id", "left")
         .join(tiles, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.when(F.col("is_eval"), F.lit("eval_holdout"))
-            .when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
-            .when(~F.col("e_ok"), F.lit("rejected:exact_dup"))
-            .when(F.coalesce("is_contam", F.lit(False)), F.lit("rejected:contaminated"))
-            .when(F.col("root") != F.col("doc_id"), F.lit("rejected:near_dup"))
-            .when(F.col("sroot") != F.col("doc_id"), F.lit("rejected:semantic_dup"))
-            .otherwise(F.col("final_split"))
-            .alias("split"),
-        )
+    )
+    if quality_rules:
+        out = out.join(greason, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        dec.when(~F.col("e_ok"), F.lit("rejected:exact_dup"))
+        .when(F.coalesce("is_contam", F.lit(False)), F.lit("rejected:contaminated"))
+        .when(F.col("root") != F.col("doc_id"), F.lit("rejected:near_dup"))
+        .when(F.col("sroot") != F.col("doc_id"), F.lit("rejected:semantic_dup"))
+        .otherwise(F.col("final_split"))
+        .alias("split"),
     )
 
 
 def curate_oracle_sql(
-    minhash_pairs_sql: str, int_hash_sql_expr: str, semantic_pairs_sql: str
+    minhash_pairs_sql: str,
+    int_hash_sql_expr: str,
+    semantic_pairs_sql: str,
+    quality_rules=None,
 ) -> str:
     """DuckDB twin of :func:`corpus_curate`, staged CTE for CTE.
 
@@ -260,10 +299,33 @@ def curate_oracle_sql(
     single-source argument for the r9 semantic stage — cell assignment
     is the deterministic full-corpus counted-n rule, independent of
     which subset survives); ``int_hash_sql_expr`` the seeded integer
-    hash of doc_id used by the split ordering."""
+    hash of doc_id used by the split ordering; ``quality_rules`` the
+    Gopher Table A1 gate parameter (r13) — must match the Spark call
+    (the gate CTEs come from textstats.gopher_gate_sql and the reason
+    CASE is the SAME rendered string both engines run)."""
     from ..functions.hashing import int_hash_sql
 
     eval_pred = f"({int_hash_sql('doc_id', CURATE_EVAL_J, CURATE_SEED)}) % {CURATE_EVAL_MOD} = 0"
+    if quality_rules:
+        from ._gopher_core import gopher_gate_sql
+
+        gate_ctes = gopher_gate_sql("surv1", quality_rules) + ","
+        # stage 1b filter + the decision branch (first failing rule)
+        surv1g = (
+            "surv1g AS (SELECT s.* FROM surv1 s "
+            "JOIN greason g ON s.doc_id = g.doc_id WHERE g.reason IS NULL),"
+        )
+        gate_from = "surv1g"
+        gate_case = (
+            "WHEN gr.reason IS NOT NULL THEN 'rejected:quality:' || gr.reason"
+        )
+        gate_join = "LEFT JOIN greason gr ON b.doc_id = gr.doc_id"
+    else:
+        gate_ctes = ""
+        surv1g = ""
+        gate_from = "surv1"
+        gate_case = ""
+        gate_join = ""
     return f"""
 WITH RECURSIVE
 curate_base AS (
@@ -277,12 +339,14 @@ surv1 AS (
   WHERE NOT is_eval
     AND n_chars >= {CURATE_MIN_CHARS} AND n_toks >= {CURATE_MIN_TOKENS}
 ),
+{gate_ctes}
+{surv1g}
 surv1k AS (
   SELECT *,
          doc_id = min(doc_id) OVER (
            PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          ) AS e_ok
-  FROM surv1
+  FROM {gate_from}
 ),
 surv2 AS (SELECT doc_id, lang, source FROM surv1k WHERE e_ok),
 mh_pairs AS ({minhash_pairs_sql}),
@@ -352,6 +416,7 @@ SELECT b.doc_id, b.lang, b.source,
          WHEN NOT coalesce(b.n_chars >= {CURATE_MIN_CHARS}
                            AND b.n_toks >= {CURATE_MIN_TOKENS}, FALSE)
            THEN 'rejected:quality'
+         {gate_case}
          WHEN NOT k.e_ok THEN 'rejected:exact_dup'
          WHEN ct.doc_id IS NOT NULL THEN 'rejected:contaminated'
          WHEN cc.root <> b.doc_id THEN 'rejected:near_dup'
@@ -360,6 +425,7 @@ SELECT b.doc_id, b.lang, b.source,
        END AS split
 FROM curate_base b
 LEFT JOIN surv1k k ON b.doc_id = k.doc_id
+{gate_join}
 LEFT JOIN contam ct ON b.doc_id = ct.doc_id
 LEFT JOIN cc ON b.doc_id = cc.doc_id
 LEFT JOIN cc2 ON b.doc_id = cc2.doc_id

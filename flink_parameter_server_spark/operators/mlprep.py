@@ -50,7 +50,16 @@ FROM (
   FROM documents
 ) t
 """
-    curated = curate_oracle_sql(_MINHASH_SQL, int_hash_sql("doc_id", 0, 77), SEMANTIC_PAIRS_SQL)
+    from ._gopher_core import GOPHER_FIXTURE_RULES
+
+    curated = curate_oracle_sql(
+        _MINHASH_SQL,
+        int_hash_sql("doc_id", 0, 77),
+        SEMANTIC_PAIRS_SQL,
+        # r13: the Gopher Table A1 gate on the flagship (fixture rule
+        # set — see GOPHER_FIXTURE_RULES for why 'stopwords' is off)
+        quality_rules=GOPHER_FIXTURE_RULES,
+    )
     packed = f"""
 SELECT 'packed' AS part, doc_id, lang, source,
        'pack_' || CAST(shard AS VARCHAR) || '_'
@@ -250,6 +259,14 @@ SELECT * FROM ({cluster}) AS cluster_part
     "split — one decision per input document ('rejected:quality' | "
     "'rejected:exact_dup' | 'rejected:near_dup' | train/valid/test); "
     "see operators/curate.py for the staged design and scale shape. "
+    "Since r13 the stage-1 gate also APPLIES the published Gopher "
+    "Table A1 thresholds over the 17 signals text_profile computes "
+    "(quality_rules=GOPHER_FIXTURE_RULES — the full published set "
+    "minus the stopword-containment rule, which the synthetic "
+    "fixture's vocabulary fails wholesale; decision labels extend to "
+    "'rejected:quality:<rule>', first failing rule in published "
+    "order, oracle gate = the same rendered CASE string — "
+    "operators/_gopher_core.py). "
     "'packed' (r8): token-budget training packs — docs are sharded by a "
     "seeded hash (PACK_SHARDS ~= cluster parallelism at 100 TB), ordered "
     "pseudo-randomly within the shard, and a running token sum assigns "
@@ -323,9 +340,11 @@ def train_test_split(spark, sf_dir):
     from .similarity import embeddings_normed, ivf_assign
 
     assign = tracked_checkpoint(ivf_assign(embeddings_normed(spark, sf_dir)))
-    curated = corpus_curate(spark, sf_dir, sem_assign=assign).select(
-        F.lit("curated").alias("part"), "doc_id", "lang", "source", "split"
-    )
+    from ._gopher_core import GOPHER_FIXTURE_RULES
+
+    curated = corpus_curate(
+        spark, sf_dir, sem_assign=assign, quality_rules=GOPHER_FIXTURE_RULES
+    ).select(F.lit("curated").alias("part"), "doc_id", "lang", "source", "split")
     w = tracked_checkpoint(dsir_micro(d.select("doc_id", "lang", "text")))
     return (
         plain.unionByName(curated)

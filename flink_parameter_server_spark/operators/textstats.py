@@ -28,6 +28,35 @@ from ._dsir_core import (  # noqa: F401 (re-exported: tests + mlprep history)
     DSIR_TARGET_LANG,
     dsir_micro,
 )
+from ._gopher_core import (  # noqa: F401 (re-exported: gate + SSQL twins
+    # live in the cycle-free core so mlprep's late-bound curate oracle
+    # can import them mid-registration; tests and callers keep reaching
+    # them through this module)
+    DUP_NGRAM_NS,
+    GOPHER_REQUIRED_WORDS,
+    GOPHER_RULES,
+    TOP_NGRAM_NS,
+    _WLEN_SSQL,
+    _bind_gram_columns,
+    _char_frac_ssql,
+    _collapse_runs_ssql,
+    _dedup_lines_ssql,
+    _dup_gram_ssql,
+    _dup_set_ssql,
+    _flag_ssql,
+    _gram_hash_sql,
+    _gram_hashes_ssql,
+    _gram_step_ssql,
+    _ph_ssql,
+    _rep_ngram_sql,
+    _select_gopher_rules,
+    _sql_str_lit,
+    _top_gram_ssql,
+    gopher_gate_sql,
+    gopher_reason_case_sql,
+    gopher_reason_frame,
+    gopher_signal_frame,
+)
 from ._util import t
 from .curate import CURATE_EVAL_J, CURATE_EVAL_MOD, CURATE_SEED
 
@@ -175,8 +204,7 @@ def _char_frac(dedup_col: str, removed_col: str, sep_len: int):
 # occurrence, counted once, over total token chars (full coverage =
 # 1.0, separators excluded from both sides). All per-doc bounded array
 # math in the same profile scan — no new shuffle at any scale.
-TOP_NGRAM_NS = (2, 3, 4)
-DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
 
 
 def _gram_hashes(th_col, n: int):
@@ -224,401 +252,11 @@ def _flag_col(gh_name: str, dup_name: str):
     )
 
 
-# ---------------------------------------------------------------------------
-# Spark-SQL string twins of the heavy per-doc builders (r13, VERDICT r12
-# #4). PySpark Column construction costs one py4j round-trip per F.* call;
-# text_profile's per-doc gram/repetition surface built ~8,300 of them
-# (~2.7 s of pure driver-side RPC, measured — the "constant plan-analysis
-# cost" the judge flagged). Each builder below renders the IDENTICAL
-# expression as ONE SQL string that the JVM parses in a single call —
-# the same string-twin discipline the DuckDB oracles already use, now on
-# the Spark side. Column-vs-SQL equivalence is pinned in
-# tests/test_textstats.py (randomized corpus, both forms hashed equal);
-# the DuckDB parity gate covers them end-to-end.
-# ---------------------------------------------------------------------------
-
-def _ph_ssql(expr: str, seed: int) -> str:
-    """Spark-SQL twin of :func:`..functions.hashing.poly_hash`."""
-    return (
-        f"aggregate(transform(filter(split({expr}, ''), c -> c != ''), "
-        f"c -> CAST(ascii(c) AS BIGINT)), CAST({seed} AS BIGINT), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})"
-    )
 
 
-_WLEN_SSQL = "transform(toks, s -> CAST(length(s) AS BIGINT))"
-_EMPTY_BIGINT_ARR = "CAST(array() AS ARRAY<BIGINT>)"
 
 
-def _gram_step_ssql(th: str, prev: str | None, n: int) -> str:
-    """Spark-SQL twin of :func:`_gram_step` (one incremental Horner
-    window over bound columns)."""
-    left = th if prev is None else prev
-    m = f"size({th}) - {n - 1}"
-    return (
-        f"CASE WHEN size({th}) < {n} THEN {_EMPTY_BIGINT_ARR} ELSE "
-        f"zip_with(slice({left}, 1, {m}), slice({th}, {n}, {m}), "
-        f"(a, b) -> (a * 31 + b) % {MOD}) END"
-    )
 
-
-def _dup_set_ssql(gh: str) -> str:
-    """Spark-SQL twin of :func:`_dup_set`."""
-    srt = f"array_sort({gh})"
-    m = f"size({srt})"
-    return (
-        f"CASE WHEN size({gh}) < 2 THEN {_EMPTY_BIGINT_ARR} ELSE "
-        f"array_distinct(filter(zip_with(slice({srt}, 1, {m} - 1), "
-        f"slice({srt}, 2, {m} - 1), (a, b) -> CASE WHEN a = b THEN a END), "
-        f"x -> x IS NOT NULL)) END"
-    )
-
-
-def _flag_ssql(gh: str, dup: str) -> str:
-    """Spark-SQL twin of :func:`_flag_col`."""
-    return f"transform({gh}, x -> CAST(array_contains({dup}, x) AS INT))"
-
-
-def _top_gram_ssql(gh: str, n: int) -> str:
-    """Spark-SQL twin of :func:`_top_gram_frac` (bound gh/wlen/text)."""
-    clen = (
-        f"aggregate(slice(wlen, CAST(array_position({gh}, x) AS INT), {n}), "
-        f"CAST(0 AS BIGINT), (a, w) -> a + w) + {n - 1}"
-    )
-    best = (
-        f"array_max(transform(array_distinct({gh}), x -> named_struct("
-        f"'cnt', CAST(size(filter({gh}, e -> e = x)) AS BIGINT), "
-        f"'clen', {clen}, 'h', x)))"
-    )
-    return (
-        f"CASE WHEN size({gh}) > 0 AND length(text) > 0 THEN "
-        f"round(CAST({best}.cnt * {best}.clen AS DOUBLE) / length(text), 6) END"
-    )
-
-
-def _dup_gram_ssql(f: str, n: int) -> str:
-    """Spark-SQL twin of :func:`_dup_gram_frac` (bound f/wlen/toks)."""
-    terms = ", ".join(
-        f"CASE WHEN j > {k} THEN coalesce(try_element_at({f}, j - {k}), 0) "
-        f"ELSE 0 END"
-        for k in range(n)
-    )
-    cov = f"transform(sequence(1, size(toks)), j -> greatest({terms}))"
-    num = (
-        f"aggregate(zip_with(wlen, {cov}, (w, c) -> w * c), "
-        f"CAST(0 AS BIGINT), (a, v) -> a + v)"
-    )
-    sumw = "aggregate(wlen, CAST(0 AS BIGINT), (a, v) -> a + v)"
-    return (
-        f"CASE WHEN size(toks) >= {n} AND {sumw} > 0 THEN "
-        f"round(CAST({num} AS DOUBLE) / {sumw}, 6) END"
-    )
-
-
-def _gram_hashes_ssql(th: str, n: int) -> str:
-    """Spark-SQL twin of :func:`_gram_hashes` (single-shot fold; the
-    acc string nests once per window so the text grows linearly)."""
-    m = f"size({th}) - {n - 1}"
-    acc = f"slice({th}, 1, {m})"
-    for k in range(2, n + 1):
-        acc = (
-            f"zip_with({acc}, slice({th}, {k}, {m}), "
-            f"(a, b) -> (a * 31 + b) % {MOD})"
-        )
-    return f"CASE WHEN size({th}) < {n} THEN {_EMPTY_BIGINT_ARR} ELSE {acc} END"
-
-
-def _sql_str_lit(s: str) -> str:
-    """Render a Python string as a Spark-SQL string literal (the parser
-    processes backslash escapes, so backslashes/quotes/newlines in
-    regex patterns and separators must be escaped)."""
-    return (
-        "'"
-        + s.replace("\\", "\\\\")
-        .replace("'", "\\'")
-        .replace("\n", "\\n")
-        .replace("\t", "\\t")
-        + "'"
-    )
-
-
-def _dedup_lines_ssql(text: str, sep: str) -> tuple[str, str]:
-    """Spark-SQL twin of :func:`dedup_lines` — (clean_text, n_removed)
-    expression strings over a bound ``text`` column."""
-    sl = _sql_str_lit(sep)
-    lines = f"split({text}, {sl})"
-    by_line = (
-        f"array_sort(transform({lines}, (x, i) -> named_struct('l', x, 'i', i)))"
-    )
-    prev = f"concat(array(CAST(NULL AS STRUCT<l: STRING, i: INT>)), {by_line})"
-    marked = (
-        f"zip_with({by_line}, {prev}, (cur, prv) -> named_struct("
-        f"'i', cur.i, 'l', cur.l, 'keep', (prv IS NULL OR prv.l != cur.l)))"
-    )
-    heads = f"filter({marked}, x -> x.i IS NOT NULL AND x.keep)"
-    kept = (
-        f"transform(array_sort(transform({heads}, "
-        f"x -> named_struct('i', x.i, 'l', x.l))), x -> x.l)"
-    )
-    return (
-        f"array_join({kept}, {sl})",
-        f"CAST(size({lines}) - size({kept}) AS BIGINT)",
-    )
-
-
-def _collapse_runs_ssql(toks: str) -> tuple[str, str]:
-    """Spark-SQL twin of :func:`collapse_runs` over a bound token
-    array (get() is the 0-based element lookup, like F.get)."""
-    kept = f"filter({toks}, (x, i) -> i = 0 OR x != get({toks}, i - 1))"
-    return (
-        f"array_join({kept}, ' ')",
-        f"CAST(size({toks}) - size({kept}) AS BIGINT)",
-    )
-
-
-def _char_frac_ssql(dedup: str, removed: str, sep_len: int) -> str:
-    """Spark-SQL twin of :func:`_char_frac` (n_chars_measured bound)."""
-    return (
-        f"CASE WHEN n_chars_measured > 0 THEN round(CAST(n_chars_measured"
-        f" - length({dedup}) - {removed} * {sep_len} AS DOUBLE)"
-        f" / n_chars_measured, 6) END"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Gopher Table A1 threshold gate (r13, VERDICT r12 #2): the engine has
-# computed the full published signal surface since r12; this wires the
-# published THRESHOLDS (Rae et al. 2021, Table A1) into a reusable gate
-# that operators/curate.py (batch) and streaming/incremental_curate.py
-# (continuous) apply as stage 1b. One spec table drives BOTH engines:
-# the reason CASE below is engine-neutral SQL rendered from it, so the
-# Spark gate and the DuckDB oracle gate cannot drift.
-# ---------------------------------------------------------------------------
-
-# the "stop word" containment rule's word list (Table A1: a document
-# must contain at least two of these) — distinct from the quality-score
-# STOPWORDS list, which is a frequency-ratio signal
-GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-
-# (rule label, ((signal column, cmp, bound), ...)) — a doc FAILS a rule
-# when ANY clause holds (two-clause rules are the in-range bounds); the
-# decision label is the FIRST failing rule in this published order. A
-# NULL signal never fails (short docs have NULL high-n gram fracs —
-# same non-true CASE semantics in both engines).
-GOPHER_RULES = (
-    ("word_count", (("n_ws", "<", "50"), ("n_ws", ">", "100000"))),
-    ("mean_word_len", (("mean_wlen", "<", "3.0"), ("mean_wlen", ">", "10.0"))),
-    ("symbol_word_ratio", (("symbol_ratio", ">", "0.1"),)),
-    ("bullet_line_frac", (("bullet_frac", ">", "0.9"),)),
-    ("ellipsis_line_frac", (("ellipsis_frac", ">", "0.3"),)),
-    ("alpha_word_frac", (("alpha_frac", "<", "0.8"),)),
-    ("stopwords", (("n_req_stop", "<", "2"),)),
-    ("dup_line_frac", (("dup_line_frac", ">", "0.3"),)),
-    ("dup_para_frac", (("dup_para_frac", ">", "0.3"),)),
-    ("dup_line_char_frac", (("dup_line_cfrac", ">", "0.2"),)),
-    ("dup_para_char_frac", (("dup_para_cfrac", ">", "0.2"),)),
-    ("top_2gram_char_frac", (("top_2gram_char_frac", ">", "0.2"),)),
-    ("top_3gram_char_frac", (("top_3gram_char_frac", ">", "0.18"),)),
-    ("top_4gram_char_frac", (("top_4gram_char_frac", ">", "0.16"),)),
-    ("dup_5gram_char_frac", (("dup_5gram_char_frac", ">", "0.15"),)),
-    ("dup_6gram_char_frac", (("dup_6gram_char_frac", ">", "0.14"),)),
-    ("dup_7gram_char_frac", (("dup_7gram_char_frac", ">", "0.13"),)),
-    ("dup_8gram_char_frac", (("dup_8gram_char_frac", ">", "0.12"),)),
-    ("dup_9gram_char_frac", (("dup_9gram_char_frac", ">", "0.11"),)),
-    ("dup_10gram_char_frac", (("dup_10gram_char_frac", ">", "0.10"),)),
-)
-
-
-def _select_gopher_rules(rules):
-    """Normalize the opt-in parameter: True -> the full Table A1 set;
-    an iterable of rule labels -> that subset in published order."""
-    if rules is True:
-        return GOPHER_RULES
-    want = set(rules)
-    unknown = want - {name for name, _ in GOPHER_RULES}
-    if unknown:
-        raise ValueError(f"unknown Gopher rule(s): {sorted(unknown)}")
-    return tuple(r for r in GOPHER_RULES if r[0] in want)
-
-
-def gopher_reason_case_sql(rules=True) -> str:
-    """The first-failing-rule decision as ONE engine-neutral CASE
-    expression over the bound signal columns (identical text runs in
-    Spark and DuckDB — comparisons and numeric literals only)."""
-    rules = _select_gopher_rules(rules)
-    whens = " ".join(
-        f"WHEN {' OR '.join(f'{s} {op} {b}' for s, op, b in clauses)} "
-        f"THEN '{name}'"
-        for name, clauses in rules
-    )
-    return f"CASE {whens} END"
-
-
-_TOKS_SSQL = "filter(split(text, ' '), t -> t != '')"
-
-
-def gopher_signal_frame(df):
-    """Bind every Table A1 gate signal on a (doc_id, text, ...) frame —
-    map-only selectExpr stages reusing text_profile's exact builders,
-    so each signal is value-identical to its hash-green profile column.
-    Adds: n_ws, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
-    alpha_frac, n_req_stop, dup_line_frac, dup_para_frac,
-    dup_line_cfrac, dup_para_cfrac, top_{2,3,4}gram_char_frac,
-    dup_{5..10}gram_char_frac."""
-    g = df.selectExpr("*", f"{_TOKS_SSQL} AS toks")
-    g = g.selectExpr(
-        "*",
-        f"{_WLEN_SSQL} AS wlen",
-        f"transform(toks, s -> {_ph_ssql('s', 0)}) AS th_rep",
-    )
-    g = _bind_gram_columns(g)
-    dl_t, dl_n = _dedup_lines_ssql("text", "\n")
-    dp_t, dp_n = _dedup_lines_ssql("text", "\n\n")
-    g = g.selectExpr(
-        "*",
-        f"{dl_t} AS _dlt",
-        f"{dl_n} AS _dln",
-        f"{dp_t} AS _dpt",
-        f"{dp_n} AS _dpn",
-    )
-    n_s = "CAST(size(toks) AS BIGINT)"
-    sum_len_s = "aggregate(wlen, CAST(0 AS BIGINT), (a, x) -> a + x)"
-    req = ", ".join(_sql_str_lit(w) for w in GOPHER_REQUIRED_WORDS)
-    lines_s = "split(text, '\\n')"
-    return g.selectExpr(
-        "*",
-        f"{n_s} AS n_ws",
-        f"CASE WHEN size(toks) > 0 THEN round(CAST({sum_len_s} AS DOUBLE)"
-        f" / {n_s}, 6) END AS mean_wlen",
-        "CASE WHEN size(toks) > 0 THEN round(CAST(size("
-        "regexp_extract_all(text, '#|[.][.][.]|…', 0)) AS DOUBLE)"
-        f" / {n_s}, 6) END AS symbol_ratio",
-        f"CASE WHEN text IS NOT NULL THEN round(CAST(size(filter({lines_s},"
-        " l -> substring(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS DOUBLE)"
-        f" / size({lines_s}), 6) END AS bullet_frac",
-        f"CASE WHEN text IS NOT NULL THEN round(CAST(size(filter({lines_s},"
-        " l -> endswith(rtrim(l), '...') OR endswith(rtrim(l), '…')))"
-        f" AS DOUBLE) / size({lines_s}), 6) END AS ellipsis_frac",
-        "CASE WHEN size(toks) > 0 THEN round(CAST(size(filter(toks,"
-        f" t2 -> t2 RLIKE '[A-Za-z]')) AS DOUBLE) / {n_s}, 6) END"
-        " AS alpha_frac",
-        f"size(filter(array({req}), w -> array_contains(toks, w)))"
-        " AS n_req_stop",
-        f"CASE WHEN text IS NOT NULL THEN round(CAST(_dln AS DOUBLE)"
-        f" / size({lines_s}), 6) END AS dup_line_frac",
-        "CASE WHEN text IS NOT NULL THEN round(CAST(_dpn AS DOUBLE)"
-        " / size(split(text, '\\n\\n')), 6) END AS dup_para_frac",
-        "CASE WHEN length(text) > 0 THEN round(CAST(length(text)"
-        " - length(_dlt) - _dln * 1 AS DOUBLE) / length(text), 6) END"
-        " AS dup_line_cfrac",
-        "CASE WHEN length(text) > 0 THEN round(CAST(length(text)"
-        " - length(_dpt) - _dpn * 2 AS DOUBLE) / length(text), 6) END"
-        " AS dup_para_cfrac",
-        *[
-            f"{_top_gram_ssql(f'gh{n}', n)} AS top_{n}gram_char_frac"
-            for n in TOP_NGRAM_NS
-        ],
-        *[
-            f"{_dup_gram_ssql(f'f{n}', n)} AS dup_{n}gram_char_frac"
-            for n in DUP_NGRAM_NS
-        ],
-    )
-
-
-def gopher_reason_frame(df, rules=True):
-    """(doc_id, text) -> (doc_id, g_reason): the first failing Table A1
-    rule per doc, NULL when every enabled rule passes. Map-only — one
-    scan, zero shuffles at any scale."""
-    return gopher_signal_frame(df).selectExpr(
-        "doc_id", f"{gopher_reason_case_sql(rules)} AS g_reason"
-    )
-
-
-def gopher_gate_sql(src: str, rules=True) -> str:
-    """DuckDB twin of :func:`gopher_reason_frame` as a CTE chain ending
-    in ``greason(doc_id, reason)`` — ``src`` must expose (doc_id,
-    text). Signal expressions mirror text_profile's oracle twins
-    column for column; the reason CASE is the SAME rendered string the
-    Spark gate runs. Line/para stages are MATERIALIZED (DuckDB inlines
-    lateral aliases textually — the _rep_ngram_sql discipline)."""
-    from ..functions.text import tokens_sql
-
-    req = ", ".join("'" + w + "'" for w in GOPHER_REQUIRED_WORDS)
-    gtk = (
-        f"gtk AS MATERIALIZED (SELECT doc_id, text, {tokens_sql('text')}"
-        f" AS toks FROM {src})"
-    )
-    glin = (
-        "glin AS MATERIALIZED (SELECT *, string_split(text, chr(10)) AS lns, "
-        "string_split(text, chr(10) || chr(10)) AS prs FROM gtk)"
-    )
-    glin2 = (
-        "glin2 AS MATERIALIZED (SELECT *, "
-        "list_filter(lns, (x, i) -> list_position(lns, x) = i) AS klns, "
-        "list_filter(prs, (x, i) -> list_position(prs, x) = i) AS kprs "
-        "FROM glin)"
-    )
-    gsig = f"""gsig AS MATERIALIZED (SELECT doc_id,
-  CAST(len(toks) AS BIGINT) AS n_ws,
-  CASE WHEN len(toks) > 0 THEN round(CAST(list_reduce(list_prepend(
-    CAST(0 AS BIGINT), list_transform(toks, s -> CAST(length(s) AS BIGINT))),
-    (a, x) -> a + x) AS DOUBLE) / len(toks), 6) END AS mean_wlen,
-  CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text,
-    '#|[.][.][.]|…')) AS DOUBLE) / len(toks), 6) END AS symbol_ratio,
-  CASE WHEN text IS NOT NULL THEN round(CAST(len(list_filter(lns,
-    l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
-    / len(lns), 6) END AS bullet_frac,
-  CASE WHEN text IS NOT NULL THEN round(CAST(len(list_filter(lns,
-    l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
-    AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
-  CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks,
-    t2 -> regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
-    END AS alpha_frac,
-  len(list_filter([{req}], w -> list_contains(toks, w))) AS n_req_stop,
-  CASE WHEN text IS NOT NULL THEN round(CAST(len(lns) - len(klns)
-    AS DOUBLE) / len(lns), 6) END AS dup_line_frac,
-  CASE WHEN text IS NOT NULL THEN round(CAST(len(prs) - len(kprs)
-    AS DOUBLE) / len(prs), 6) END AS dup_para_frac,
-  CASE WHEN length(text) > 0 THEN round(CAST(length(text)
-    - length(coalesce(array_to_string(klns, chr(10)), ''))
-    - (len(lns) - len(klns)) * 1 AS DOUBLE) / length(text), 6)
-    END AS dup_line_cfrac,
-  CASE WHEN length(text) > 0 THEN round(CAST(length(text)
-    - length(coalesce(array_to_string(kprs, chr(10) || chr(10)), ''))
-    - (len(prs) - len(kprs)) * 2 AS DOUBLE) / length(text), 6)
-    END AS dup_para_cfrac
-FROM glin2)"""
-    greason = (
-        "greason AS (SELECT g.doc_id, "
-        f"{gopher_reason_case_sql(rules)} AS reason "
-        "FROM gsig g JOIN repx USING (doc_id))"
-    )
-    return ",\n".join(
-        [gtk, glin, glin2, gsig, _rep_ngram_sql(src="gtk"), greason]
-    )
-
-
-def _bind_gram_columns(df, th_name: str = "th_rep"):
-    """Bind the full Gopher gram surface as columns on ``df`` (which
-    must already carry the BOUND token-hash array ``th_name``): the
-    incremental gh2..gh{max} chain, the duplicate sets, and the
-    per-gram flags — each stage one selectExpr (one JVM parse), so the
-    whole build is ~12 driver round-trips. One shared builder so
-    text_profile and the curation gate analyze the same (small) tree."""
-    prev = None
-    for n in range(2, DUP_NGRAM_NS[-1] + 1):
-        df = df.selectExpr(
-            "*", f"{_gram_step_ssql(th_name, prev, n)} AS gh{n}"
-        )
-        prev = f"gh{n}"
-    df = df.selectExpr(
-        "*",
-        *[f"{_dup_set_ssql(f'gh{n}')} AS dupset{n}" for n in DUP_NGRAM_NS],
-    )
-    return df.selectExpr(
-        "*",
-        *[f"{_flag_ssql(f'gh{n}', f'dupset{n}')} AS f{n}" for n in DUP_NGRAM_NS],
-    )
 
 
 def _dup_set(gh_col):
@@ -691,103 +329,6 @@ def _dup_gram_frac(f_name: str, n: int):
     )
     sumw = F.aggregate(F.col("wlen"), F.lit(0).cast("long"), lambda a, v: a + v)
     return F.when((L >= n) & (sumw > 0), F.round(num.cast("double") / sumw, 6))
-
-
-def _gram_hash_sql(n: int) -> str:
-    """DuckDB twin of :func:`_gram_hashes` over a bound ``th`` column
-    (the cg CTE's Horner form — congruent mod MOD with the Spark fold)."""
-    return (
-        f"list_transform(range(1, len(th) - {n - 1} + 1), "
-        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+{n - 1}]), "
-        f"(a, x) -> (a * 31 + x) % {MOD}))"
-    )
-
-
-def _rep_ngram_sql(src: str = "tk") -> str:
-    """The repx CTE CHAIN: per-doc Gopher n-gram signals as staged
-    MATERIALIZED CTEs over the ``src`` CTE (doc_id, text, toks —
-    parameterized in r13 so the curation gate's oracle reuses the
-    chain over the structural-survivor subset). DuckDB expands lateral column aliases (and
-    plain CTEs) by TEXTUAL substitution, so a lambda referencing a
-    same-stage alias re-inlines the whole producing expression per
-    element — the frac -> cov -> f -> dup -> srt chain blew up
-    exponentially as laterals (measured: oracle hang at sf0.001).
-    Each level a lambda reads is therefore a MATERIALIZED column of
-    the previous stage — the SQL twin of the Spark side's
-    bound-column discipline."""
-    all_ns = (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
-    rep0 = (
-        "rep0 AS MATERIALIZED (SELECT doc_id, toks, length(text) AS nch, "
-        "list_transform(toks, s -> CAST(length(s) AS BIGINT)) AS wl, "
-        f"list_transform(toks, s -> {poly_hash_sql('s', 0)}) AS th "
-        f"FROM {src})"
-    )
-    gh = ", ".join(f"{_gram_hash_sql(n)} AS gh{n}" for n in all_ns)
-    rep1 = (
-        "rep1 AS MATERIALIZED (SELECT *, "
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), wl), (a, x) -> a + x) AS sumw, "
-        f"{gh} FROM rep0)"
-    )
-    best = []
-    for n in TOP_NGRAM_NS:
-        clen = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"wl[list_position(gh{n}, x):list_position(gh{n}, x)+{n - 1}]), "
-            f"(a, w) -> a + w) + {n - 1}"
-        )
-        best.append(
-            f"list_sort(list_transform(list_distinct(gh{n}), x -> "
-            f"{{'cnt': CAST(len(list_filter(gh{n}, e -> e = x)) AS BIGINT), "
-            f"'clen': {clen}, 'h': x}}))[-1] AS best{n}"
-        )
-    srt = ", ".join(f"list_sort(gh{n}) AS srt{n}" for n in DUP_NGRAM_NS)
-    rep2 = f"rep2 AS MATERIALIZED (SELECT *, {', '.join(best)}, {srt} FROM rep1)"
-    dup = ", ".join(
-        f"list_distinct(list_filter(list_transform(range(1, len(srt{n})), "
-        f"i -> CASE WHEN srt{n}[i] = srt{n}[i+1] THEN srt{n}[i] END), "
-        f"x -> x IS NOT NULL)) AS dup{n}"
-        for n in DUP_NGRAM_NS
-    )
-    rep3 = f"rep3 AS MATERIALIZED (SELECT *, {dup} FROM rep2)"
-    flags = ", ".join(
-        f"list_transform(gh{n}, x -> CASE WHEN list_contains(dup{n}, x) "
-        f"THEN 1 ELSE 0 END) AS f{n}"
-        for n in DUP_NGRAM_NS
-    )
-    rep4 = f"rep4 AS MATERIALIZED (SELECT *, {flags} FROM rep3)"
-    covs = []
-    for n in DUP_NGRAM_NS:
-        cov_terms = ", ".join(
-            f"CASE WHEN j > {k} THEN coalesce(f{n}[j - {k}], 0) ELSE 0 END"
-            for k in range(n)
-        )
-        covs.append(
-            f"list_transform(range(1, len(toks) + 1), "
-            f"j -> greatest({cov_terms})) AS cov{n}"
-        )
-    rep5 = f"rep5 AS MATERIALIZED (SELECT *, {', '.join(covs)} FROM rep4)"
-    nums = ", ".join(
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, len(toks) + 1), "
-        f"j -> CASE WHEN cov{n}[j] = 1 THEN wl[j] ELSE 0 END)), "
-        f"(a, x) -> a + x) AS num{n}"
-        for n in DUP_NGRAM_NS
-    )
-    rep6 = f"rep6 AS MATERIALIZED (SELECT *, {nums} FROM rep5)"
-    fracs = ["doc_id"]
-    for n in TOP_NGRAM_NS:
-        fracs.append(
-            f"CASE WHEN len(gh{n}) > 0 AND nch > 0 THEN "
-            f"round(CAST(best{n}['cnt'] * best{n}['clen'] AS DOUBLE) / nch, 6) "
-            f"END AS top_{n}gram_char_frac"
-        )
-    for n in DUP_NGRAM_NS:
-        fracs.append(
-            f"CASE WHEN len(toks) >= {n} AND sumw > 0 THEN "
-            f"round(CAST(num{n} AS DOUBLE) / sumw, 6) END AS dup_{n}gram_char_frac"
-        )
-    repx = "repx AS (SELECT " + ", ".join(fracs) + " FROM rep6)"
-    return ",\n".join([rep0, rep1, rep2, rep3, rep4, rep5, rep6, repx])
 
 
 def _stoplist_sql(words) -> str:

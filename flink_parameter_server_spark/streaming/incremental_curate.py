@@ -66,6 +66,7 @@ def curate_batch(
     scratch_ids: set[int] | None = None,
     emb: DataFrame | None = None,
     semantic_store_dir: str | None = None,
+    quality_rules=None,
 ) -> DataFrame:
     """Run one (doc_id, text, n_chars) batch through the curation
     stages; returns (doc_id, decision, dup_of). Thresholds default to
@@ -73,6 +74,14 @@ def curate_batch(
     ``scratch_ids``: exact attribution of the checkpoints this call
     pins (see incremental_dedup.signatures); defaults to
     scratch-release tracking.
+
+    ``quality_rules`` (r13): the opt-in Gopher Table A1 threshold gate
+    — the streaming dual of corpus_curate's stage 1b, same parameter
+    values, same map-only textstats.gopher_reason_frame, decision
+    'rejected:quality:<rule>' (first failing rule in published
+    order). Per-batch doc-local signals, so streamed decisions equal
+    the batch pipeline's for the same content (pinned in
+    tests/test_incremental_curate.py).
 
     ``emb`` + ``semantic_store_dir`` (r9, both or neither): enable the
     SEMANTIC dedup stage after near-dup, mirroring corpus_curate's r9
@@ -102,6 +111,22 @@ def curate_batch(
     )
     gated = docs.select("doc_id", "text", q_ok.alias("q_ok"))
     surv_q = gated.where("q_ok")
+
+    # stage 1b (r13, opt-in) — Gopher Table A1 gate over structural
+    # survivors; doc-local map-only signals, rejected docs never reach
+    # the dedup stages or any store write
+    if quality_rules:
+        from ..operators._gopher_core import gopher_reason_frame
+
+        g_rej = scoped_checkpoint(
+            gopher_reason_frame(
+                surv_q.select("doc_id", "text"), quality_rules
+            ).where(F.col("g_reason").isNotNull()),
+            ids,
+        )
+        surv_q = surv_q.join(g_rej.select("doc_id"), "doc_id", "left_anti")
+    else:
+        g_rej = spark.createDataFrame([], "doc_id bigint, g_reason string")
 
     # stage 2 — exact dedup: batch keeper, then store probe
     from ..operators._dedup_core import norm_content_hash
@@ -256,6 +281,7 @@ def curate_batch(
     return (
         docs.select("doc_id")
         .join(gated.select("doc_id", "q_ok"), "doc_id", "left")
+        .join(g_rej.select("doc_id", "g_reason"), "doc_id", "left")
         .join(exact_batch.select("doc_id", F.col("dup_of").alias("d_eb")), "doc_id", "left")
         .join(exact_store.select("doc_id", F.col("dup_of").alias("d_es")), "doc_id", "left")
         .join(contam.select("doc_id", F.col("dup_of").alias("d_ct")), "doc_id", "left")
@@ -268,6 +294,10 @@ def curate_batch(
         .select(
             "doc_id",
             F.when(~F.coalesce("q_ok", F.lit(False)), F.lit("rejected:quality"))
+            .when(
+                F.col("g_reason").isNotNull(),
+                F.concat(F.lit("rejected:quality:"), F.col("g_reason")),
+            )
             .when(F.col("d_eb").isNotNull(), F.lit("rejected:exact_dup"))
             .when(F.col("d_es").isNotNull(), F.lit("rejected:exact_dup_store"))
             .when(F.col("d_ct").isNotNull(), F.lit("rejected:contaminated"))
@@ -290,6 +320,7 @@ def curate_stream_writer(
     eval_store_dir: str | None = None,
     emb: DataFrame | None = None,
     semantic_store_dir: str | None = None,
+    quality_rules=None,
 ):
     """foreachBatch wire-up: each micro-batch curates against the
     mutable store and writes decisions under bid=<batch_id> with
@@ -316,6 +347,7 @@ def curate_stream_writer(
             scratch_ids=ids,
             emb=emb,
             semantic_store_dir=semantic_store_dir,
+            quality_rules=quality_rules,
         ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"bid={batch_id}")
         )

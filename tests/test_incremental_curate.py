@@ -363,3 +363,58 @@ def test_full_fixture_streamed_matches_batch_under_fixedk_geometry(spark, tmp_pa
     # the fixed-k geometry must actually reject semantically here,
     # otherwise the pin is vacuous on this fixture
     assert any(v == "rejected:semantic_dup" for v in want.values())
+
+
+def test_single_pass_with_gopher_rules_matches_batch_pipeline(spark, tmp_path):
+    """r13: the streamed≡batch pin re-run WITH the Gopher Table A1 gate
+    on — one curate_batch pass over the whole fixture with the flagship
+    rule set must reproduce corpus_curate(quality_rules=...)'s per-doc
+    decisions, including every 'rejected:quality:<rule>' label (the
+    gate signals are doc-local, so batching cannot change them)."""
+    from flink_parameter_server_spark.operators._gopher_core import (
+        GOPHER_FIXTURE_RULES,
+    )
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.curate import (
+        corpus_curate,
+        is_eval_holdout,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = t(spark, SF_SMALL, "documents")
+    eval_store = str(tmp_path / "eval_store")
+    build_signature_store(
+        spark, d.where(is_eval_holdout()).select("doc_id", "text"), eval_store
+    )
+    store = str(tmp_path / "store")
+    batch = d.where(~is_eval_holdout()).select("doc_id", "text", "n_chars")
+    got = {
+        r["doc_id"]: r["decision"]
+        for r in curate_batch(
+            spark, batch, store, eval_store, quality_rules=GOPHER_FIXTURE_RULES
+        ).collect()
+    }
+    got = {k: ("accepted" if v == "no_shingles" else v) for k, v in got.items()}
+
+    want = {}
+    for r in corpus_curate(
+        spark, SF_SMALL, quality_rules=GOPHER_FIXTURE_RULES
+    ).collect():
+        if r["split"] == "eval_holdout":
+            continue
+        want[r["doc_id"]] = (
+            "accepted"
+            if r["split"] in ("train", "valid", "test")
+            # the batch pipeline has no semantic stage here (no emb
+            # passed), so drop that label from the comparison if present
+            else r["split"]
+        )
+    # no semantic stage in this batch call: semantic-dup docs are
+    # accepted by the stream side
+    want = {
+        k: ("accepted" if v == "rejected:semantic_dup" else v)
+        for k, v in want.items()
+    }
+    assert got == want and got
+    # the gate actually fired: at least one per-rule label present
+    assert any(v.startswith("rejected:quality:") for v in got.values())
