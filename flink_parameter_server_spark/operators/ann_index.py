@@ -409,6 +409,81 @@ def _pq_train_codebook(v: DataFrame, seed: int = IVF_SEED) -> DataFrame:
     )
 
 
+def _pq_rank_table(cbq: DataFrame) -> DataFrame:
+    """(m, aid, rank): dense per-subspace anchor ranks in aid order —
+    the 4-bit packing alphabet (rank < PQ_K = 16). Derived from the
+    persisted codebook, so pack/unpack is deterministic for the life
+    of the codebook (a rebuild retrains codebook AND codes together)."""
+    wm = Window.partitionBy("m").orderBy("aid")
+    return (
+        cbq.select("m", "aid")
+        .distinct()
+        .withColumn("rank", F.row_number().over(wm) - 1)
+    )
+
+
+def _pq_pack_maps(cbq: DataFrame) -> tuple[str, str]:
+    """Collect the <= PQ_K*PQ_M-row rank table (the bounded 128-row
+    collect class) and render the two literal map expressions:
+    ``aid*PQ_M + m -> rank`` (pack) and ``rank*PQ_M + m -> aid``
+    (unpack) — one JVM parse each, map-only at any scale."""
+    from .similarity import PQ_M
+
+    rows = _pq_rank_table(cbq).collect()
+    a2r = ", ".join(
+        f"{r['aid'] * PQ_M + r['m']}L, {r['rank']}L" for r in rows
+    )
+    r2a = ", ".join(
+        f"{r['rank'] * PQ_M + r['m']}L, {r['aid']}L" for r in rows
+    )
+    return f"map({a2r})", f"map({r2a})"
+
+
+def _pq_pack_expr(a2r_map: str, codes: str = "codes") -> str:
+    """codes array<long> (anchor ids, position = subspace m) -> ONE
+    packed BIGINT, 4 bits per code: sum of rank_m << 4m. The persisted
+    replica's storage form (r13, VERDICT r12 #3): the array<long> form
+    measured 10.3x smaller than raw vectors on disk; the scalar packed
+    column drops the per-row array repetition overhead and stores the
+    whole vector's codes in 32 meaningful bits."""
+    from .similarity import PQ_M
+
+    return (
+        f"aggregate(zip_with({codes}, sequence(0, {PQ_M - 1}), "
+        f"(cd, mm) -> element_at({a2r_map}, cd * {PQ_M} + mm)"
+        f" * shiftleft(1L, 4 * mm)), 0L, (a, v) -> a + v)"
+    )
+
+
+def _pq_unpack_expr(r2a_map: str, packed: str = "packed") -> str:
+    """packed BIGINT -> codes array<long> (anchor ids) — the map-only
+    inverse of :func:`_pq_pack_expr`; the hash-checkable view."""
+    from .similarity import PQ_M
+
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), mm -> element_at({r2a_map}, "
+        f"(({packed} div shiftleft(1L, 4 * mm)) % 16) * {PQ_M} + mm))"
+    )
+
+
+def _write_pq_codes(df_with_codes: DataFrame, a2r_map: str, path: str, mode: str) -> None:
+    df_with_codes.selectExpr(
+        "vec_id", f"{_pq_pack_expr(a2r_map)} AS packed", "cid"
+    ).write.mode(mode).partitionBy("cid").parquet(path)
+
+
+def read_pq_codes(spark, index_dir: str) -> DataFrame:
+    """The hash-checkable ``(vec_id, codes array<long>, cid)`` view of
+    the packed replica — unpacked map-only against the persisted
+    codebook's rank table (tests and receipts read this; the ADC probe
+    itself scores the packed column directly, no unpack)."""
+    cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
+    _, r2a = _pq_pack_maps(cbq)
+    return spark.read.parquet(f"{index_dir}/pq_codes").selectExpr(
+        "vec_id", f"{_pq_unpack_expr(r2a)} AS codes", "cid"
+    )
+
+
 def build_ivf_index(
     spark,
     emb: DataFrame,
@@ -457,9 +532,17 @@ def build_ivf_index(
         cb = _pq_train_codebook(v, seed)
         cb.write.mode("overwrite").parquet(f"{index_dir}/pq_codebook")
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
-        pq_codes_arr(assigned, codebook=cbq, keep=("cid",)).select(
-            "vec_id", "codes", "cid"
-        ).write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/pq_codes")
+        # r13 (VERDICT r12 #3): the replica persists PACKED — one
+        # BIGINT of 4-bit ranks per vector, not array<long> anchor ids
+        a2r, _ = _pq_pack_maps(cbq)
+        _write_pq_codes(
+            pq_codes_arr(assigned, codebook=cbq, keep=("cid",)).select(
+                "vec_id", "codes", "cid"
+            ),
+            a2r,
+            f"{index_dir}/pq_codes",
+            "overwrite",
+        )
     unpersist_rdd_ids(spark, build_ids)
 
 
@@ -568,23 +651,56 @@ def ivf_search(
         F.col("cid").isin(probed_cids)
     )
     if adc:
-        from .similarity import pq_adc_mic, pq_lut_map
+        from ..sources.fsutil import path_exists
+        from .similarity import PQ_M, pq_lut
 
+        # ADVICE r12: a clear contract error beats the opaque
+        # parquet-path failure on a pq=False build
+        if not path_exists(spark, f"{index_dir}/pq_codebook"):
+            raise ValueError(
+                "ivf_search(adc=True) requires a pq=True index — "
+                f"{index_dir}/pq_codebook is absent; rebuild with "
+                "build_ivf_index(..., pq=True)"
+            )
+        # ADVICE r12: shortlist < k would silently return < k rows per
+        # query — the refine can only re-rank what the shortlist kept
+        shortlist = max(shortlist, k)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
         codes = spark.read.parquet(f"{index_dir}/pq_codes").where(
             F.col("cid").isin(probed_cids)
         )
-        # duplicate query ids would produce duplicate LUT map keys
+        # rank-keyed LUT (r13): lmap keys are rank*PQ_M + m, so the ADC
+        # sum reads each 4-bit rank straight out of the packed BIGINT —
+        # the scan side never materializes the codes array. Duplicate
+        # query ids would produce duplicate LUT map keys
         # (map_from_entries is strict) — one LUT per id is also the
-        # only coherent reading of a duplicated query
-        lutmap = pq_lut_map(q.dropDuplicates(["vec_id"]), cbq)
+        # only coherent reading of a duplicated query.
+        rlut = pq_lut(q.dropDuplicates(["vec_id"]), cbq).join(
+            _pq_rank_table(cbq).withColumnRenamed("aid", "code"),
+            ["m", "code"],
+        )
+        lutmap = rlut.groupBy("query_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("rank") * PQ_M + F.col("m")).cast("long").alias("k"),
+                        F.col("lmic").alias("v"),
+                    )
+                )
+            ).alias("lmap")
+        )
         cand = probes.select("query_id", "cid").join(codes, "cid")
         if exclude_self:
             cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        adc_packed = F.expr(
+            f"aggregate(transform(sequence(0, {PQ_M - 1}), mm -> "
+            f"element_at(lmap, ((packed div shiftleft(1L, 4 * mm)) % 16)"
+            f" * {PQ_M} + mm)), 0L, (a, v) -> a + v)"
+        )
         adcs = cand.join(lutmap, "query_id").select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            pq_adc_mic(F.col("codes"), F.col("lmap")).alias("adc_mic"),
+            adc_packed.alias("adc_mic"),
         )
         ws = Window.partitionBy("query_id").orderBy(
             F.col("adc_mic").desc(), F.col("neighbor_id")
@@ -593,6 +709,9 @@ def ivf_search(
             adcs.withColumn("rn", F.row_number().over(ws))
             .where(F.col("rn") <= shortlist)
             .select("query_id", "neighbor_id")
+            # ADVICE r12: duplicate codes rows (crash replay, manual
+            # append) must not consume top-k slots as duplicate ranks
+            .dropDuplicates(["query_id", "neighbor_id"])
         )
         qref = probes.select("query_id", "qv", "nq").dropDuplicates(["query_id"])
         scored = (
@@ -707,16 +826,41 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     )
     accepted.write.mode("append").partitionBy("cid").parquet(f"{index_dir}/cells")
     # PQ maintenance (r12): a pq=True index keeps its codes replica in
-    # lockstep — encode the SAME accepted rows against the PERSISTED
-    # codebook (codes never drift from their vectors; the codebook,
-    # like the centroids, is only retrained by a rebuild)
+    # lockstep — encode against the PERSISTED codebook (codes never
+    # drift from their vectors; the codebook, like the centroids, is
+    # only retrained by a rebuild). The encode set is keyed on the
+    # CODES replica, not on `accepted` (ADVICE r12): a crash between
+    # the cells append and the codes append leaves rows in cells with
+    # no codes, and an accepted-keyed append would never repair them —
+    # so encode every touched-cell row missing from pq_codes (covers
+    # this batch AND any historical gap; encoding is deterministic
+    # against the immutable codebook, hence replay-safe).
     if path_exists(spark, f"{index_dir}/pq_codebook"):
         from .similarity import pq_codes_arr
 
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
-        pq_codes_arr(accepted, codebook=cbq, keep=("cid",)).select(
-            "vec_id", "codes", "cid"
-        ).write.mode("append").partitionBy("cid").parquet(f"{index_dir}/pq_codes")
+        a2r, _ = _pq_pack_maps(cbq)
+        codes_path = f"{index_dir}/pq_codes"
+        have = (
+            spark.read.parquet(codes_path)
+            .where(F.col("cid").isin(touched))
+            .select("vec_id")
+            if path_exists(spark, codes_path)
+            else spark.createDataFrame([], "vec_id long")
+        )
+        need = (
+            read_cells(spark, index_dir)
+            .where(F.col("cid").isin(touched))
+            .join(have, "vec_id", "left_anti")
+        )
+        _write_pq_codes(
+            pq_codes_arr(need, codebook=cbq, keep=("cid",)).select(
+                "vec_id", "codes", "cid"
+            ),
+            a2r,
+            codes_path,
+            "append",
+        )
     unpersist_rdd_ids(spark, ids)
 
 
@@ -746,6 +890,25 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
         path = os.path.join(index_dir, name)
         tmp = path + "_compacting"
         df = spark.read.parquet(path)
+        if name == "pq_codes":
+            # replica reconciliation (ADVICE r12): the rewrite is a full
+            # scan anyway, so fold in the two drift repairs — (a) rows
+            # present in cells but missing from codes (the crash window
+            # between add_vectors' two appends) are re-encoded against
+            # the persisted codebook; (b) duplicate codes rows for one
+            # vec_id (crash replay / manual append) collapse to one, so
+            # an ADC shortlist can never rank the same neighbor twice.
+            from .similarity import pq_codes_arr
+
+            cbq = spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
+            a2r, _ = _pq_pack_maps(cbq)
+            missing = spark.read.parquet(os.path.join(index_dir, "cells")).join(
+                df.select("vec_id"), "vec_id", "left_anti"
+            )
+            healed = pq_codes_arr(missing, codebook=cbq, keep=("cid",)).selectExpr(
+                "vec_id", f"{_pq_pack_expr(a2r)} AS packed", "cid"
+            )
+            df = df.dropDuplicates(["vec_id"]).unionByName(healed)
         df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(tmp)

@@ -112,9 +112,9 @@ SELECT 'brute' AS method, query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
-def embedding_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors for sampled query vectors — the
-    ANN correctness baseline. Query side broadcasts; cosine is pure
+def embedding_cosine_topk(spark, sf_dir, k: int = 5):
+    """Brute-force cosine top-k (default 5) neighbors for sampled query
+    vectors — the ANN correctness baseline. Query side broadcasts; cosine is pure
     column math (zip_with+aggregate), fully codegen'd."""
     emb = embeddings_normed(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -138,7 +138,7 @@ def embedding_cosine_topk(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rk")).where(
-        F.col("rk") <= 5
+        F.col("rk") <= k
     )
 
 
@@ -160,7 +160,7 @@ SELECT 'simhash' AS method, query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
-def embedding_simhash_ann(spark, sf_dir):
+def embedding_simhash_ann(spark, sf_dir, k: int = 1):
     """LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane
     signs -> 8-bit bucket, candidates = bucket-mates only, exact cosine
     re-rank, top-1. The equi-join on bucket replaces the cross join —
@@ -186,7 +186,7 @@ def embedding_simhash_ann(spark, sf_dir):
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 # The counted-n centroid rule (k ~ sqrt(n), r11) lives in
@@ -772,7 +772,7 @@ def semantic_cell_profile(assign) -> dict:
     }
 
 
-def embedding_ivf2_ann(spark, sf_dir, probes: int = 1, _assign=None):
+def embedding_ivf2_ann(spark, sf_dir, probes: int = 1, _assign=None, k: int = 1):
     """IVF ANN over the two-level counted assignment (method='ivf2'):
     queries probe their own (two-level-assigned) cell, exact re-rank,
     top-1 — the same probe shape as :func:`embedding_ivf_ann` on the
@@ -811,10 +811,10 @@ def embedding_ivf2_ann(spark, sf_dir, probes: int = 1, _assign=None):
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def embedding_ivf_ann(spark, sf_dir, _assign=None):
+def embedding_ivf_ann(spark, sf_dir, _assign=None, k: int = 1):
     """IVF-style ANN (the other scale path): deterministic counted-n
     coarse centroids (k ~ sqrt(n)), vectors assigned to their
     max-cosine cell, queries probe their own cell only, exact re-rank
@@ -843,7 +843,7 @@ def embedding_ivf_ann(spark, sf_dir, _assign=None):
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def _pq_stride_col(n_col):
@@ -881,6 +881,15 @@ def _pq_subvecs(df, id_col: str, out: str):
 def pq_codebook(emb):
     """The constant-size PQ codebook: <= PQ_K anchor rows via the fixed
     vec_id stride ceil(n/PQ_K) (1-row count attached declaratively),
+
+    PRECONDITION (ADVICE r12): the stride rule assumes a reasonably
+    DENSE 0-based vec_id space (the fixture contract). On a sparse or
+    offset id space the `vec_id % stride == 0` filter can select zero
+    anchors, and downstream encodes silently emit NULL codes rather
+    than erroring — this helper is the DuckDB-replayable ORACLE lane,
+    so it keeps the declarative stride rule; arbitrary frames should
+    use the persisted lane's ann_index._pq_train_codebook (seeded-hash
+    orderBy + limit(PQ_K), immune to id-space shape).
     each split into PQ_M normalized subvector codewords — <= PQ_K*PQ_M
     = {PQ_K*PQ_M} rows total, a constant-bounded broadcast at ANY
     corpus size (unlike the sqrt(n) centroid table, the codebook does
@@ -999,7 +1008,7 @@ def pq_adc_mic(codes_col, lmap_col):
     )
 
 
-def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
+def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1):
     """IVFADC ANN (method='ivfpq', r12 — Jegou et al. 2011): queries
     probe their counted-n IVF cell, candidates are ranked by the ADC
     score over 4-byte PQ codes WITHOUT touching raw vectors (the sum
@@ -1085,7 +1094,7 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None):
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def embedding_near_dup_pairs(spark, sf_dir):

@@ -340,9 +340,32 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
     cb = spark.read.parquet(f"{idx}/pq_codebook")
     assert 0 < cb.count() <= PQ_K * PQ_M
     n_cells_rows = spark.read.parquet(f"{idx}/cells").count()
-    codes = spark.read.parquet(f"{idx}/pq_codes")
+    # r13: the replica persists PACKED — one BIGINT of 4-bit ranks per
+    # vector; the array<long> form is the read_pq_codes unpacked view
+    from flink_parameter_server_spark.operators.ann_index import read_pq_codes
+
+    packed = spark.read.parquet(f"{idx}/pq_codes")
+    assert packed.count() == n_cells_rows
+    assert dict(packed.dtypes)["packed"] == "bigint"
+    # every packed value fits in the 8 x 4-bit alphabet
+    assert packed.where(
+        (F.col("packed") < 0) | (F.col("packed") >= (1 << (4 * PQ_M)))
+    ).count() == 0
+    codes = read_pq_codes(spark, idx)
     assert codes.count() == n_cells_rows
     assert {r["n"] for r in codes.select(F.size("codes").alias("n")).distinct().collect()} == {PQ_M}
+    # unpack is the exact inverse: codes match a fresh encode of cells
+    from flink_parameter_server_spark.operators.similarity import pq_codes_arr
+
+    fresh = pq_codes_arr(
+        spark.read.parquet(f"{idx}/cells"), codebook=cb, keep=("cid",)
+    ).select("vec_id", "codes")
+    mism = (
+        codes.select("vec_id", F.col("codes").alias("c1"))
+        .join(fresh.select("vec_id", F.col("codes").alias("c2")), "vec_id")
+        .where(F.col("c1") != F.col("c2"))
+    )
+    assert mism.count() == 0
 
     def rows(df):
         return {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"]) for r in df.collect()}
@@ -418,3 +441,77 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
         )
     )
     assert two == exact_grown
+
+    # replica drift heal (ADVICE r12): simulate the crash window between
+    # add_vectors' cells append and codes append by dropping half the
+    # codes rows; compact_index re-encodes the gap from cells against
+    # the persisted codebook, and the healed probe is exact again
+    import shutil
+
+    kept_codes = (
+        spark.read.parquet(f"{idx}/pq_codes")
+        .where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "packed", "cid")
+        .collect()
+    )
+    shutil.rmtree(f"{idx}/pq_codes")
+    spark.createDataFrame(
+        kept_codes, "vec_id long, packed long, cid int"
+    ).write.partitionBy("cid").parquet(f"{idx}/pq_codes")
+    assert spark.read.parquet(f"{idx}/pq_codes").count() < stats["total"]
+    compact_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == stats["total"]
+    healed = rows(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True,
+                   shortlist=10**6)
+    )
+    assert healed == exact_grown
+
+    # adc=True on a pq-less build raises the contract error, and a
+    # sub-k shortlist is clamped (never silently returns < k rows)
+    import pytest as _pytest
+
+    plain_idx = str(tmp_path / "plain")
+    build_ivf_index(spark, emb, plain_idx, n_cells=N_CELLS, iters=1)
+    with _pytest.raises(ValueError, match="pq=True"):
+        ivf_search(spark, plain_idx, _queries(spark), k=K, adc=True)
+    clamped = ivf_search(
+        spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True, shortlist=1
+    )
+    n_q = _queries(spark).count()
+    assert clamped.count() == n_q * K
+
+
+def test_ivf2_multiprobe_recall_at_10_monotone(spark):
+    """VERDICT r12 #5 monotonicity pin: recall@10-vs-brute of the
+    two-level lane rises with the probe count — ivf2_p2's recall@10 is
+    >= ivf2's (p=1), and p=4's >= p=2's — on the fixture query set
+    (the table receipt lives in BASELINE.md via tools/ann_recall.py)."""
+    from flink_parameter_server_spark.operators import similarity as sim
+    from flink_parameter_server_spark.scratch import release
+
+    K10 = 10
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(m, b):
+        num = den = 0
+        for qid, want in b.items():
+            num += len(m.get(qid, set()) & want)
+            den += min(K10, len(want))
+        return num / den if den else 0.0
+
+    brute = sets(sim.embedding_cosine_topk(spark, SF, k=K10))
+    recs = {}
+    for p in (1, 2, 4):
+        recs[p] = recall(
+            sets(sim.embedding_ivf2_ann(spark, SF, probes=p, k=K10)), brute
+        )
+        release()
+    assert recs[2] >= recs[1]
+    assert recs[4] >= recs[2]
+    assert 0 < recs[1] <= 1 and recs[4] <= 1
