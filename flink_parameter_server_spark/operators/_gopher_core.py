@@ -340,7 +340,18 @@ def gopher_signal_frame(df):
 def gopher_reason_frame(df, rules=True):
     """(doc_id, text) -> (doc_id, g_reason): the first failing Table A1
     rule per doc, NULL when every enabled rule passes. Map-only — one
-    scan, zero shuffles at any scale."""
+    scan, zero shuffles at any scale.
+
+    CONSUMPTION CONTRACT (r13, measured): persist/checkpoint the result
+    BEFORE filtering on g_reason. A Filter on top of this plan sinks
+    through every signal projection by alias substitution
+    (PushPredicateThroughProject re-inlines each level's aliases into
+    the predicate), re-building the whole per-doc signal tree inside
+    ONE filter expression whose shared subtrees then re-evaluate per
+    row — a 500-doc batch went from ~20 minutes (single partition) to
+    seconds once the filter ran over a materialized frame instead.
+    Both in-repo callers (corpus_curate via scratch(), curate_batch via
+    scoped_checkpoint()) follow this."""
     return gopher_signal_frame(df).selectExpr(
         "doc_id", f"{gopher_reason_case_sql(rules)} AS g_reason"
     )
