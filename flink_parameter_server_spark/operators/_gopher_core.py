@@ -116,6 +116,39 @@ def _dup_gram_ssql(f: str, n: int) -> str:
     )
 
 
+def _flag_from_gh_ssql(gh: str) -> str:
+    """Per-gram duplicate flags POSITION-ALIGNED with ``gh``, by the
+    sort-adjacency rule (the dedup_lines discipline): sort (hash, idx)
+    structs, an element is duplicated iff it equals its sorted
+    neighbor on either side, restore index order. O(m log m) per doc
+    with NO per-element outer-array lookup — replaces the r12
+    dupset + array_contains pair: the dup-set column had exactly one
+    consumer (the flag transform), so CollapseProject inlined its
+    sort/adjacency build INTO the flag lambda and re-built the dup set
+    PER GRAM ELEMENT — measured 120 s of the Gopher gate's 131 s
+    signal evaluation at sf0.1 (50k docs), ~17x the honest cost.
+    Values identical to the dupset form (equivalence pinned)."""
+    nulls = "CAST(NULL AS STRUCT<h: BIGINT, i: INT>)"
+    by = f"array_sort(transform({gh}, (x, i) -> named_struct('h', x, 'i', i)))"
+    m = f"size({gh})"
+    nxt = f"concat(slice({by}, 2, {m} - 1), array({nulls}))"
+    prv = f"concat(array({nulls}), slice({by}, 1, {m} - 1))"
+    m1 = (
+        f"zip_with({by}, {nxt}, (a, b) -> named_struct('h', a.h, 'i', a.i, "
+        f"'f', CASE WHEN b IS NOT NULL AND b.h = a.h THEN 1 ELSE 0 END))"
+    )
+    m2 = (
+        f"zip_with({m1}, {prv}, (a, p) -> named_struct('i', a.i, "
+        f"'f', CASE WHEN a.f = 1 OR (p IS NOT NULL AND p.h = a.h) "
+        f"THEN 1 ELSE 0 END))"
+    )
+    flags = (
+        f"transform(array_sort(transform({m2}, "
+        f"x -> named_struct('i', x.i, 'f', x.f))), x -> x.f)"
+    )
+    return f"CASE WHEN size({gh}) < 2 THEN transform({gh}, x -> 0) ELSE {flags} END"
+
+
 def _gram_hashes_ssql(th: str, n: int) -> str:
     """Spark-SQL twin of :func:`_gram_hashes` (single-shot fold; the
     acc string nests once per window so the text grows linearly)."""
@@ -434,13 +467,14 @@ def _bind_gram_columns(df, th_name: str = "th_rep"):
             "*", f"{_gram_step_ssql(th_name, prev, n)} AS gh{n}"
         )
         prev = f"gh{n}"
-    df = df.selectExpr(
-        "*",
-        *[f"{_dup_set_ssql(f'gh{n}')} AS dupset{n}" for n in DUP_NGRAM_NS],
-    )
+    # flags come straight from the sort-adjacency rule (r13,
+    # _flag_from_gh_ssql) — no intermediate dupset columns: a bound
+    # column with exactly one consumer gets re-inlined into that
+    # consumer's lambda by CollapseProject, which turned the
+    # dupset+contains form into a per-element dup-set rebuild
     return df.selectExpr(
         "*",
-        *[f"{_flag_ssql(f'gh{n}', f'dupset{n}')} AS f{n}" for n in DUP_NGRAM_NS],
+        *[f"{_flag_from_gh_ssql(f'gh{n}')} AS f{n}" for n in DUP_NGRAM_NS],
     )
 
 def _gram_hash_sql(n: int) -> str:

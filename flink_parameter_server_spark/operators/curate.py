@@ -114,15 +114,20 @@ def corpus_curate(spark, sf_dir, sem_assign=None, quality_rules=None):
     surv1 = base.where(q_ok)
 
     # stage 1b (r13, opt-in) — Gopher Table A1 threshold gate over the
-    # structural survivors (map-only; scratch-persisted because the
-    # final assembly reads the reasons a second time). Lazy import:
-    # textstats imports this module's constants at load time.
-    from ..scratch import scratch
-
+    # structural survivors. TRACKED-CHECKPOINTED, not scratch-cached
+    # (bench receipt, BASELINE.md r13): surv1 now embeds the gate join,
+    # and the pipeline's later stages re-derive surv1's lineage once
+    # per consuming branch — with a lazy cache the per-doc signal tree
+    # re-evaluated per branch and the entry went 22 -> 415 s at sf0.1;
+    # the eager checkpoint cuts the lineage so the gate evaluates
+    # exactly once (the entry's existing IVF/DSIR discipline, same
+    # consumption contract). Lazy import: textstats imports this
+    # module's constants at load time.
     if quality_rules:
+        from ..scratch import tracked_checkpoint
         from ._gopher_core import gopher_reason_frame
 
-        greason = scratch(
+        greason = tracked_checkpoint(
             gopher_reason_frame(surv1.select("doc_id", "text"), quality_rules)
         )
         surv1 = surv1.join(

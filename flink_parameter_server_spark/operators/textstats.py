@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MOD, int_hash_sql, poly_hash, poly_hash_sql
+from ..functions.hashing import MOD, int_hash_sql, poly_hash, poly_hash_sql  # noqa: F401 (poly_hash: the Column reference form, used by tests)
 from ..functions.text import STOPWORDS, tokens, tokens_sql
 from ..plans.registry import register
 from ._dedup_core import (
@@ -43,6 +43,7 @@ from ._gopher_core import (  # noqa: F401 (re-exported: gate + SSQL twins
     _dedup_lines_ssql,
     _dup_gram_ssql,
     _dup_set_ssql,
+    _flag_from_gh_ssql,
     _flag_ssql,
     _gram_hash_sql,
     _gram_hashes_ssql,

@@ -1509,6 +1509,14 @@ def test_column_vs_sql_builder_equivalence(spark):
                 F.expr(ts._flag_ssql(f"gh{n}", f"dupset{n}")),
             )
         )
+        # r13 sort-adjacency flag rewrite == the dupset+contains form
+        pairs.append(
+            (
+                f"nf{n}",
+                ts._flag_col(f"gh{n}", f"dupset{n}"),
+                F.expr(ts._flag_from_gh_ssql(f"gh{n}")),
+            )
+        )
         pairs.append(
             (
                 f"dg{n}",
