@@ -382,7 +382,9 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
         (4, body + " alpha beta", "en", "web"),     # near-dup of 1 -> near_dup
         (5, "short doc", "en", "web"),              # quality reject
         (6, "short doc", "en", "web"),              # quality reject (copy of 5: quality wins)
-        (7, " ".join(f"uniq{i}x{i * 3}" for i in range(40)), "en", "web"),  # clean
+        # 60 distinct tokens: >= 50 so the r13 Gopher word-count gate
+        # (now live on the flagship's curated part) passes this doc
+        (7, " ".join(f"uniq{i}x{i * 3}" for i in range(60)), "en", "web"),  # clean
         (8, bench + " tail", "en", "web"),          # near-dup of eval 13 -> contaminated
         (13, bench, "en", "web"),                   # eval holdout member
     ]
