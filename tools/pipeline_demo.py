@@ -84,8 +84,16 @@ def main() -> None:
     t0 = time.time()
     out: dict = {"sf_dir": sf}
 
-    # 1. curate
-    decisions = corpus_curate(spark, sf).cache()
+    # 1. curate — since r13 the flagship gate APPLIES the published
+    # Gopher Table A1 thresholds (fixture rule set; labels show which
+    # rule rejected each doc)
+    from flink_parameter_server_spark.operators._gopher_core import (
+        GOPHER_FIXTURE_RULES,
+    )
+
+    decisions = corpus_curate(
+        spark, sf, quality_rules=GOPHER_FIXTURE_RULES
+    ).cache()
     by_decision = {
         r["split"]: r["n"]
         for r in decisions.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
