@@ -487,7 +487,7 @@ SELECT * FROM ({_IVFPQ_ANN_SQL}) AS ivfpq_part
     "query's cell ranked by ADC over 4-byte PQ codes (constant 128-row "
     "codebook, integer micro-grid sums) without touching raw vectors, "
     "exact-cosine refine on the top-10 — the 64x-compressed memory "
-    "lane, quantization error hash-checked (receipt in BASELINE.md).",
+    "lane, quantization error hash-checked (receipt in BASELINE.md). r13 adds the family-wide recall@10-vs-brute receipt (tools/ann_recall.py; BASELINE.md r13 — monotone in the ivf2 probe count at both fixture scales, pinned) and k= parameters on every method function (registry output unchanged).",
 )
 def embedding_ann_topk(spark, sf_dir):
     from ..scratch import scratch
