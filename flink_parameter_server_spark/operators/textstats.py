@@ -52,6 +52,7 @@ from ._gopher_core import (  # noqa: F401 (re-exported: gate + SSQL twins
     _rep_ngram_sql,
     _select_gopher_rules,
     _sql_str_lit,
+    _top_gram_fast_ssql,
     _top_gram_ssql,
     gopher_gate_sql,
     gopher_reason_case_sql,
@@ -904,7 +905,7 @@ def text_profile(spark, sf_dir):
         # helpers above) — per-doc bounded array math over the bound
         # gram columns, same scan
         *[
-            f"{_top_gram_ssql(f'gh{n}', n)} AS top_{n}gram_char_frac"
+            f"{_top_gram_fast_ssql(f'gh{n}', n)} AS top_{n}gram_char_frac"
             for n in TOP_NGRAM_NS
         ],
         *[

@@ -1532,6 +1532,14 @@ def test_column_vs_sql_builder_equivalence(spark):
                 F.expr(ts._top_gram_ssql(f"gh{n}", n)),
             )
         )
+        # r13 single-pass run-length argmax == the per-distinct rescan
+        pairs.append(
+            (
+                f"tgf{n}",
+                ts._top_gram_frac(f"gh{n}", n),
+                F.expr(ts._top_gram_fast_ssql(f"gh{n}", n)),
+            )
+        )
     for sep, tag in (("\n", "l"), ("\n\n", "p")):
         ct, cn = ts.dedup_lines(F.col("text"), sep)
         st, sn = ts._dedup_lines_ssql("text", sep)
