@@ -842,10 +842,21 @@ def text_profile(spark, sf_dir):
         f" + CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {stop_ratio_s}), 6) END"
         " AS quality_score",
         # repetition filters (Gopher-style): most-common-token fraction and
-        # duplicate-bigram fraction — the standard "degenerate text" signals
-        f"CASE WHEN {nonempty_s} THEN round(CAST(array_max(transform("
-        "array_distinct(toks), d -> CAST(size(filter(toks, x -> x = d))"
-        f" AS BIGINT))) AS DOUBLE) / {n_s}, 6) END AS max_token_ratio",
+        # duplicate-bigram fraction — the standard "degenerate text"
+        # signals. The max count is the LONGEST RUN of the sorted token
+        # array (r13, the _top_gram_fast_ssql fold — the prior form
+        # rescanned toks once per distinct token, O(m*U) per doc;
+        # equivalence pinned in tests)
+        f"CASE WHEN {nonempty_s} THEN round(CAST("
+        "aggregate(array_sort(toks), named_struct('prev',"
+        " CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),"
+        " (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        " THEN named_struct('prev', x, 'cur', acc.cur + 1L,"
+        " 'best', greatest(acc.best, acc.cur + 1L))"
+        " ELSE named_struct('prev', x, 'cur', 1L,"
+        " 'best', greatest(acc.best, 1L)) END,"
+        " acc -> acc.best)"
+        f" AS DOUBLE) / {n_s}, 6) END AS max_token_ratio",
         "CASE WHEN size(toks) > 1 THEN round(CAST(1.0 AS DOUBLE)"
         " - CAST(size(array_distinct(zip_with("
         "slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"

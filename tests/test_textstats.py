@@ -1559,3 +1559,48 @@ def test_column_vs_sql_builder_equivalence(spark):
                 f"doc {r['doc_id']} builder {lbl}: "
                 f"{r[f'c_{lbl}']!r} != {r[f's_{lbl}']!r}"
             )
+
+
+def test_max_token_ratio_run_length_fold_equivalence(spark):
+    """r13: max_token_ratio's max count = the longest run of the
+    sorted token array (single-pass fold) — pinned against the r3
+    per-distinct rescan form on a randomized corpus with heavy
+    duplication, unicode, single-token and empty/NULL docs."""
+    import random
+
+    from flink_parameter_server_spark.functions.text import tokens
+    from flink_parameter_server_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "ünï", "zzzz", "the"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for _ in range(150)
+    ] + [None, "", "solo", "x x x x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", tokens(F.col("text")).alias("toks"))
+    old = (
+        "CASE WHEN size(toks) > 0 THEN round(CAST(array_max(transform("
+        "array_distinct(toks), d -> CAST(size(filter(toks, x -> x = d))"
+        " AS BIGINT))) AS DOUBLE) / CAST(size(toks) AS BIGINT), 6) END"
+    )
+    new = (
+        "CASE WHEN size(toks) > 0 THEN round(CAST("
+        "aggregate(array_sort(toks), named_struct('prev',"
+        " CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),"
+        " (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        " THEN named_struct('prev', x, 'cur', acc.cur + 1L,"
+        " 'best', greatest(acc.best, acc.cur + 1L))"
+        " ELSE named_struct('prev', x, 'cur', 1L,"
+        " 'best', greatest(acc.best, 1L)) END,"
+        " acc -> acc.best)"
+        " AS DOUBLE) / CAST(size(toks) AS BIGINT), 6) END"
+    )
+    rows = df.selectExpr("doc_id", f"{old} AS o", f"{new} AS n").collect()
+    for r in rows:
+        assert r["o"] == r["n"], f"doc {r['doc_id']}: {r['o']} != {r['n']}"
+    # and the registry entry still produces the column (fixture run)
+    prof = REGISTRY["text_profile"].fn(spark, SF_SMALL)
+    assert prof.where("max_token_ratio IS NOT NULL").count() > 0
