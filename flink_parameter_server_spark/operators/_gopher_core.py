@@ -388,7 +388,12 @@ def gopher_signal_frame(df):
     lines_s = "split(text, '\\n')"
     return g.selectExpr(
         "*",
-        f"{n_s} AS n_ws",
+        # ADVICE r13: guard NULL text — Spark size(NULL) is -1 while
+        # DuckDB len(NULL) is NULL, so an unguarded n_ws would fire
+        # word_count on NULL-text docs in ONE engine only (unreachable
+        # via corpus_curate's structural stage 1, but the helper is
+        # public and documented as unable to drift)
+        f"CASE WHEN toks IS NOT NULL THEN {n_s} END AS n_ws",
         f"CASE WHEN size(toks) > 0 THEN round(CAST({sum_len_s} AS DOUBLE)"
         f" / {n_s}, 6) END AS mean_wlen",
         "CASE WHEN size(toks) > 0 THEN round(CAST(size("
@@ -439,8 +444,8 @@ def gopher_reason_frame(df, rules=True):
     ONE filter expression whose shared subtrees then re-evaluate per
     row — a 500-doc batch went from ~20 minutes (single partition) to
     seconds once the filter ran over a materialized frame instead.
-    Both in-repo callers (corpus_curate via scratch(), curate_batch via
-    scoped_checkpoint()) follow this."""
+    Both in-repo callers (corpus_curate via tracked_checkpoint(),
+    curate_batch via scoped_checkpoint()) follow this."""
     return gopher_signal_frame(df).selectExpr(
         "doc_id", f"{gopher_reason_case_sql(rules)} AS g_reason"
     )

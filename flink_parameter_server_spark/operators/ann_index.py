@@ -427,9 +427,18 @@ def _pq_pack_maps(cbq: DataFrame) -> tuple[str, str]:
     collect class) and render the two literal map expressions:
     ``aid*PQ_M + m -> rank`` (pack) and ``rank*PQ_M + m -> aid``
     (unpack) — one JVM parse each, map-only at any scale."""
-    from .similarity import PQ_M
+    from .similarity import PQ_K, PQ_M
 
     rows = _pq_rank_table(cbq).collect()
+    # ADVICE r13: ranks must fit the 4-bit nibble — a codebook that
+    # ever carried > PQ_K anchors in one subspace would otherwise
+    # corrupt packed codes silently
+    bad = max((r["rank"] for r in rows), default=0)
+    if bad >= PQ_K:
+        raise ValueError(
+            f"PQ codebook carries {bad + 1} anchors in one subspace; "
+            f"4-bit packing requires <= PQ_K={PQ_K}"
+        )
     a2r = ", ".join(
         f"{r['aid'] * PQ_M + r['m']}L, {r['rank']}L" for r in rows
     )
@@ -706,12 +715,15 @@ def ivf_search(
             F.col("adc_mic").desc(), F.col("neighbor_id")
         )
         short = (
-            adcs.withColumn("rn", F.row_number().over(ws))
+            # ADVICE r12/r13: duplicate codes rows (crash replay, manual
+            # append) must not consume SHORTLIST ranks either — dedupe
+            # BEFORE the window, or a duplicated neighbor holds two of
+            # the shortlist slots and the max(shortlist, k) clamp can
+            # still yield fewer than k distinct candidates per query
+            adcs.dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(ws))
             .where(F.col("rn") <= shortlist)
             .select("query_id", "neighbor_id")
-            # ADVICE r12: duplicate codes rows (crash replay, manual
-            # append) must not consume top-k slots as duplicate ranks
-            .dropDuplicates(["query_id", "neighbor_id"])
         )
         qref = probes.select("query_id", "qv", "nq").dropDuplicates(["query_id"])
         scored = (

@@ -481,6 +481,28 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
     n_q = _queries(spark).count()
     assert clamped.count() == n_q * K
 
+    # ADVICE r13: duplicated codes rows (at-least-once replay) must not
+    # consume SHORTLIST ranks either — with EVERY replica row duplicated
+    # and the minimal (clamped-to-k) shortlist, each query still gets k
+    # distinct candidates, and a covering shortlist is still exact
+    dup_src = (
+        spark.read.parquet(f"{idx}/pq_codes")
+        .select("vec_id", "packed", "cid")
+        .collect()
+    )
+    spark.createDataFrame(
+        dup_src, "vec_id long, packed long, cid int"
+    ).write.mode("append").partitionBy("cid").parquet(f"{idx}/pq_codes")
+    dup_clamped = ivf_search(
+        spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True, shortlist=1
+    )
+    assert dup_clamped.count() == n_q * K
+    dup_full = rows(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS, adc=True,
+                   shortlist=10**6)
+    )
+    assert dup_full == exact_grown
+
 
 def test_ivf2_multiprobe_recall_at_10_monotone(spark):
     """VERDICT r12 #5 monotonicity pin: recall@10-vs-brute of the
