@@ -22,6 +22,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a narrow frame to cluster parallelism BEFORE a heavy
+    map stage — iff the scan under it yields fewer partitions.
+
+    Measured need (r14, BASELINE.md gate-exponent receipt): the fixture
+    documents tables are single parquet files that split into 1-2 scan
+    partitions, so the Gopher gate's per-doc signal tree — ~100x the
+    text bytes in compute — ran near-serial while 31 cores idled; the
+    gate's marginal cost scaled x15.5 for x10 docs purely from lost
+    parallelism. One narrow-row shuffle buys full-width map evaluation.
+    At 100 TB the scan already yields thousands of splits and this is a
+    no-op (the condition, not the call, is the contract — never add an
+    unconditional repartition to a big-scan path)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_sum(col: Column) -> Column:
     """Order-independent sum: per-value round to 6dp (exact, same in both
     engines) then exact decimal addition.

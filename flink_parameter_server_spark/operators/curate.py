@@ -126,9 +126,16 @@ def corpus_curate(spark, sf_dir, sem_assign=None, quality_rules=None):
     if quality_rules:
         from ..scratch import tracked_checkpoint
         from ._gopher_core import gopher_reason_frame
+        from ._util import fan_out
 
+        # fan_out (r14, measured): the fixture documents scan yields 1-2
+        # partitions, so the signal tree ran near-serial — the gate's
+        # marginal cost scaled x15.5 for x10 docs until this narrow
+        # (doc_id, text) shuffle restored full-width map evaluation
         greason = tracked_checkpoint(
-            gopher_reason_frame(surv1.select("doc_id", "text"), quality_rules)
+            gopher_reason_frame(
+                fan_out(surv1.select("doc_id", "text")), quality_rules
+            )
         )
         surv1 = surv1.join(
             greason.where(F.col("g_reason").isNotNull()).select("doc_id"),

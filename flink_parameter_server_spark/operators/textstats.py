@@ -621,7 +621,14 @@ LEFT JOIN repx ON repx.doc_id = sc.doc_id
     "broadcast.",
 )
 def text_profile(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    from ._util import fan_out
+
+    # fan_out (r14, measured with the gate-exponent receipt): the
+    # fixture documents scan is 1-2 partitions, so the heaviest per-doc
+    # column tree in the repo evaluated near-serial — one narrow
+    # shuffle restores full-width map parallelism; no-op on a scan
+    # that already splits
+    d = fan_out(t(spark, sf_dir, "documents"))
     tk = d.select("doc_id", "lang", "text", "n_chars", tokens(F.col("text")).alias("toks"))
 
     # fingerprint: position-weighted rolling hash per FP_WINDOW-token chunk

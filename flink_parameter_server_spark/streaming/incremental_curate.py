@@ -117,14 +117,20 @@ def curate_batch(
     # the dedup stages or any store write
     if quality_rules:
         from ..operators._gopher_core import gopher_reason_frame
+        from ..operators._util import fan_out
 
         # checkpoint BEFORE filtering (r13): a filter on g_reason inside
         # the checkpointed plan sinks through every signal projection by
         # alias substitution and rebuilds the whole per-doc tree inside
         # one predicate (measured: a 500-doc batch went from minutes to
-        # seconds) — the gopher_reason_frame consumption contract
+        # seconds) — the gopher_reason_frame consumption contract.
+        # fan_out (r14): a micro-batch arriving in 1-2 partitions would
+        # evaluate the signal tree near-serial — same measured fix as
+        # the batch pipeline's stage 1b
         g_all = scoped_checkpoint(
-            gopher_reason_frame(surv_q.select("doc_id", "text"), quality_rules),
+            gopher_reason_frame(
+                fan_out(surv_q.select("doc_id", "text")), quality_rules
+            ),
             ids,
         )
         g_rej = g_all.where(F.col("g_reason").isNotNull())
