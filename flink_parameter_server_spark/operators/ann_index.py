@@ -409,6 +409,126 @@ def _pq_train_codebook(v: DataFrame, seed: int = IVF_SEED) -> DataFrame:
     )
 
 
+def _residual_xn(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, ne, cid) x broadcast centroids ->
+    (vec_id, cid, xn): the UNIT vector minus its cell's unit centroid —
+    the quantity a by-residual codebook quantizes (Jegou et al. 2011 /
+    FAISS IndexIVFPQ by_residual=true). Map-only: one constant
+    centroid broadcast, one zip_with per row."""
+    return df.join(F.broadcast(cent.select("cid", "cv", "nc")), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with(
+            F.transform(as_double(F.col("embedding")), lambda x: x / F.col("ne")),
+            F.transform(F.col("cv"), lambda c: c / F.col("nc")),
+            lambda a, b: a - b,
+        ).alias("xn"),
+    )
+
+
+def _pq_train_residual_codebook(
+    assigned: DataFrame,
+    cent: DataFrame,
+    seed: int = IVF_SEED,
+    iters: int = 2,
+    build_ids: set | None = None,
+) -> DataFrame:
+    """By-residual codebook via per-subspace Lloyd k-means — the
+    "sampled k-means per subspace" form _pq_train_codebook's docstring
+    promises at scale, REQUIRED here: residuals are near-isotropic
+    noise, and 16 randomly-sampled anchors quantize them so poorly the
+    ADC ranking carries almost no within-cell signal (measured on the
+    clustered pin: recall@10 0.21 sampled vs 0.15 plain-PQ; Lloyd
+    codewords are what make the residual lane worth building). Init =
+    the PQ_K residuals first in seeded-hash order; each iteration is
+    one broadcast argmin-L2 assignment over the (vec_id, m) subvector
+    relation + one per-(m, aid, pos) mean — two shuffles, build-time
+    only. Codewords are NOT normalized (a residual has no meaningful
+    unit direction; its magnitude is the signal). aid = dense init rank
+    0..PQ_K-1 per subspace, so packing, the rank table, and the ADC LUT
+    are unchanged. Same determinism class as the coarse trainer: the
+    per-dimension avg is float fold-order-dependent, which the persisted
+    lane's pins tolerate (exactness pins are codebook-independent, the
+    losslessness pins compare against the PERSISTED codebook)."""
+    from ..functions.vectors import l2sq
+    from .similarity import PQ_K, _pq_subvecs
+
+    sv = _pq_subvecs(_residual_xn(assigned, cent), "vec_id", "sv")
+    worder = Window.partitionBy("m").orderBy(
+        int_hash(F.col("vec_id"), 0, seed), "vec_id"
+    )
+    cb = (
+        sv.withColumn("aid", F.row_number().over(worder) - 1)
+        .where(F.col("aid") < PQ_K)
+        .select("m", F.col("aid").cast("long").alias("aid"), F.col("sv").alias("cs"))
+    )
+    if build_ids is not None:
+        cb = scoped_checkpoint(cb, build_ids)
+    for _ in range(iters):
+        cba = cb.groupBy("m").agg(
+            F.collect_list(F.struct("aid", "cs")).alias("cbm")
+        )
+        enc = sv.join(F.broadcast(cba), "m").select(
+            "m",
+            "sv",
+            F.array_min(
+                F.transform(
+                    "cbm",
+                    lambda c: F.struct(
+                        l2sq(F.col("sv"), c["cs"]).alias("d2"),
+                        c["aid"].alias("aid"),
+                    ),
+                )
+            )["aid"].alias("aid"),
+        )
+        cb = (
+            enc.select("m", "aid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "aid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("m", "aid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cs")
+            )
+        )
+        if build_ids is not None:
+            cb = scoped_checkpoint(cb, build_ids)
+    return cb.select("aid", "m", "cs")
+
+
+def _write_pq_mode(spark, index_dir: str, by_residual: bool) -> None:
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_mode")
+
+
+def pq_by_residual(spark, index_dir: str) -> bool:
+    """Does this index's codes replica encode residuals? Indexes built
+    before the marker existed (r12/r13) are plain-PQ by construction —
+    absence reads as False, never as an error."""
+    from ..sources.fsutil import path_exists
+
+    path = f"{index_dir}/pq_mode"
+    if not path_exists(spark, path):
+        return False
+    return bool(spark.read.parquet(path).collect()[0]["by_residual"])
+
+
+def _encode_codes(spark, index_dir: str, rows: DataFrame, cbq: DataFrame, by_residual: bool) -> DataFrame:
+    """Encode (vec_id, embedding, ne, cid) rows against the persisted
+    codebook in the index's declared mode — the ONE dispatch point the
+    build, add_vectors, and compact_index replica writes share, so a
+    by-residual index can never accrete plain-PQ codes (or vice versa)."""
+    from .similarity import pq_codes_arr, pq_codes_from_xn
+
+    if by_residual:
+        cent = spark.read.parquet(f"{index_dir}/centroids")
+        return pq_codes_from_xn(_residual_xn(rows, cent), cbq, keep=("cid",))
+    return pq_codes_arr(rows, codebook=cbq, keep=("cid",))
+
+
 def _pq_rank_table(cbq: DataFrame) -> DataFrame:
     """(m, aid, rank): dense per-subspace anchor ranks in aid order —
     the 4-bit packing alphabet (rank < PQ_K = 16). Derived from the
@@ -501,6 +621,7 @@ def build_ivf_index(
     iters: int = 2,
     seed: int = IVF_SEED,
     pq: bool = False,
+    by_residual: bool = False,
 ) -> None:
     """Train the coarse quantizer and write the index.
 
@@ -520,7 +641,23 @@ def build_ivf_index(
     codes replica is PQ_M small codes per vector vs the raw 256-byte
     embedding: the probe's scan side; the raw cells table is then
     touched only for the shortlist refine (:func:`ivf_search`
-    ``adc=True``). Encode is map-only (similarity.pq_codes_arr)."""
+    ``adc=True``). Encode is map-only (similarity.pq_codes_arr).
+
+    ``by_residual=True`` (r14, with pq=True): quantize each vector's
+    RESIDUAL from its cell's unit centroid instead of the vector
+    itself (Jegou et al. 2011's by-residual IVFADC, FAISS's default).
+    Measured justification (BASELINE.md r14 recall receipt): on a
+    clustered corpus non-residual codes carry mostly the CLUSTER
+    identity — every in-cell candidate encodes near-identically and
+    the ADC shortlist degenerates (recall@10 0.03-0.17 vs the ~0.8
+    exact-probe operating point); residual codes restore the
+    within-cell offsets the shortlist actually ranks on. The ADC score
+    still decomposes per query: <q, c + r> = <q, c> (one scalar per
+    probed cell, already computed by the probe) + the same per-query
+    codeword LUT over the shared residual codebook — so the packed
+    4-bit scan, the rank table, and the lifecycle are IDENTICAL; the
+    mode is persisted in a one-row ``pq_mode`` table and every later
+    encode (add_vectors, compact heal, rebuild) dispatches through it."""
     # the build consumes every iteration checkpoint by the final writes,
     # so its scratch is self-contained: collect the exact ids each
     # checkpoint pins (scoped_checkpoint — a global before/after diff
@@ -536,16 +673,19 @@ def build_ivf_index(
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/cells")
     if pq:
-        from .similarity import pq_codes_arr
-
-        cb = _pq_train_codebook(v, seed)
+        cb = (
+            _pq_train_residual_codebook(assigned, cent, seed, build_ids=build_ids)
+            if by_residual
+            else _pq_train_codebook(v, seed)
+        )
         cb.write.mode("overwrite").parquet(f"{index_dir}/pq_codebook")
+        _write_pq_mode(spark, index_dir, by_residual)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
         # r13 (VERDICT r12 #3): the replica persists PACKED — one
         # BIGINT of 4-bit ranks per vector, not array<long> anchor ids
         a2r, _ = _pq_pack_maps(cbq)
         _write_pq_codes(
-            pq_codes_arr(assigned, codebook=cbq, keep=("cid",)).select(
+            _encode_codes(spark, index_dir, assigned, cbq, by_residual).select(
                 "vec_id", "codes", "cid"
             ),
             a2r,
@@ -675,6 +815,7 @@ def ivf_search(
         # query — the refine can only re-rank what the shortlist kept
         shortlist = max(shortlist, k)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
+        by_res = pq_by_residual(spark, index_dir)
         codes = spark.read.parquet(f"{index_dir}/pq_codes").where(
             F.col("cid").isin(probed_cids)
         )
@@ -706,11 +847,42 @@ def ivf_search(
             f"element_at(lmap, ((packed div shiftleft(1L, 4 * mm)) % 16)"
             f" * {PQ_M} + mm)), 0L, (a, v) -> a + v)"
         )
-        adcs = cand.join(lutmap, "query_id").select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc_packed.alias("adc_mic"),
-        )
+        adcs = cand.join(lutmap, "query_id")
+        if by_res:
+            # by-residual ADC (r14): score = <q, centroid> + LUT sum —
+            # the base term is ONE micro-grid scalar per (query, probed
+            # cell), computed off the same broadcast centroid table the
+            # probe already used; within a cell it is constant, so the
+            # shortlist ranks on the residual LUT (the within-cell
+            # signal plain PQ lacked), across cells the base term keeps
+            # the scores comparable
+            bases = probes.join(F.broadcast(cent), "cid").select(
+                "query_id",
+                "cid",
+                (
+                    F.round(
+                        _fast_cosine(
+                            as_double(F.col("qv")), F.col("cv"),
+                            F.col("nq"), F.col("nc"),
+                        ),
+                        6,
+                    ).cast("decimal(18,6)")
+                    * 1000000
+                )
+                .cast("long")
+                .alias("base_mic"),
+            )
+            adcs = adcs.join(bases, ["query_id", "cid"]).select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (adc_packed + F.col("base_mic")).alias("adc_mic"),
+            )
+        else:
+            adcs = adcs.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                adc_packed.alias("adc_mic"),
+            )
         ws = Window.partitionBy("query_id").orderBy(
             F.col("adc_mic").desc(), F.col("neighbor_id")
         )
@@ -848,8 +1020,6 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     # this batch AND any historical gap; encoding is deterministic
     # against the immutable codebook, hence replay-safe).
     if path_exists(spark, f"{index_dir}/pq_codebook"):
-        from .similarity import pq_codes_arr
-
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
         a2r, _ = _pq_pack_maps(cbq)
         codes_path = f"{index_dir}/pq_codes"
@@ -866,9 +1036,9 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
             .join(have, "vec_id", "left_anti")
         )
         _write_pq_codes(
-            pq_codes_arr(need, codebook=cbq, keep=("cid",)).select(
-                "vec_id", "codes", "cid"
-            ),
+            _encode_codes(
+                spark, index_dir, need, cbq, pq_by_residual(spark, index_dir)
+            ).select("vec_id", "codes", "cid"),
             a2r,
             codes_path,
             "append",
@@ -910,16 +1080,14 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
             # the persisted codebook; (b) duplicate codes rows for one
             # vec_id (crash replay / manual append) collapse to one, so
             # an ADC shortlist can never rank the same neighbor twice.
-            from .similarity import pq_codes_arr
-
             cbq = spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
             a2r, _ = _pq_pack_maps(cbq)
             missing = spark.read.parquet(os.path.join(index_dir, "cells")).join(
                 df.select("vec_id"), "vec_id", "left_anti"
             )
-            healed = pq_codes_arr(missing, codebook=cbq, keep=("cid",)).selectExpr(
-                "vec_id", f"{_pq_pack_expr(a2r)} AS packed", "cid"
-            )
+            healed = _encode_codes(
+                spark, index_dir, missing, cbq, pq_by_residual(spark, index_dir)
+            ).selectExpr("vec_id", f"{_pq_pack_expr(a2r)} AS packed", "cid")
             df = df.dropDuplicates(["vec_id"]).unionByName(healed)
         df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
             "cid"
@@ -957,9 +1125,15 @@ def rebuild_index(
     # PQ codebook — fresh anchors from the same seeded order), so
     # codes stay consistent with the codebook that scores them (r12)
     pq = path_exists(spark, os.path.join(index_dir, "pq_codebook"))
+    by_res = pq and pq_by_residual(spark, index_dir)
     tmp = index_dir.rstrip("/") + "_rebuild"
-    build_ivf_index(spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq)
-    tables = ["centroids", "cells"] + (["pq_codebook", "pq_codes"] if pq else [])
+    build_ivf_index(
+        spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq,
+        by_residual=by_res,
+    )
+    tables = ["centroids", "cells"] + (
+        ["pq_codebook", "pq_codes", "pq_mode"] if pq else []
+    )
     for name in tables:
         old = os.path.join(index_dir, name)
         delete_path(spark, old)

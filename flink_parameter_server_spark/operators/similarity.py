@@ -928,15 +928,22 @@ def pq_codes_arr(emb, codebook=None, keep=()):
     through (the persisted-index lane keeps cid so codes land in the
     same cell partitions as their vectors)."""
     cb = codebook if codebook is not None else pq_codebook(emb)
-    cba = cb.groupBy().agg(
+    return pq_codes_from_xn(_pq_normed(emb, keep=keep), cb, keep=keep)
+
+
+def pq_codes_from_xn(xs, codebook, keep=()):
+    """Argmin-L2 encode of an ALREADY-PREPARED (vec_id, *keep, xn
+    array<double>) frame against ``codebook`` — the factored core of
+    :func:`pq_codes_arr` (r14): the by-residual persisted lane feeds
+    residual vectors here (which must NOT be re-normalized — a residual
+    has no meaningful unit direction), the plain lane feeds unit
+    vectors. Same map-only shape: constant codebook broadcast, all
+    PQ_M codewords in one projection."""
+    cba = codebook.groupBy().agg(
         F.collect_list(F.struct("m", "aid", "cs")).alias("cba")
     )
-    xs = (
-        _pq_normed(emb, keep=keep)
-        .crossJoin(F.broadcast(cba))
-        .withColumn(
-            "svs", F.array(*[F.slice("xn", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
-        )
+    xs = xs.crossJoin(F.broadcast(cba)).withColumn(
+        "svs", F.array(*[F.slice("xn", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
     )
     codes_arr = F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
@@ -1008,7 +1015,7 @@ def pq_adc_mic(codes_col, lmap_col):
     )
 
 
-def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1):
+def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: int | None = None):
     """IVFADC ANN (method='ivfpq', r12 — Jegou et al. 2011): queries
     probe their counted-n IVF cell, candidates are ranked by the ADC
     score over 4-byte PQ codes WITHOUT touching raw vectors (the sum
@@ -1032,8 +1039,16 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1):
     ADC score decomposes as a plain codeword-dot LUT; residual
     encoding would entangle the LUT with the query's cell centroid
     and is a quality knob, not a scale knob). The exact-cosine refine
-    step absorbs most of the quality gap at the emitted top-1."""
+    step absorbs most of the quality gap at the emitted top-1.
+
+    ``shortlist`` (r14, VERDICT r13 #4): override the PQ_SHORTLIST
+    refine window — the recall-receipt sweep knob that separates ADC
+    ranking loss from refine-window truncation (tools/ann_recall.py;
+    recall@k is non-decreasing in it, pinned). Default None keeps the
+    hash-pinned registered behavior."""
     from ..scratch import scratch
+
+    refine_n = PQ_SHORTLIST if shortlist is None else max(shortlist, k)
 
     emb = embeddings_normed(spark, sf_dir)
     assign = _assign if _assign is not None else scratch(ivf_assign(emb))
@@ -1069,7 +1084,7 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1):
     )
     short = (
         adc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= PQ_SHORTLIST)
+        .where(F.col("rn") <= refine_n)
         .select("query_id", "neighbor_id")
     )
     nb = emb.select(

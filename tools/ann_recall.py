@@ -1,10 +1,21 @@
 """Recall@10-vs-brute receipt across the ANN method family (VERDICT
-r12 #5): ivf / ivf2 / ivf2 multi-probe (p=2, p=4) / ivfpq, on both
-fixture scales. The brute method shares the query set (vec_id % 50 ==
-0), so recall is a cheap per-query set intersection.
+r12 #5, extended r14 per VERDICT r13 #4/#5): ivf / ivf2 / ivf2
+multi-probe (p=2, p=4) / ivfpq, on both fixture scales, PLUS
 
-Usage: python tools/ann_recall.py  (prints one markdown table for
-BASELINE.md + a JSON line).
+- a SHORTLIST sweep for ivfpq (10/32/64) and the persisted
+  ivf_search(adc=True) lane at the same settings — separating ADC
+  ranking loss (what a bigger refine window repairs) from the
+  refine-window truncation itself;
+- a CLUSTERED synthetic corpus (the r7 operating-point generator: 8
+  well-separated centers, tight noise) so the table shows the
+  near-uniform fixture FLOOR and the clustered OPERATING POINT side
+  by side.
+
+The brute method shares the query set (vec_id % 50 == 0), so recall
+is a cheap per-query set intersection.
+
+Usage: python tools/ann_recall.py  (prints markdown tables for
+BASELINE.md + JSON lines).
 """
 
 from __future__ import annotations
@@ -16,6 +27,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 10
+SHORTLISTS = (10, 32, 64)
+CLUSTERED_DIR = "/root/tmpwork/ann_recall_clustered"
+IDX_ROOT = "/root/tmpwork/ann_recall_idx"
 
 
 def _topk_sets(df):
@@ -34,37 +48,133 @@ def recall_at_k(method_sets, brute_sets) -> float:
     return num / den if den else 0.0
 
 
+def _gen_clustered(spark, out: str, n: int = 4000, dim: int = 64) -> None:
+    """The r7 operating-point corpus (tests/test_ann_index.py clustered
+    pin, scaled up): 8 well-separated centers, noise sigma 0.1 — every
+    true top-10 neighbor is same-cluster by construction."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, dim)) * 10.0
+    vecs = [
+        (centers[i % 8] + rng.normal(size=dim) * 0.1).astype("float32")
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(n)), "embedding": [v.tolist() for v in vecs],
+         "label": [i % 8 for i in range(n)]}
+    )
+    os.makedirs(out, exist_ok=True)
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def _persisted_adc_sets(spark, sf: str, idx: str, shortlist: int):
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.operators.ann_index import ivf_search
+    from flink_parameter_server_spark.operators.similarity import embeddings_normed
+
+    queries = (
+        embeddings_normed(spark, sf)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    return _topk_sets(
+        ivf_search(spark, idx, queries, k=K, n_probe=1, adc=True, shortlist=shortlist)
+    )
+
+
+def _sweep(spark, sf: str, label: str) -> dict:
+    from flink_parameter_server_spark.operators import similarity as sim
+    from flink_parameter_server_spark.operators.ann_index import build_ivf_index
+    from flink_parameter_server_spark.scratch import release as scratch_release
+
+    brute = _topk_sets(sim.embedding_cosine_topk(spark, sf, k=K))
+    methods = {
+        "ivf": lambda: sim.embedding_ivf_ann(spark, sf, k=K),
+        "ivf2": lambda: sim.embedding_ivf2_ann(spark, sf, probes=1, k=K),
+        "ivf2_p2": lambda: sim.embedding_ivf2_ann(spark, sf, probes=2, k=K),
+        "ivf2_p4": lambda: sim.embedding_ivf2_ann(spark, sf, probes=4, k=K),
+    }
+    for s in SHORTLISTS:
+        methods[f"ivfpq_s{s}"] = (
+            lambda s=s: sim.embedding_ivfpq_ann(spark, sf, k=K, shortlist=s)
+        )
+    rec = {}
+    for name, fn in methods.items():
+        rec[name] = round(recall_at_k(_topk_sets(fn()), brute), 4)
+        scratch_release()
+    # persisted IVFADC lane, same query set / k / shortlist sweep —
+    # plain PQ and the r14 by-residual mode side by side. Cells sized
+    # sqrt(n) to MATCH the in-query lanes' counted-n geometry (the r13
+    # 16-cell default left ~n/16 candidates per cell — at 4k clustered
+    # vectors that is top-10-of-250+ near-equidistant candidates, the
+    # regime where 32-bit codes of EITHER mode are noise-floor)
+    emb = sim.embeddings_normed(spark, sf).select("vec_id", "embedding")
+    n_cells = max(16, int(emb.count() ** 0.5))
+    for mode, by_res in (("adc", False), ("res", True)):
+        idx = f"{IDX_ROOT}_{label}_{mode}"
+        build_ivf_index(spark, emb, idx, n_cells=n_cells, pq=True, by_residual=by_res)
+        for s in SHORTLISTS:
+            rec[f"{mode}_s{s}"] = round(
+                recall_at_k(_persisted_adc_sets(spark, sf, idx, s), brute), 4
+            )
+            scratch_release()
+    # the exact (non-ADC) probe at the same geometry/n_probe: the
+    # CEILING the adc/res columns are chasing — separates probe loss
+    # (cells not probed) from ADC ranking loss (shortlist misses)
+    from pyspark.sql import functions as F
+
+    from flink_parameter_server_spark.operators.ann_index import ivf_search
+
+    queries = (
+        sim.embeddings_normed(spark, sf)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    rec["exact_p1"] = round(
+        recall_at_k(
+            _topk_sets(
+                ivf_search(spark, f"{IDX_ROOT}_{label}_res", queries, k=K, n_probe=1)
+            ),
+            brute,
+        ),
+        4,
+    )
+    scratch_release()
+    return rec
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
-    from flink_parameter_server_spark.operators import similarity as sim
-    from flink_parameter_server_spark.scratch import release as scratch_release
     from flink_parameter_server_spark.session import get_spark
 
     spark = get_spark("ann-recall")
+    _gen_clustered(spark, CLUSTERED_DIR)
     rows = []
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        brute = _topk_sets(sim.embedding_cosine_topk(spark, sf, k=K))
-        methods = {
-            "ivf": lambda: sim.embedding_ivf_ann(spark, sf, k=K),
-            "ivf2": lambda: sim.embedding_ivf2_ann(spark, sf, probes=1, k=K),
-            "ivf2_p2": lambda: sim.embedding_ivf2_ann(spark, sf, probes=2, k=K),
-            "ivf2_p4": lambda: sim.embedding_ivf2_ann(spark, sf, probes=4, k=K),
-            "ivfpq": lambda: sim.embedding_ivfpq_ann(spark, sf, k=K),
-        }
-        rec = {}
-        for name, fn in methods.items():
-            rec[name] = round(recall_at_k(_topk_sets(fn()), brute), 4)
-            scratch_release()
-        rows.append((sf.rsplit("/", 1)[-1], rec))
-        print(f"{sf}: {rec}", flush=True)
-    print("\n| sf | ivf | ivf2 | ivf2_p2 | ivf2_p4 | ivfpq |")
-    print("|---|---|---|---|---|---|")
-    for sf, rec in rows:
-        print(
-            f"| {sf} | {rec['ivf']} | {rec['ivf2']} | {rec['ivf2_p2']} "
-            f"| {rec['ivf2_p4']} | {rec['ivfpq']} |"
-        )
+    for label, sf in (
+        ("sf0.001", "/root/testdata/sf0.001"),
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("clustered-4k", CLUSTERED_DIR),
+    ):
+        rec = _sweep(spark, sf, label)
+        rows.append((label, rec))
+        print(f"{label}: {rec}", flush=True)
+    cols = (
+        ["ivf", "ivf2", "ivf2_p2", "ivf2_p4"]
+        + [f"ivfpq_s{s}" for s in SHORTLISTS]
+        + ["exact_p1"]
+        + [f"adc_s{s}" for s in SHORTLISTS]
+        + [f"res_s{s}" for s in SHORTLISTS]
+    )
+    print("\n| corpus | " + " | ".join(cols) + " |")
+    print("|" + "---|" * (len(cols) + 1))
+    for label, rec in rows:
+        print(f"| {label} | " + " | ".join(str(rec[c]) for c in cols) + " |")
     print(json.dumps({"metric": "ann_recall_at_10", "rows": dict(rows)}))
     spark.stop()
 
