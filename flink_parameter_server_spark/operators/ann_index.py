@@ -740,7 +740,11 @@ def ivf_search(
     set recovers the exact probe result EXACTLY (the refine re-ranks
     everything by true cosine — pinned); smaller shortlists trade the
     raw-vector reads for ADC-approximation risk at ranks the refine
-    cannot repair.
+    cannot repair. A ``by_residual=True`` index is detected
+    automatically (the persisted ``pq_mode`` marker): the ADC score
+    gains the per-(query, probed-cell) centroid-dot base term and the
+    LUT runs over the residual codebook — same packed scan, no caller
+    change (r14; recall receipts in BASELINE.md).
 
     Measured honesty (BASELINE.md r12): at a 20k-vector catalog the
     ADC probe's WALL is slower than exact (5.6 vs 3.9 s) — its LUT
