@@ -442,6 +442,95 @@ SELECT 'ivfpq' AS method, query_id, neighbor_id, cos_sim, rk FROM (
 ) WHERE rk = 1
 """
 
+# By-residual IVFADC twin (r14, method='ivfpq_res'): identical chain to
+# _IVFPQ_ANN_SQL except the encoded quantity is xn - cvn (the unit
+# vector minus its cell's UNIT centroid — counted-n centroids are
+# actual sampled vectors, so cvn is element-exact in both engines) and
+# the codebook anchors are the same ceil(n/PQ_K) stride rule over the
+# RESIDUAL rows, NOT normalized. The query LUT stays over the
+# normalized query; the per-query centroid base term is constant within
+# the probed cell (n_probe=1) and drops out of the ADC ranking.
+_IVFPQ_RES_ANN_SQL = f"""
+WITH cent AS {IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2_sql('embedding')})) AS xn
+  FROM embeddings WHERE {norm2_sql('embedding')} > 0
+),
+centn AS (
+  SELECT cid,
+         list_transform(cv, x -> CAST(x AS DOUBLE) / sqrt({norm2_sql('cv')})) AS cvn
+  FROM cent
+),
+rres AS (
+  SELECT n.vec_id, a.cid,
+         list_transform(range(1, len(n.xn) + 1), i -> n.xn[i] - c.cvn[i]) AS rx
+  FROM nv n JOIN assign a USING (vec_id) JOIN centn c ON a.cid = c.cid
+),
+anchr AS (
+  SELECT vec_id AS aid, rx FROM rres,
+       (SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) / {PQ_K}.0) AS BIGINT)) AS stride
+        FROM embeddings) s
+  WHERE vec_id % s.stride = 0
+),
+cbr AS (
+  SELECT aid, m, list_slice(rx, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cs
+  FROM anchr, generate_series(0, {PQ_M - 1}) t(m)
+),
+xsr AS (
+  SELECT vec_id, m, list_slice(rx, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM rres, generate_series(0, {PQ_M - 1}) t(m)
+),
+codesr AS (
+  SELECT vec_id, m, code FROM (
+    SELECT x.vec_id, x.m, c.aid AS code,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY {l2sq_sql('x.sv', 'c.cs')}, c.aid) AS rn
+    FROM xsr x JOIN cbr c ON c.m = x.m
+  ) WHERE rn = 1
+),
+qpr AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign WHERE vec_id % 50 = 0),
+lutr AS (
+  SELECT n.vec_id AS query_id, c.m, c.aid,
+         CAST(CAST(round({dot_sql(f'list_slice(n.xn, c.m*{PQ_SUB}+1, c.m*{PQ_SUB}+{PQ_SUB})', 'c.cs')}, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lmic
+  FROM nv n CROSS JOIN cbr c
+  WHERE n.vec_id % 50 = 0
+),
+adcr AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id, sum(l.lmic) AS adc_mic
+  FROM qpr qp JOIN assign a ON a.cid = qp.cid AND a.vec_id <> qp.query_id
+  JOIN codesr k ON k.vec_id = a.vec_id
+  JOIN lutr l ON l.query_id = qp.query_id AND l.m = k.m AND l.aid = k.code
+  GROUP BY qp.query_id, a.vec_id
+),
+shortr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_mic DESC, neighbor_id) AS rn
+    FROM adcr
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+scoredpqr AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cosine_sql('qp.qv', 'e.embedding')}, 6) + 0.0 AS cos_sim
+  FROM shortr s JOIN qpr qp ON qp.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+)
+SELECT 'ivfpq_res' AS method, query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scoredpqr
+) WHERE rk = 1
+"""
+
 
 @register(
     "embedding_ann_topk",
@@ -457,6 +546,8 @@ UNION ALL
 SELECT * FROM ({_IVF2P_ANN_SQL}) AS ivf2p_part
 UNION ALL
 SELECT * FROM ({_IVFPQ_ANN_SQL}) AS ivfpq_part
+UNION ALL
+SELECT * FROM ({_IVFPQ_RES_ANN_SQL}) AS ivfpq_res_part
 """,
     tags=("D25",),
     doc="Embedding similarity search, all four forms in one query "
@@ -487,7 +578,15 @@ SELECT * FROM ({_IVFPQ_ANN_SQL}) AS ivfpq_part
     "query's cell ranked by ADC over 4-byte PQ codes (constant 128-row "
     "codebook, integer micro-grid sums) without touching raw vectors, "
     "exact-cosine refine on the top-10 — the 64x-compressed memory "
-    "lane, quantization error hash-checked (receipt in BASELINE.md). r13 adds the family-wide recall@10-vs-brute receipt (tools/ann_recall.py; BASELINE.md r13 — monotone in the ivf2 probe count at both fixture scales, pinned) and k= parameters on every method function (registry output unchanged).",
+    "lane, quantization error hash-checked (receipt in BASELINE.md). r13 adds the family-wide recall@10-vs-brute receipt (tools/ann_recall.py; BASELINE.md r13 — monotone in the ivf2 probe count at both fixture scales, pinned) and k= parameters on every method function (registry output unchanged). "
+    "'ivfpq_res' (r14): the BY-RESIDUAL IVFADC form (Jegou et al.'s "
+    "by_residual=true) hash-checked end to end — counted-n centroids "
+    "are actual sampled vectors, so the unit-centroid subtraction and "
+    "the stride-sampled residual codebook are engine-exact; the "
+    "per-query centroid base term is constant in the probed cell and "
+    "drops out of the ADC ranking; shortlist= sweepable on both PQ "
+    "lanes (recall non-decreasing, pinned; the persisted serving lane "
+    "adds per-subspace Lloyd residual codewords, BASELINE.md r14).",
 )
 def embedding_ann_topk(spark, sf_dir):
     from ..scratch import scratch
@@ -507,6 +606,9 @@ def embedding_ann_topk(spark, sf_dir):
     ivfpq = embedding_ivfpq_ann(spark, sf_dir, _assign=assign1).select(
         F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
+    ivfpqr = embedding_ivfpq_res_ann(spark, sf_dir, _assign=assign1).select(
+        F.lit("ivfpq_res").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
     # one scratch-persisted two-level catalog assignment feeds BOTH
     # ivf2 branches (r12 — the double-compute class)
     assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
@@ -523,6 +625,7 @@ def embedding_ann_topk(spark, sf_dir):
         brute.unionByName(simhash)
         .unionByName(ivf)
         .unionByName(ivfpq)
+        .unionByName(ivfpqr)
         .unionByName(ivf2)
         .unionByName(ivf2p)
     )
@@ -1034,12 +1137,15 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: int 
     the 'ivf' branch of the consolidated entry.
 
     Documented divergence from Jegou et al.'s by-residual IVFADC: the
-    codes quantize the normalized vector itself, not the residual
-    x - centroid (FAISS IndexIVFPQ by_residual=false — the form whose
-    ADC score decomposes as a plain codeword-dot LUT; residual
-    encoding would entangle the LUT with the query's cell centroid
-    and is a quality knob, not a scale knob). The exact-cosine refine
-    step absorbs most of the quality gap at the emitted top-1.
+    codes here quantize the normalized vector itself, not the residual
+    x - centroid (FAISS IndexIVFPQ by_residual=false). The by-residual
+    form is :func:`embedding_ivfpq_res_ann` (method='ivfpq_res', r14)
+    — the ADC score decomposes as the probe's per-cell centroid dot
+    plus the same per-query LUT, so it is NOT entangled after all; at
+    n_probe=1 (this lane probes the query's own cell) the base term is
+    constant per query and the within-cell ranking runs on the
+    residual LUT alone. The exact-cosine refine step absorbs most of
+    the quality gap at the emitted top-1 in both forms.
 
     ``shortlist`` (r14, VERDICT r13 #4): override the PQ_SHORTLIST
     refine window — the recall-receipt sweep knob that separates ADC
@@ -1059,6 +1165,119 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: int 
     # per-query LUT folded to a (code*PQ_M + m) -> lmic map: the ADC
     # score is then pure per-row array math over the codes array — the
     # (query, neighbor, m) explode + re-agg of the first cut is gone
+    lutmap = pq_lut_map(emb.where(F.col("vec_id") % 50 == 0), cb)
+    q = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "cid",
+    )
+    cand = (
+        q.select("query_id", "cid")
+        .join(assign.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(lutmap, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_mic(F.col("codes"), F.col("lmap")).alias("adc_mic"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_mic").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= refine_n)
+        .select("query_id", "neighbor_id")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
+        F.col("ne").alias("nn"),
+    )
+    scored = (
+        short.join(q.select("query_id", "qv", "nq"), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")), as_double(F.col("nv")),
+                    F.col("nq"), F.col("nn"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def embedding_ivfpq_res_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: int | None = None):
+    """By-residual IVFADC ANN (method='ivfpq_res', r14 — Jegou et al.
+    2011's by_residual=true form, FAISS's default), ORACLE-CHECKED:
+    every arithmetic step is deterministic in both engines, so unlike
+    the persisted lane's Lloyd-trained codebook (test-pinned), this
+    lane's residual approximation itself is hash-checked against
+    DuckDB. Counted-n centroids are ACTUAL stride-sampled vectors (not
+    means), so the unit centroid cvn = cv/|cv| is element-exact in
+    both engines and the residual xn - cvn subtracts identical
+    doubles. Residual codebook = the SAME ceil(n/PQ_K) stride rule
+    applied to the residual rows, codewords NOT normalized (a residual
+    has no meaningful unit direction). The query's cell is probed
+    (n_probe=1), candidates rank by the ADC sum of the query's
+    residual-codeword dots — the per-query-constant centroid base term
+    drops out of the within-cell ranking — and the top-PQ_SHORTLIST
+    refine by exact cosine emits top-k exactly like 'ivfpq'.
+
+    100 TB shape identical to 'ivfpq' (one extra broadcast of the
+    sqrt(n)-row unit-centroid table into the residual map). Recall
+    receipts: the sampled-anchor residual codebook is the
+    oracle-replayable floor; the persisted lane's per-subspace Lloyd
+    codewords are the serving default (BASELINE.md r14)."""
+    from ..scratch import scratch
+
+    refine_n = PQ_SHORTLIST if shortlist is None else max(shortlist, k)
+
+    emb = embeddings_normed(spark, sf_dir)
+    assign = _assign if _assign is not None else scratch(ivf_assign(emb))
+    nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    centn = (
+        emb.crossJoin(F.broadcast(nrow))
+        .where(F.col("vec_id") % counted_stride_col(F.col("n_emb")) == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(
+                as_double(F.col("embedding")), lambda c: c / F.col("ne")
+            ).alias("cvn"),
+        )
+    )
+    rx = scratch(
+        _pq_normed(assign, keep=("cid",))
+        .join(F.broadcast(centn), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("xn", "cvn", lambda a, b: a - b).alias("xn"),
+        )
+    )
+    cb = scratch(
+        _pq_subvecs(
+            rx.crossJoin(F.broadcast(nrow))
+            .where(F.col("vec_id") % _pq_stride_col(F.col("n_emb")) == 0)
+            .select("vec_id", "xn"),
+            "vec_id",
+            "cs",
+        ).select(F.col("vec_id").alias("aid"), "m", "cs")
+    )
+    codes = pq_codes_from_xn(rx.select("vec_id", "xn"), cb).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
     lutmap = pq_lut_map(emb.where(F.col("vec_id") % 50 == 0), cb)
     q = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),

@@ -719,15 +719,14 @@ def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
         return num / den if den else 0.0
 
     brute = sets(sim.embedding_cosine_topk(spark, SF, k=K10))
-    recs = {}
-    for s in (10, 32, 64):
-        recs[s] = recall(
-            sets(sim.embedding_ivfpq_ann(spark, SF, k=K10, shortlist=s)), brute
-        )
+    for lane in (sim.embedding_ivfpq_ann, sim.embedding_ivfpq_res_ann):
+        recs = {}
+        for s in (10, 32, 64):
+            recs[s] = recall(sets(lane(spark, SF, k=K10, shortlist=s)), brute)
+            release()
+        assert recs[10] <= recs[32] <= recs[64], (lane.__name__, recs)
+        assert 0 < recs[10] <= 1 and recs[64] <= 1
+        # default shortlist (None) == the PQ_SHORTLIST=10 registered form
+        default_rec = recall(sets(lane(spark, SF, k=K10)), brute)
         release()
-    assert recs[10] <= recs[32] <= recs[64]
-    assert 0 < recs[10] <= 1 and recs[64] <= 1
-    # default shortlist (None) == the PQ_SHORTLIST=10 registered form
-    default_rec = recall(sets(sim.embedding_ivfpq_ann(spark, SF, k=K10)), brute)
-    release()
-    assert default_rec == recs[10]
+        assert default_rec == recs[10]

@@ -103,6 +103,9 @@ def _sweep(spark, sf: str, label: str) -> dict:
         methods[f"ivfpq_s{s}"] = (
             lambda s=s: sim.embedding_ivfpq_ann(spark, sf, k=K, shortlist=s)
         )
+        methods[f"ivfpqr_s{s}"] = (
+            lambda s=s: sim.embedding_ivfpq_res_ann(spark, sf, k=K, shortlist=s)
+        )
     rec = {}
     for name, fn in methods.items():
         rec[name] = round(recall_at_k(_topk_sets(fn()), brute), 4)
@@ -167,6 +170,7 @@ def main() -> None:
     cols = (
         ["ivf", "ivf2", "ivf2_p2", "ivf2_p4"]
         + [f"ivfpq_s{s}" for s in SHORTLISTS]
+        + [f"ivfpqr_s{s}" for s in SHORTLISTS]
         + ["exact_p1"]
         + [f"adc_s{s}" for s in SHORTLISTS]
         + [f"res_s{s}" for s in SHORTLISTS]
