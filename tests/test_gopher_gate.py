@@ -476,6 +476,60 @@ def test_full_published_set_end_to_end(spark, duck, tmp_path):
     )
 
 
+def test_gate_cross_engine_fuzz_unicode(spark, duck):
+    """Seeded unicode fuzz of the full-set gate parity (late r14): 60
+    random docs over an adversarial alphabet — bullets, ellipses (both
+    forms), newlines/paragraph breaks, NBSP, CJK, emoji, digits,
+    required function words, '#', empty-ish strings — must label
+    IDENTICALLY through gopher_reason_frame and gopher_gate_sql. One
+    Spark job for the whole corpus; deterministic seed."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260816)
+    words = (
+        list(GOPHER_REQUIRED_WORDS)
+        + _fill("fz", 40)
+        + ["#", "...", "…", "•", "-", "*", "42", "3.14", "日本語", "мир",
+           "naïve", "🦆", "a", "zz", "word...", "•bullet", "N B"]
+    )
+    seps = [" ", " ", " ", " ", "\n", "\n", "\n\n", " \n", "\n ", "  "]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 140)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(words))
+            parts.append(rng.choice(seps))
+        # occasional verbatim duplicate lines/paragraphs to hit the
+        # dup_* signal families
+        txt = "".join(parts)
+        if i % 7 == 3 and "\n" in txt:
+            first = txt.split("\n", 1)[0]
+            txt = first + "\n" + txt + "\n" + first
+        if i % 11 == 5:
+            txt = txt + "\n\n" + txt
+        docs.append((i, txt))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g_reason"] for r in gopher_reason_frame(df, True).collect()
+    }
+    duck.register(
+        "fz_py",
+        pd.DataFrame({"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}),
+    )
+    sql = (
+        "WITH fz AS (SELECT doc_id, text FROM fz_py),\n"
+        + gopher_gate_sql("fz", True)
+        + "\nSELECT doc_id, reason FROM greason"
+    )
+    want = {i: r for i, r in duck.execute(sql).fetchall()}
+    assert got == want
+    # the fuzz actually exercises the gate: several distinct rules fire
+    assert len({v for v in got.values() if v}) >= 3, sorted(set(got.values()))
+
+
 def test_fixture_stopword_receipt(spark):
     """The receipt behind GOPHER_FIXTURE_RULES: the synthetic fixture
     vocabulary contains at most ONE of the eight required English
