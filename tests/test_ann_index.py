@@ -654,6 +654,15 @@ def test_by_residual_ivfpq_lifecycle_and_clustered_recall(spark, tmp_path):
         ivf_search(spark, res_idx, queries, k=K, n_probe=8, adc=True, shortlist=10**6)
     )
     assert got == grown_exact and got
+    # residual ADC composes with the two-level query probe (the bases
+    # join keys on the same (query_id, cid) the two-level probes carry)
+    two = rows_of(
+        ivf_search(
+            spark, res_idx, queries, k=K, n_probe=8,
+            two_level=True, n_super_probe=10**6, adc=True, shortlist=10**6,
+        )
+    )
+    assert two == grown_exact
 
 
 def test_ivf2_multiprobe_recall_at_10_monotone(spark):
