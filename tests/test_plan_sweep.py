@@ -41,8 +41,14 @@ BOUNDED_BNLJ = {
     # the encode and LUT sides) and shares the flat assignment with
     # 'ivf' via scratch (children re-print per cached-scan side) —
     # every broadcast side remains sqrt(n), n^(1/4), 1 row, or the
-    # constant codebook
-    "embedding_ann_topk": (34, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs + constant PQ codebook"),
+    # constant codebook; the r14 'ivfpq_res' branch adds the same
+    # bounded family again for the residual side: the 1-row count agg
+    # crossed into the unit-centroid table AND the residual-anchor
+    # stride filter, the sqrt(n)-row centroid broadcast into the
+    # residual map, and the constant residual codebook on the encode
+    # and LUT sides (scratch-persisted rx/cb re-print children per
+    # cached-scan side, same as the plain lane)
+    "embedding_ann_topk": (52, "sqrt(n)/n^(1/4)-row centroid+super tables + 1-row count/norm aggs + constant PQ codebooks (plain + residual lanes)"),
     # the r9 semantic (SemDeDup) part assigns vectors to IVF cells: the
     # broadcast sides are the counted-n centroid table (~sqrt(n) rows,
     # r11 — the retired stride rule's n/64-row table was the one
