@@ -390,18 +390,22 @@ def _two_level_assign(
     )
 
 
-def _pq_train_codebook(v: DataFrame, seed: int = IVF_SEED) -> DataFrame:
-    """Index-lane PQ codebook (r12): anchors = the PQ_K vectors first
-    in seeded-hash order — the same sampling discipline as the Lloyd
-    init (at 100 TB swap for per-subspace sampled k-means; the encode
-    and ADC shapes are unchanged) — normalized and split into PQ_M
-    subvector codewords. Returns (m, aid, cs): <= PQ_K*PQ_M rows, a
-    CONSTANT-size table at any catalog size."""
+def _pq_train_codebook(
+    v: DataFrame, seed: int = IVF_SEED, n_codes: int | None = None
+) -> DataFrame:
+    """Index-lane PQ codebook (r12): anchors = the ``n_codes``
+    (default PQ_K) vectors first in seeded-hash order — the same
+    sampling discipline as the Lloyd init (at 100 TB swap for
+    per-subspace sampled k-means; the encode and ADC shapes are
+    unchanged) — normalized and split into PQ_M subvector codewords.
+    Returns (m, aid, cs): <= n_codes*PQ_M rows, a CONSTANT-size table
+    at any catalog size (r15: n_codes = 1 << pq_bits — 16 for the
+    4-bit default, 256 for pq_bits=8)."""
     from .similarity import PQ_K, _pq_normed, _pq_subvecs
 
     anch = (
         v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
-        .limit(PQ_K)
+        .limit(n_codes if n_codes is not None else PQ_K)
         .select("vec_id", "embedding", "ne")
     )
     return _pq_subvecs(_pq_normed(anch), "vec_id", "cs").select(
@@ -432,6 +436,7 @@ def _pq_train_residual_codebook(
     seed: int = IVF_SEED,
     iters: int = 2,
     build_ids: set | None = None,
+    n_codes: int | None = None,
 ) -> DataFrame:
     """By-residual codebook via per-subspace Lloyd k-means — the
     "sampled k-means per subspace" form _pq_train_codebook's docstring
@@ -449,17 +454,21 @@ def _pq_train_residual_codebook(
     are unchanged. Same determinism class as the coarse trainer: the
     per-dimension avg is float fold-order-dependent, which the persisted
     lane's pins tolerate (exactness pins are codebook-independent, the
-    losslessness pins compare against the PERSISTED codebook)."""
+    losslessness pins compare against the PERSISTED codebook).
+    ``n_codes`` (r15): codewords per subspace — PQ_K for the 4-bit
+    default, 256 for pq_bits=8."""
     from ..functions.vectors import l2sq
     from .similarity import PQ_K, _pq_subvecs
 
+    if n_codes is None:
+        n_codes = PQ_K
     sv = _pq_subvecs(_residual_xn(assigned, cent), "vec_id", "sv")
     worder = Window.partitionBy("m").orderBy(
         int_hash(F.col("vec_id"), 0, seed), "vec_id"
     )
     cb = (
         sv.withColumn("aid", F.row_number().over(worder) - 1)
-        .where(F.col("aid") < PQ_K)
+        .where(F.col("aid") < n_codes)
         .select("m", F.col("aid").cast("long").alias("aid"), F.col("sv").alias("cs"))
     )
     if build_ids is not None:
@@ -498,22 +507,40 @@ def _pq_train_residual_codebook(
     return cb.select("aid", "m", "cs")
 
 
-def _write_pq_mode(spark, index_dir: str, by_residual: bool) -> None:
+def _write_pq_mode(spark, index_dir: str, by_residual: bool, pq_bits: int = 4) -> None:
     spark.createDataFrame(
-        [(bool(by_residual),)], "by_residual boolean"
+        [(bool(by_residual), int(pq_bits))], "by_residual boolean, pq_bits int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_mode")
+
+
+def _read_pq_mode(spark, index_dir: str):
+    from ..sources.fsutil import path_exists
+
+    path = f"{index_dir}/pq_mode"
+    if not path_exists(spark, path):
+        return None
+    return spark.read.parquet(path).collect()[0]
 
 
 def pq_by_residual(spark, index_dir: str) -> bool:
     """Does this index's codes replica encode residuals? Indexes built
     before the marker existed (r12/r13) are plain-PQ by construction —
     absence reads as False, never as an error."""
-    from ..sources.fsutil import path_exists
+    row = _read_pq_mode(spark, index_dir)
+    return bool(row["by_residual"]) if row is not None else False
 
-    path = f"{index_dir}/pq_mode"
-    if not path_exists(spark, path):
-        return False
-    return bool(spark.read.parquet(path).collect()[0]["by_residual"])
+
+def pq_code_bits(spark, index_dir: str) -> int:
+    """Persisted code width in bits per subspace (r15): 4 = the nibble
+    packing default (PQ_K=16 codewords), 8 = byte packing (256
+    codewords — the density escape hatch, BASELINE.md r14: at ~500
+    candidates/cell 4-bit codes of either mode stop ranking). Markers
+    written before the column existed (r14) — and indexes with no
+    marker at all (r12/r13) — are 4-bit by construction."""
+    row = _read_pq_mode(spark, index_dir)
+    if row is None or "pq_bits" not in row.__fields__ or row["pq_bits"] is None:
+        return 4
+    return int(row["pq_bits"])
 
 
 def _encode_codes(spark, index_dir: str, rows: DataFrame, cbq: DataFrame, by_residual: bool) -> DataFrame:
@@ -542,22 +569,23 @@ def _pq_rank_table(cbq: DataFrame) -> DataFrame:
     )
 
 
-def _pq_pack_maps(cbq: DataFrame) -> tuple[str, str]:
-    """Collect the <= PQ_K*PQ_M-row rank table (the bounded 128-row
-    collect class) and render the two literal map expressions:
+def _pq_pack_maps(cbq: DataFrame, bits: int = 4) -> tuple[str, str]:
+    """Collect the <= n_codes*PQ_M-row rank table (bounded: 128 rows at
+    4 bits, 2048 at 8) and render the two literal map expressions:
     ``aid*PQ_M + m -> rank`` (pack) and ``rank*PQ_M + m -> aid``
     (unpack) — one JVM parse each, map-only at any scale."""
-    from .similarity import PQ_K, PQ_M
+    from .similarity import PQ_M
 
+    n_codes = 1 << bits
     rows = _pq_rank_table(cbq).collect()
-    # ADVICE r13: ranks must fit the 4-bit nibble — a codebook that
-    # ever carried > PQ_K anchors in one subspace would otherwise
-    # corrupt packed codes silently
+    # ADVICE r13: ranks must fit the code width — a codebook that ever
+    # carried more anchors in one subspace would otherwise corrupt
+    # packed codes silently
     bad = max((r["rank"] for r in rows), default=0)
-    if bad >= PQ_K:
+    if bad >= n_codes:
         raise ValueError(
             f"PQ codebook carries {bad + 1} anchors in one subspace; "
-            f"4-bit packing requires <= PQ_K={PQ_K}"
+            f"{bits}-bit packing requires <= {n_codes}"
         )
     a2r = ", ".join(
         f"{r['aid'] * PQ_M + r['m']}L, {r['rank']}L" for r in rows
@@ -568,36 +596,71 @@ def _pq_pack_maps(cbq: DataFrame) -> tuple[str, str]:
     return f"map({a2r})", f"map({r2a})"
 
 
-def _pq_pack_expr(a2r_map: str, codes: str = "codes") -> str:
+def _pq_pack_expr(a2r_map: str, codes: str = "codes", bits: int = 4) -> str:
     """codes array<long> (anchor ids, position = subspace m) -> ONE
-    packed BIGINT, 4 bits per code: sum of rank_m << 4m. The persisted
-    replica's storage form (r13, VERDICT r12 #3): the array<long> form
-    measured 10.3x smaller than raw vectors on disk; the scalar packed
-    column drops the per-row array repetition overhead and stores the
-    whole vector's codes in 32 meaningful bits."""
+    packed BIGINT, ``bits`` bits per code: sum of rank_m << bits*m. The
+    persisted replica's storage form (r13, VERDICT r12 #3): the
+    array<long> form measured 10.3x smaller than raw vectors on disk;
+    the scalar packed column drops the per-row array repetition
+    overhead and stores the whole vector's codes in PQ_M*bits
+    meaningful bits (32 at the 4-bit default, 64 at pq_bits=8).
+
+    8-bit overflow discipline (r15, verified under ANSI): PQ_M=8 byte
+    fields fill the long EXACTLY, so rank 128-255 in subspace 7 sets
+    the sign bit — the pack shifts the rank directly
+    (``shiftleft(rank, 8m)``, a bitwise op that never raises) instead
+    of multiplying by a power-of-two literal (``rank * 1L<<56``
+    ARITHMETIC_OVERFLOWs under ANSI); the summed fields are
+    bit-disjoint, so every partial sum is carry-free and
+    representable. The 4-bit form keeps the r13 expression
+    byte-identical (existing persisted indexes replay unchanged)."""
     from .similarity import PQ_M
 
+    if bits == 4:
+        return (
+            f"aggregate(zip_with({codes}, sequence(0, {PQ_M - 1}), "
+            f"(cd, mm) -> element_at({a2r_map}, cd * {PQ_M} + mm)"
+            f" * shiftleft(1L, 4 * mm)), 0L, (a, v) -> a + v)"
+        )
     return (
         f"aggregate(zip_with({codes}, sequence(0, {PQ_M - 1}), "
-        f"(cd, mm) -> element_at({a2r_map}, cd * {PQ_M} + mm)"
-        f" * shiftleft(1L, 4 * mm)), 0L, (a, v) -> a + v)"
+        f"(cd, mm) -> shiftleft(element_at({a2r_map}, cd * {PQ_M} + mm), "
+        f"{bits} * mm)), 0L, (a, v) -> a + v)"
     )
 
 
-def _pq_unpack_expr(r2a_map: str, packed: str = "packed") -> str:
+def _pq_rank_read_expr(packed: str, bits: int) -> str:
+    """The per-subspace rank read ``(packed >> bits*mm) & mask`` as a
+    SQL fragment over a lambda variable ``mm`` — shared by unpack and
+    the ADC scan. shiftrightunsigned + bitwise AND, NOT div/%: a
+    negative packed long (8-bit sign-bit case) breaks integral div,
+    and Spark's % follows the dividend sign (measured: -1 % 256 = -1)."""
+    return f"(shiftrightunsigned({packed}, {bits} * mm) & {(1 << bits) - 1})"
+
+
+def _pq_unpack_expr(r2a_map: str, packed: str = "packed", bits: int = 4) -> str:
     """packed BIGINT -> codes array<long> (anchor ids) — the map-only
-    inverse of :func:`_pq_pack_expr`; the hash-checkable view."""
+    inverse of :func:`_pq_pack_expr`; the hash-checkable view. The
+    4-bit form keeps the r13 div/% expression byte-identical (its
+    packed values are always non-negative — 32 used bits)."""
     from .similarity import PQ_M
 
+    if bits == 4:
+        return (
+            f"transform(sequence(0, {PQ_M - 1}), mm -> element_at({r2a_map}, "
+            f"(({packed} div shiftleft(1L, 4 * mm)) % 16) * {PQ_M} + mm))"
+        )
     return (
         f"transform(sequence(0, {PQ_M - 1}), mm -> element_at({r2a_map}, "
-        f"(({packed} div shiftleft(1L, 4 * mm)) % 16) * {PQ_M} + mm))"
+        f"{_pq_rank_read_expr(packed, bits)} * {PQ_M} + mm))"
     )
 
 
-def _write_pq_codes(df_with_codes: DataFrame, a2r_map: str, path: str, mode: str) -> None:
+def _write_pq_codes(
+    df_with_codes: DataFrame, a2r_map: str, path: str, mode: str, bits: int = 4
+) -> None:
     df_with_codes.selectExpr(
-        "vec_id", f"{_pq_pack_expr(a2r_map)} AS packed", "cid"
+        "vec_id", f"{_pq_pack_expr(a2r_map, bits=bits)} AS packed", "cid"
     ).write.mode(mode).partitionBy("cid").parquet(path)
 
 
@@ -605,11 +668,13 @@ def read_pq_codes(spark, index_dir: str) -> DataFrame:
     """The hash-checkable ``(vec_id, codes array<long>, cid)`` view of
     the packed replica — unpacked map-only against the persisted
     codebook's rank table (tests and receipts read this; the ADC probe
-    itself scores the packed column directly, no unpack)."""
+    itself scores the packed column directly, no unpack). Width comes
+    from the persisted ``pq_mode`` marker (r15)."""
+    bits = pq_code_bits(spark, index_dir)
     cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
-    _, r2a = _pq_pack_maps(cbq)
+    _, r2a = _pq_pack_maps(cbq, bits=bits)
     return spark.read.parquet(f"{index_dir}/pq_codes").selectExpr(
-        "vec_id", f"{_pq_unpack_expr(r2a)} AS codes", "cid"
+        "vec_id", f"{_pq_unpack_expr(r2a, bits=bits)} AS codes", "cid"
     )
 
 
@@ -622,6 +687,7 @@ def build_ivf_index(
     seed: int = IVF_SEED,
     pq: bool = False,
     by_residual: bool = False,
+    pq_bits: int = 4,
 ) -> None:
     """Train the coarse quantizer and write the index.
 
@@ -657,7 +723,30 @@ def build_ivf_index(
     codeword LUT over the shared residual codebook — so the packed
     4-bit scan, the rank table, and the lifecycle are IDENTICAL; the
     mode is persisted in a one-row ``pq_mode`` table and every later
-    encode (add_vectors, compact heal, rebuild) dispatches through it."""
+    encode (add_vectors, compact heal, rebuild) dispatches through it.
+
+    ``pq_bits`` (r15, with pq=True): bits per subspace code — 4 (the
+    default: PQ_K=16 codewords, nibble-packed, 32 used bits/vector) or
+    8 (256 codewords, byte-packed, the full 64-bit long). Measured
+    reason (BASELINE.md r14/r15): at ~500 candidates/cell BOTH 4-bit
+    modes' codes stop ranking within the cell — 8-bit codes are the
+    escape hatch at that density; the marker, pack/rank-table/LUT, and
+    every lifecycle encode thread the persisted width."""
+    # ADVICE r14: silent-ignore is the wrong contract for PQ options
+    # on a pq=False build
+    if not pq:
+        if by_residual:
+            raise ValueError(
+                "build_ivf_index(by_residual=True) requires pq=True — "
+                "by-residual is a property of the PQ codes replica"
+            )
+        if pq_bits != 4:
+            raise ValueError(
+                "build_ivf_index(pq_bits=...) requires pq=True — "
+                "pq_bits is a property of the PQ codes replica"
+            )
+    if pq_bits not in (4, 8):
+        raise ValueError(f"pq_bits must be 4 or 8, got {pq_bits}")
     # the build consumes every iteration checkpoint by the final writes,
     # so its scratch is self-contained: collect the exact ids each
     # checkpoint pins (scoped_checkpoint — a global before/after diff
@@ -673,17 +762,26 @@ def build_ivf_index(
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/cells")
     if pq:
+        # ADVICE r14: the mode marker lands BEFORE the codebook it
+        # describes — a crash between the two writes must never leave
+        # a residual-trained codebook that reads as plain (a later
+        # gap-heal would append mixed-mode codes); a marker with no
+        # codebook is inert (every PQ consumer keys on pq_codebook's
+        # existence first)
+        _write_pq_mode(spark, index_dir, by_residual, pq_bits)
+        n_codes = 1 << pq_bits
         cb = (
-            _pq_train_residual_codebook(assigned, cent, seed, build_ids=build_ids)
+            _pq_train_residual_codebook(
+                assigned, cent, seed, build_ids=build_ids, n_codes=n_codes
+            )
             if by_residual
-            else _pq_train_codebook(v, seed)
+            else _pq_train_codebook(v, seed, n_codes=n_codes)
         )
         cb.write.mode("overwrite").parquet(f"{index_dir}/pq_codebook")
-        _write_pq_mode(spark, index_dir, by_residual)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
         # r13 (VERDICT r12 #3): the replica persists PACKED — one
-        # BIGINT of 4-bit ranks per vector, not array<long> anchor ids
-        a2r, _ = _pq_pack_maps(cbq)
+        # BIGINT of pq_bits-wide ranks per vector, not array<long>
+        a2r, _ = _pq_pack_maps(cbq, bits=pq_bits)
         _write_pq_codes(
             _encode_codes(spark, index_dir, assigned, cbq, by_residual).select(
                 "vec_id", "codes", "cid"
@@ -691,6 +789,7 @@ def build_ivf_index(
             a2r,
             f"{index_dir}/pq_codes",
             "overwrite",
+            bits=pq_bits,
         )
     unpersist_rdd_ids(spark, build_ids)
 
@@ -753,6 +852,39 @@ def ivf_search(
     regime the codes replica exists for (1e9+ vectors, 10.3x smaller
     on disk as array<long>; packing 4-bit codes into a binary column
     recovers the remaining 16x if a deployment needs it).
+
+    OPERATING-POINT GUIDE (r15, VERDICT r14 #4 — every number is a
+    committed receipt, BASELINE.md r14/r15 + tools/ann_recall.py).
+    Diagnose by comparing three recalls at your geometry: covering
+    (n_probe=n_cells, the brute ceiling), exact at your n_probe, and
+    ADC at your (n_probe, shortlist).
+
+    1. PROBE LOSS — exact-at-n_probe < covering: true neighbors sit in
+       unprobed cells (clustered data scatters a cluster across
+       sub-cells). Knob: ``n_probe``. Exact recall is provably
+       non-decreasing in it (superset candidates; pinned) — measured
+       recovery 0.47 (p1) -> 0.76 (p2) -> 1.0 (p4) on the
+       over-segmented clustered pin.
+    2. ADC RANKING LOSS — adc < exact at the same n_probe: the
+       quantized shortlist truncates true neighbors the refine never
+       sees. Knob: ``shortlist``. Monotone (pinned); measured: s=32
+       fully repaired it on the uniform fixtures (adc == exact_p1).
+    3. WITHIN-CELL CODE DISTORTION — a generous shortlist still lags
+       exact on clustered data: plain-PQ codes carry mostly the
+       cluster identity. Knobs in order: ``by_residual=True`` at build
+       (s10 0.28 vs 0.15, s24 0.53 vs 0.36 — the r14 controlled pin),
+       then ``pq_bits=8`` where residual codes already rank (s24 0.62
+       vs 0.53, s32 0.78 vs 0.73 — r15). HARD BOUND: at ~500
+       near-equidistant candidates/cell NEITHER width ranks (inter-rank
+       cosine gaps fall below even the 256-codeword distortion floor —
+       r15 density receipt); there the fix is FINER CELLS (restore a
+       rankable per-cell density) + n_probe to recover the scatter,
+       i.e. move the problem back to regime 1, which has an exact
+       lever.
+    Interaction: ADC recall is NOT monotone in n_probe (extra probed
+    candidates can displace shortlist slots on quantized scores —
+    measured dip 0.75 -> 0.70 at p2 -> p4, s=32); when raising
+    n_probe under ADC, raise shortlist with it.
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
@@ -820,6 +952,7 @@ def ivf_search(
         shortlist = max(shortlist, k)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
         by_res = pq_by_residual(spark, index_dir)
+        bits = pq_code_bits(spark, index_dir)
         codes = spark.read.parquet(f"{index_dir}/pq_codes").where(
             F.col("cid").isin(probed_cids)
         )
@@ -846,9 +979,18 @@ def ivf_search(
         cand = probes.select("query_id", "cid").join(codes, "cid")
         if exclude_self:
             cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        # the packed-scan rank read matches the persisted width: the
+        # r13 div/% form at 4 bits (byte-identical replay), the
+        # sign-safe shiftrightunsigned/& form at 8 (r15 — see
+        # _pq_rank_read_expr for why div/% breaks on byte 7)
+        rank_read = (
+            "((packed div shiftleft(1L, 4 * mm)) % 16)"
+            if bits == 4
+            else _pq_rank_read_expr("packed", bits)
+        )
         adc_packed = F.expr(
             f"aggregate(transform(sequence(0, {PQ_M - 1}), mm -> "
-            f"element_at(lmap, ((packed div shiftleft(1L, 4 * mm)) % 16)"
+            f"element_at(lmap, {rank_read}"
             f" * {PQ_M} + mm)), 0L, (a, v) -> a + v)"
         )
         adcs = cand.join(lutmap, "query_id")
@@ -1024,8 +1166,9 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     # this batch AND any historical gap; encoding is deterministic
     # against the immutable codebook, hence replay-safe).
     if path_exists(spark, f"{index_dir}/pq_codebook"):
+        bits = pq_code_bits(spark, index_dir)
         cbq = spark.read.parquet(f"{index_dir}/pq_codebook")
-        a2r, _ = _pq_pack_maps(cbq)
+        a2r, _ = _pq_pack_maps(cbq, bits=bits)
         codes_path = f"{index_dir}/pq_codes"
         have = (
             spark.read.parquet(codes_path)
@@ -1046,6 +1189,7 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
             a2r,
             codes_path,
             "append",
+            bits=bits,
         )
     unpersist_rdd_ids(spark, ids)
 
@@ -1084,14 +1228,17 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
             # the persisted codebook; (b) duplicate codes rows for one
             # vec_id (crash replay / manual append) collapse to one, so
             # an ADC shortlist can never rank the same neighbor twice.
+            bits = pq_code_bits(spark, index_dir)
             cbq = spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
-            a2r, _ = _pq_pack_maps(cbq)
+            a2r, _ = _pq_pack_maps(cbq, bits=bits)
             missing = spark.read.parquet(os.path.join(index_dir, "cells")).join(
                 df.select("vec_id"), "vec_id", "left_anti"
             )
             healed = _encode_codes(
                 spark, index_dir, missing, cbq, pq_by_residual(spark, index_dir)
-            ).selectExpr("vec_id", f"{_pq_pack_expr(a2r)} AS packed", "cid")
+            ).selectExpr(
+                "vec_id", f"{_pq_pack_expr(a2r, bits=bits)} AS packed", "cid"
+            )
             df = df.dropDuplicates(["vec_id"]).unionByName(healed)
         df.repartition(target_files_per_cell, "cid").write.mode("overwrite").partitionBy(
             "cid"
@@ -1130,10 +1277,11 @@ def rebuild_index(
     # codes stay consistent with the codebook that scores them (r12)
     pq = path_exists(spark, os.path.join(index_dir, "pq_codebook"))
     by_res = pq and pq_by_residual(spark, index_dir)
+    bits = pq_code_bits(spark, index_dir) if pq else 4
     tmp = index_dir.rstrip("/") + "_rebuild"
     build_ivf_index(
         spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq,
-        by_residual=by_res,
+        by_residual=by_res, pq_bits=bits,
     )
     tables = ["centroids", "cells"] + (
         ["pq_codebook", "pq_codes", "pq_mode"] if pq else []

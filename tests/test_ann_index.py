@@ -739,3 +739,252 @@ def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
         default_rec = recall(sets(lane(spark, SF, k=K10)), brute)
         release()
         assert default_rec == recs[10]
+
+
+def test_pq8_width_contract_and_plain_lifecycle(spark, tmp_path):
+    """r15 8-bit PQ codes (VERDICT r14 #2): pq_bits=8 trains a
+    256-codeword-per-subspace codebook and byte-packs ranks into the
+    full 64-bit long (subspace 7'sract rank can set the sign bit — the
+    pack/unpack pair is pinned on adversarial codes below). Pins:
+
+    (a) contract errors: by_residual or pq_bits without pq=True, and a
+        width outside {4, 8}, raise instead of silently ignoring
+        (ADVICE r14);
+    (b) the persisted marker carries the width; r14-schema markers
+        (by_residual only) and markerless indexes read as 4-bit;
+    (c) expr-level pack/unpack inverse at 8 bits incl. the sign-bit
+        byte (all-255 codes pack to -1);
+    (d) full lifecycle losslessness at 8 bits on the fixture: covering
+        probe + covering shortlist == exact brute; read_pq_codes ==
+        fresh encode; add_vectors keeps the byte-packed replica in
+        lockstep; rebuild retrains at the persisted width;
+    (e) a 4-bit reader of an 8-bit codebook fails LOUDLY: the rank
+        table overflows the nibble alphabet and _pq_pack_maps raises
+        (an r14 binary reading an r15 index can never silently corrupt
+        packed codes)."""
+    import pytest as _pytest
+
+    from flink_parameter_server_spark.operators.ann_index import (
+        _pq_pack_expr,
+        _pq_pack_maps,
+        _pq_unpack_expr,
+        pq_code_bits,
+        pq_by_residual,
+        read_pq_codes,
+        rebuild_index,
+    )
+    from flink_parameter_server_spark.operators.similarity import PQ_M, pq_codes_arr
+
+    emb = t(spark, SF, "embeddings")
+
+    # (a) contract errors
+    with _pytest.raises(ValueError, match="by_residual"):
+        build_ivf_index(spark, emb, str(tmp_path / "x1"), by_residual=True)
+    with _pytest.raises(ValueError, match="pq_bits"):
+        build_ivf_index(spark, emb, str(tmp_path / "x2"), pq_bits=8)
+    with _pytest.raises(ValueError, match="pq_bits must be 4 or 8"):
+        build_ivf_index(spark, emb, str(tmp_path / "x3"), pq=True, pq_bits=5)
+
+    # (c) expr-level pack/unpack inverse at the sign-bit boundary:
+    # identity rank maps over the full byte alphabet
+    ident = ", ".join(f"{c * PQ_M + m}L, {c}L" for c in range(256) for m in range(PQ_M))
+    a2r = f"map({ident})"
+    adv = spark.createDataFrame(
+        [([255] * PQ_M,), ([0] * PQ_M,), ([128, 0, 0, 0, 0, 0, 0, 255],),
+         ([1, 127, 128, 129, 254, 255, 0, 200],)],
+        "codes array<long>",
+    )
+    rt = adv.selectExpr(
+        "codes", f"{_pq_pack_expr(a2r, bits=8)} AS packed"
+    ).selectExpr("codes", "packed", f"{_pq_unpack_expr(a2r, bits=8)} AS back")
+    rows = rt.collect()
+    assert all(r["codes"] == r["back"] for r in rows)
+    assert [r["packed"] for r in rows if r["codes"] == [255] * PQ_M] == [-1]
+
+    # (d) lifecycle at 8 bits, plain mode
+    idx = str(tmp_path / "pq8")
+    build_ivf_index(spark, emb, idx, n_cells=N_CELLS, iters=2, pq=True, pq_bits=8)
+    assert pq_code_bits(spark, idx) == 8 and not pq_by_residual(spark, idx)
+    cb = spark.read.parquet(f"{idx}/pq_codebook")
+    n_anchors = cb.select("aid").distinct().count()
+    assert n_anchors > 16, "8-bit build must train past the nibble alphabet"
+
+    def rows_of(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+            for r in df.collect()
+        }
+
+    want = rows_of(_brute_topk(spark, K))
+    got = rows_of(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS,
+                   adc=True, shortlist=10**6)
+    )
+    assert got == want and got
+
+    stored = read_pq_codes(spark, idx).select("vec_id", F.col("codes").alias("c1"))
+    fresh = pq_codes_arr(
+        spark.read.parquet(f"{idx}/cells"), codebook=cb, keep=("cid",)
+    ).select("vec_id", F.col("codes").alias("c2"))
+    assert stored.join(fresh, "vec_id").where(F.col("c1") != F.col("c2")).count() == 0
+
+    newv = emb.where(F.col("vec_id") % 9 == 1).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    add_vectors(spark, idx, newv)
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == spark.read.parquet(
+        f"{idx}/cells"
+    ).count()
+    grown_exact = rows_of(ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS))
+    grown_adc = rows_of(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS,
+                   adc=True, shortlist=10**6)
+    )
+    assert grown_adc == grown_exact and grown_adc
+
+    rebuild_index(spark, idx, n_cells=N_CELLS, iters=2)
+    assert pq_code_bits(spark, idx) == 8, "rebuild must keep the persisted width"
+    rebuilt = rows_of(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS,
+                   adc=True, shortlist=10**6)
+    )
+    assert rebuilt == rows_of(
+        ivf_search(spark, idx, _queries(spark), k=K, n_probe=N_CELLS)
+    )
+
+    # (e) a 4-bit reader of the 8-bit codebook raises, never corrupts
+    with _pytest.raises(ValueError, match="packing requires"):
+        _pq_pack_maps(spark.read.parquet(f"{idx}/pq_codebook"), bits=4)
+
+    # (b) marker back-compat: r14 schema (by_residual only) reads 4-bit
+    r14_idx = str(tmp_path / "r14marker")
+    spark.createDataFrame([(True,)], "by_residual boolean").coalesce(1).write.parquet(
+        f"{r14_idx}/pq_mode"
+    )
+    assert pq_code_bits(spark, r14_idx) == 4 and pq_by_residual(spark, r14_idx)
+    assert pq_code_bits(spark, str(tmp_path / "nomarker")) == 4
+
+
+def _clustered_emb(spark, n=400, n_centers=8, dim=64, sigma=0.1):
+    """The r7/r14 operating-point generator (8 well-separated centers,
+    tight noise): every true top-10 neighbor is same-cluster."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(n_centers, dim)) * 10.0
+    rows = [
+        (i, (centers[i % n_centers] + rng.normal(size=dim) * sigma)
+            .astype("float32").tolist())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _recall_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall_at(m, b, k=10):
+    num = den = 0
+    for qid, want in b.items():
+        num += len(m.get(qid, set()) & want)
+        den += min(k, len(want))
+    return num / den if den else 0.0
+
+
+def test_pq8_residual_controlled_recall(spark, tmp_path):
+    """r15 (VERDICT r14 #2, the quality half): at the controlled
+    operating point (cells == clusters, ~50 candidates/cell — where the
+    r14 receipt showed 4-bit residual codes DO rank), 8-bit residual
+    codes are a measured precision multiplier at working shortlists:
+    s24 0.62 vs 0.53, s32 0.78 vs 0.73 (this corpus, this seed; exact
+    ceiling 1.0). Honest bounds carried in BASELINE.md r15: at s=10 the
+    two widths are statistically tied (0.25 vs 0.28 — a 10-slot window
+    is noise-bound at either precision), and at ~500 candidates/cell
+    NEITHER width ranks (the inter-rank cosine gaps fall below even the
+    8-bit distortion floor — density receipt, tools/ann_recall.py);
+    the working levers there are finer cells + multi-probe. Also pins
+    the 8-bit RESIDUAL lifecycle: mode + width persist together and
+    read_pq_codes inverts the byte-packed residual encode."""
+    from flink_parameter_server_spark.operators.ann_index import (
+        _encode_codes,
+        pq_by_residual,
+        pq_code_bits,
+        read_pq_codes,
+    )
+
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx4 = str(tmp_path / "res4")
+    idx8 = str(tmp_path / "res8")
+    build_ivf_index(spark, emb, idx4, n_cells=8, iters=3, pq=True, by_residual=True)
+    build_ivf_index(
+        spark, emb, idx8, n_cells=8, iters=3, pq=True, by_residual=True, pq_bits=8
+    )
+    assert pq_code_bits(spark, idx8) == 8 and pq_by_residual(spark, idx8)
+
+    # byte-packed residual encode inverts against the persisted state
+    cells = spark.read.parquet(f"{idx8}/cells")
+    cbq = spark.read.parquet(f"{idx8}/pq_codebook")
+    fresh = _encode_codes(spark, idx8, cells, cbq, True).select(
+        "vec_id", F.col("codes").alias("c2")
+    )
+    stored = read_pq_codes(spark, idx8).select("vec_id", F.col("codes").alias("c1"))
+    assert stored.join(fresh, "vec_id").where(F.col("c1") != F.col("c2")).count() == 0
+
+    brute = _recall_sets(ivf_search(spark, idx8, queries, k=K, n_probe=8))
+    rec = {}
+    for s in (24, 32):
+        for bits, idx in ((4, idx4), (8, idx8)):
+            rec[(bits, s)] = _recall_at(
+                _recall_sets(
+                    ivf_search(spark, idx, queries, k=K, n_probe=1,
+                               adc=True, shortlist=s)
+                ),
+                brute,
+            )
+    # measured: (4,24)=0.53 (8,24)=0.62 (4,32)=0.73 (8,32)=0.78
+    assert rec[(8, 24)] > rec[(4, 24)], rec
+    assert rec[(8, 24)] >= 0.55, rec
+    assert rec[(8, 32)] >= rec[(4, 32)], rec
+    assert rec[(8, 32)] >= 0.75, rec
+
+
+def test_persisted_multiprobe_recall_monotone(spark, tmp_path):
+    """r15 (VERDICT r14 #3): multi-probe recovers probe loss on the
+    persisted lane. On an over-segmented clustered corpus (n_cells=32
+    >> 8 true clusters — true neighbors scatter across a cluster's ~4
+    sub-cells), the EXACT probe's recall@10 is provably non-decreasing
+    in n_probe (the probed candidate set at n_probe+1 is a superset of
+    the set at n_probe; both the refine and brute rank by (cos desc,
+    id), so a true top-10 neighbor can only be displaced by another
+    true top-10 neighbor) — pinned monotone with measured recovery:
+    0.47 (p1) -> 0.76 (p2) -> 1.0 (p4) on this corpus/seed. ADC recall
+    is NOT pinned monotone by design: extra probed candidates can
+    displace shortlist slots on quantized scores (measured honest dip
+    p2 0.75 -> p4 0.70 at s=32, receipt in BASELINE.md r15)."""
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = str(tmp_path / "mp")
+    build_ivf_index(spark, emb, idx, n_cells=32, iters=3)
+    brute = _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=32))
+    recs = {}
+    for p in (1, 2, 4, 8):
+        recs[p] = _recall_at(
+            _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=p)), brute
+        )
+    assert recs[1] <= recs[2] <= recs[4] <= recs[8], recs
+    assert recs[1] <= 0.6, recs  # probe loss exists at p1
+    assert recs[4] >= 0.9, recs  # and multi-probe recovers it

@@ -1,6 +1,7 @@
 """Recall@10-vs-brute receipt across the ANN method family (VERDICT
-r12 #5, extended r14 per VERDICT r13 #4/#5): ivf / ivf2 / ivf2
-multi-probe (p=2, p=4) / ivfpq, on both fixture scales, PLUS
+r12 #5, extended r14 per VERDICT r13 #4/#5, extended r15 per VERDICT
+r14 #2/#3): ivf / ivf2 / ivf2 multi-probe (p=2, p=4) / ivfpq, on both
+fixture scales, PLUS
 
 - a SHORTLIST sweep for ivfpq (10/32/64) and the persisted
   ivf_search(adc=True) lane at the same settings — separating ADC
@@ -9,7 +10,16 @@ multi-probe (p=2, p=4) / ivfpq, on both fixture scales, PLUS
 - a CLUSTERED synthetic corpus (the r7 operating-point generator: 8
   well-separated centers, tight noise) so the table shows the
   near-uniform fixture FLOOR and the clustered OPERATING POINT side
-  by side.
+  by side;
+- (r15, VERDICT r14 #3) an N_PROBE sweep (1/2/4/8) on the persisted
+  lane at the clustered operating point — exact and ADC-s32 — closing
+  the r14 loop: exact_p1's 0.30 ceiling there is PROBE loss (true
+  neighbors scatter across a cluster's ~8 sub-cells), and this column
+  shows n_probe recovering it;
+- (r15, VERDICT r14 #2) a DENSITY experiment on the clustered corpus
+  (n_cells=8 == clusters, ~500 candidates/cell — the regime where the
+  r14 receipt showed BOTH 4-bit modes stop ranking): by-residual
+  indexes at pq_bits=4 vs pq_bits=8 across the shortlist sweep.
 
 The brute method shares the query set (vec_id % 50 == 0), so recall
 is a cheap per-query set intersection.
@@ -28,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 10
 SHORTLISTS = (10, 32, 64)
+N_PROBES = (1, 2, 4, 8)
 CLUSTERED_DIR = "/root/tmpwork/ann_recall_clustered"
 IDX_ROOT = "/root/tmpwork/ann_recall_idx"
 
@@ -71,19 +82,26 @@ def _gen_clustered(spark, out: str, n: int = 4000, dim: int = 64) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
-def _persisted_adc_sets(spark, sf: str, idx: str, shortlist: int):
+def _fixture_queries(spark, sf: str):
     from pyspark.sql import functions as F
 
-    from flink_parameter_server_spark.operators.ann_index import ivf_search
     from flink_parameter_server_spark.operators.similarity import embeddings_normed
 
-    queries = (
+    return (
         embeddings_normed(spark, sf)
         .where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     )
+
+
+def _persisted_adc_sets(spark, sf: str, idx: str, shortlist: int, n_probe: int = 1):
+    from flink_parameter_server_spark.operators.ann_index import ivf_search
+
     return _topk_sets(
-        ivf_search(spark, idx, queries, k=K, n_probe=1, adc=True, shortlist=shortlist)
+        ivf_search(
+            spark, idx, _fixture_queries(spark, sf), k=K, n_probe=n_probe,
+            adc=True, shortlist=shortlist,
+        )
     )
 
 
@@ -129,15 +147,9 @@ def _sweep(spark, sf: str, label: str) -> dict:
     # the exact (non-ADC) probe at the same geometry/n_probe: the
     # CEILING the adc/res columns are chasing — separates probe loss
     # (cells not probed) from ADC ranking loss (shortlist misses)
-    from pyspark.sql import functions as F
-
     from flink_parameter_server_spark.operators.ann_index import ivf_search
 
-    queries = (
-        sim.embeddings_normed(spark, sf)
-        .where(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    )
+    queries = _fixture_queries(spark, sf)
     rec["exact_p1"] = round(
         recall_at_k(
             _topk_sets(
@@ -148,6 +160,76 @@ def _sweep(spark, sf: str, label: str) -> dict:
         4,
     )
     scratch_release()
+    # r15 (VERDICT r14 #3): the n_probe sweep at the same persisted
+    # geometry — exact (the probe-loss curve: candidate sets are
+    # supersets as n_probe grows, so recall is provably non-decreasing,
+    # pinned in tests/test_ann_index.py) and ADC at s=32 (where the
+    # refine window had fully repaired ADC ranking loss at n_probe=1)
+    for p in N_PROBES[1:]:
+        rec[f"exact_p{p}"] = round(
+            recall_at_k(
+                _topk_sets(
+                    ivf_search(
+                        spark, f"{IDX_ROOT}_{label}_res", queries, k=K, n_probe=p
+                    )
+                ),
+                brute,
+            ),
+            4,
+        )
+        scratch_release()
+        rec[f"res_s32_p{p}"] = round(
+            recall_at_k(
+                _persisted_adc_sets(
+                    spark, sf, f"{IDX_ROOT}_{label}_res", 32, n_probe=p
+                ),
+                brute,
+            ),
+            4,
+        )
+        scratch_release()
+    return rec
+
+
+def _density_sweep(spark, sf: str, label: str) -> dict:
+    """VERDICT r14 #2 receipt: by-residual indexes at the ~500
+    candidates/cell density (n_cells=8 == the generator's clusters) at
+    pq_bits=4 vs pq_bits=8, shortlist sweep at n_probe=1. The r14
+    honest bound said both 4-bit modes stop ranking here; the 8-bit
+    column is the named escape hatch, measured."""
+    from flink_parameter_server_spark.operators import similarity as sim
+    from flink_parameter_server_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from flink_parameter_server_spark.scratch import release as scratch_release
+
+    emb = sim.embeddings_normed(spark, sf).select("vec_id", "embedding")
+    queries = _fixture_queries(spark, sf)
+    rec = {}
+    brute = None
+    for bits in (4, 8):
+        idx = f"{IDX_ROOT}_{label}_dens{bits}"
+        build_ivf_index(
+            spark, emb, idx, n_cells=8, iters=3, pq=True, by_residual=True,
+            pq_bits=bits,
+        )
+        if brute is None:
+            # covering probe (n_probe == n_cells) == global brute
+            brute = _topk_sets(ivf_search(spark, idx, queries, k=K, n_probe=8))
+            rec["exact_p1_dens"] = round(
+                recall_at_k(
+                    _topk_sets(ivf_search(spark, idx, queries, k=K, n_probe=1)),
+                    brute,
+                ),
+                4,
+            )
+            scratch_release()
+        for s in SHORTLISTS:
+            rec[f"d{bits}_s{s}"] = round(
+                recall_at_k(_persisted_adc_sets(spark, sf, idx, s), brute), 4
+            )
+            scratch_release()
     return rec
 
 
@@ -167,6 +249,8 @@ def main() -> None:
         rec = _sweep(spark, sf, label)
         rows.append((label, rec))
         print(f"{label}: {rec}", flush=True)
+    dens = _density_sweep(spark, CLUSTERED_DIR, "clustered-4k")
+    print(f"density clustered-4k: {dens}", flush=True)
     cols = (
         ["ivf", "ivf2", "ivf2_p2", "ivf2_p4"]
         + [f"ivfpq_s{s}" for s in SHORTLISTS]
@@ -179,7 +263,25 @@ def main() -> None:
     print("|" + "---|" * (len(cols) + 1))
     for label, rec in rows:
         print(f"| {label} | " + " | ".join(str(rec[c]) for c in cols) + " |")
-    print(json.dumps({"metric": "ann_recall_at_10", "rows": dict(rows)}))
+    # r15 n_probe sweep table (persisted res index, sqrt(n) cells)
+    pcols = [f"exact_p{p}" for p in N_PROBES] + [
+        f"res_s32_p{p}" for p in N_PROBES[1:]
+    ]
+    pcols.insert(len(N_PROBES), "res_s32_p1")
+    print("\n| corpus | " + " | ".join(pcols) + " |")
+    print("|" + "---|" * (len(pcols) + 1))
+    for label, rec in rows:
+        rec["res_s32_p1"] = rec["res_s32"]
+        print(f"| {label} | " + " | ".join(str(rec[c]) for c in pcols) + " |")
+    # r15 density table (clustered-4k, n_cells=8 == clusters, ~500/cell)
+    dcols = ["exact_p1_dens"] + [f"d4_s{s}" for s in SHORTLISTS] + [
+        f"d8_s{s}" for s in SHORTLISTS
+    ]
+    print("\n| corpus | " + " | ".join(dcols) + " |")
+    print("|" + "---|" * (len(dcols) + 1))
+    print("| clustered-4k-dens | " + " | ".join(str(dens[c]) for c in dcols) + " |")
+    print(json.dumps({"metric": "ann_recall_at_10", "rows": dict(rows),
+                      "density": dens}))
     spark.stop()
 
 
