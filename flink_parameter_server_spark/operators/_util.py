@@ -34,7 +34,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     parallelism. One narrow-row shuffle buys full-width map evaluation.
     At 100 TB the scan already yields thousands of splits and this is a
     no-op (the condition, not the call, is the contract — never add an
-    unconditional repartition to a big-scan path)."""
+    unconditional repartition to a big-scan path).
+
+    PRECONDITION (ADVICE r14): only wrap SHUFFLE-FREE, scan-rooted
+    frames (scan + projections/filters). The partition probe converts
+    the frame to an RDD, and with AQE enabled that conversion EXECUTES
+    any shuffle stages in the plan — a guarded plan containing a
+    join/agg would run those stages twice (once for the probe, once
+    for the real action). All call sites (the curate/profile per-doc
+    signal scans) are narrow scans by construction; a post-shuffle
+    frame never needs this helper anyway — its width is already
+    spark.sql.shuffle.partitions."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

@@ -1151,10 +1151,12 @@ def embedding_ivfpq_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: int 
     refine window — the recall-receipt sweep knob that separates ADC
     ranking loss from refine-window truncation (tools/ann_recall.py;
     recall@k is non-decreasing in it, pinned). Default None keeps the
-    hash-pinned registered behavior."""
+    hash-pinned registered behavior (k=1 < PQ_SHORTLIST there); the
+    window is clamped to k either way (ADVICE r14: a default-shortlist
+    caller with k > PQ_SHORTLIST must not silently get < k rows)."""
     from ..scratch import scratch
 
-    refine_n = PQ_SHORTLIST if shortlist is None else max(shortlist, k)
+    refine_n = max(PQ_SHORTLIST, k) if shortlist is None else max(shortlist, k)
 
     emb = embeddings_normed(spark, sf_dir)
     assign = _assign if _assign is not None else scratch(ivf_assign(emb))
@@ -1242,7 +1244,8 @@ def embedding_ivfpq_res_ann(spark, sf_dir, _assign=None, k: int = 1, shortlist: 
     codewords are the serving default (BASELINE.md r14)."""
     from ..scratch import scratch
 
-    refine_n = PQ_SHORTLIST if shortlist is None else max(shortlist, k)
+    # ADVICE r14: clamp the default window to k too (see embedding_ivfpq_ann)
+    refine_n = max(PQ_SHORTLIST, k) if shortlist is None else max(shortlist, k)
 
     emb = embeddings_normed(spark, sf_dir)
     assign = _assign if _assign is not None else scratch(ivf_assign(emb))
