@@ -202,10 +202,16 @@ def doc_quality_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) carry no features and are excluded, mirroring the oracle's
     len(th) >= 1 guard."""
     from ..operators._dedup_core import token_hashes
+    from ..operators._util import fan_out
     from ..operators.curate import CURATE_MIN_CHARS, CURATE_MIN_TOKENS
 
     docs = t(spark, sf_dir, "documents")
-    th = token_hashes(docs.select("doc_id", "text"))
+    # fan_out (r15, FIXTURES.md #13 audit): the per-doc tokenize+hash
+    # map is heavy enough to win its narrow-row shuffle even though it
+    # feeds the (doc, feature) groupBy — measured interleaved A/B at
+    # sf0.1 on the 1-partition fixture scan: median 1.01 -> 0.90 s
+    # (x0.89, fan_out <= plain in 5/5 pairs). No-op on a many-split scan.
+    th = token_hashes(fan_out(docs.select("doc_id", "text")))
     # one explode + (doc, feature) count instead of N_FEATURES
     # interpreted filter passes per doc (measured 4.3s -> ~1s at sf0.1
     # for the entry): the count/total values are bit-identical to the
