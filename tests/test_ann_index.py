@@ -744,7 +744,7 @@ def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
 def test_pq8_width_contract_and_plain_lifecycle(spark, tmp_path):
     """r15 8-bit PQ codes (VERDICT r14 #2): pq_bits=8 trains a
     256-codeword-per-subspace codebook and byte-packs ranks into the
-    full 64-bit long (subspace 7'sract rank can set the sign bit — the
+    full 64-bit long (subspace 7's rank can set the sign bit — the
     pack/unpack pair is pinned on adversarial codes below). Pins:
 
     (a) contract errors: by_residual or pq_bits without pq=True, and a
