@@ -805,6 +805,7 @@ def ivf_search(
     n_super_probe: int = 1,
     adc: bool = False,
     shortlist: int = 32,
+    shortlist_per_probe: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors per query from the persisted index.
 
@@ -885,6 +886,16 @@ def ivf_search(
     candidates can displace shortlist slots on quantized scores —
     measured dip 0.75 -> 0.70 at p2 -> p4, s=32); when raising
     n_probe under ADC, raise shortlist with it.
+
+    ``shortlist_per_probe=True`` (r15) makes that rule the contract
+    instead of caller discipline: the ADC refine window becomes
+    ``shortlist * n_probe`` — ``shortlist`` reads as a PER-PROBED-CELL
+    budget, so adding probes adds window instead of diluting it. Not
+    provably monotone (a newly probed cell may still displace kept
+    candidates on quantized scores), but measured monotone where the
+    fixed-window dip was measured (BASELINE.md r15), and the scan cost
+    of the extra window is refine-side only (shortlist * n_probe raw
+    rows per query, not a larger codes scan).
     """
     cent = spark.read.parquet(f"{index_dir}/centroids")
     q = _normed(
@@ -947,6 +958,10 @@ def ivf_search(
                 f"{index_dir}/pq_codebook is absent; rebuild with "
                 "build_ivf_index(..., pq=True)"
             )
+        # r15: per-probe window scaling — the committed interaction rule
+        # (fixed windows dilute as probes add candidates) as a contract
+        if shortlist_per_probe:
+            shortlist = shortlist * max(1, n_probe)
         # ADVICE r12: shortlist < k would silently return < k rows per
         # query — the refine can only re-rank what the shortlist kept
         shortlist = max(shortlist, k)
@@ -1318,4 +1333,80 @@ def cell_skew(spark, index_dir: str) -> dict:
         "max_cell": counts["max_cell"],
         "mean_cell": counts["mean_cell"],
         "skew": counts["max_cell"] / counts["mean_cell"] if counts["mean_cell"] else 0.0,
+    }
+
+
+# per-cell candidate-density thresholds, from the committed recall
+# receipts (BASELINE.md r14/r15): at ~500 near-equidistant
+# candidates/cell NEITHER 4- nor 8-bit ADC codes rank (d4_s32=0.059 on
+# the density pin — the r15 receipt that corrected the r14 narrative);
+# the controlled pins where codes DO rank all sit well under ~200/cell
+# (sqrt(n) geometry). Between the two, codes still rank but the
+# shortlist has to carry more of the work — plan the finer-cells
+# rebuild before the floor, not at it.
+DENSITY_CAUTION = 200
+DENSITY_FLOOR = 500
+
+
+def index_stats(spark, index_dir: str) -> dict:
+    """Operating-point probe for a persisted index (r15): the numbers
+    the :func:`ivf_search` guide's knob choices key on, in one bounded
+    pass — because at catalog scale nobody can eyeball per-cell
+    density, and density is what decides WHICH knob works.
+
+    Extends :func:`cell_skew`'s balance stats with per-cell candidate
+    DENSITY quantiles (exact percentiles over the <= n_cells-row count
+    table) and the persisted PQ mode, then names the regime from the
+    committed receipts:
+
+    - ``density_regime='rankable'`` (p50 < DENSITY_CAUTION): ADC codes
+      rank within cells — ``shortlist`` / ``by_residual`` /
+      ``pq_bits`` are live levers (guide items 2-3).
+    - ``'caution'`` (DENSITY_CAUTION <= p50 < DENSITY_FLOOR): codes
+      still rank but degrade as cells fill; schedule a finer-cells
+      rebuild.
+    - ``'density_floor'`` (p50 >= DENSITY_FLOOR): neither code width
+      ranks (the r15 density receipt) — :func:`rebuild_index` with
+      finer cells, then recover the scatter with ``n_probe`` (+
+      ``shortlist_per_probe=True`` under ADC): the measured lever
+      (the r15 finer-cells receipt).
+
+    Cost: one count-by-partition-column aggregation (cid is the
+    partition key), exact percentiles over the <= n_cells-row result,
+    and the 1-row ``pq_mode`` read — bounded at any corpus size."""
+    from ..sources.fsutil import path_exists
+
+    row = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("mean_cell"),
+            F.expr("percentile(n, 0.5)").alias("p50_cell"),
+            F.expr("percentile(n, 0.9)").alias("p90_cell"),
+        )
+        .collect()[0]
+    )
+    pq = path_exists(spark, f"{index_dir}/pq_codebook")
+    p50 = row["p50_cell"] or 0.0
+    regime = (
+        "density_floor"
+        if p50 >= DENSITY_FLOOR
+        else ("caution" if p50 >= DENSITY_CAUTION else "rankable")
+    )
+    return {
+        "n_cells": row["n_cells"],
+        "total": row["total"],
+        "max_cell": row["max_cell"],
+        "mean_cell": row["mean_cell"],
+        "skew": row["max_cell"] / row["mean_cell"] if row["mean_cell"] else 0.0,
+        "p50_cell": p50,
+        "p90_cell": row["p90_cell"] or 0.0,
+        "pq": pq,
+        "by_residual": pq_by_residual(spark, index_dir) if pq else False,
+        "pq_bits": pq_code_bits(spark, index_dir) if pq else None,
+        "density_regime": regime,
     }

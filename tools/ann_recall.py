@@ -19,7 +19,13 @@ fixture scales, PLUS
 - (r15, VERDICT r14 #2) a DENSITY experiment on the clustered corpus
   (n_cells=8 == clusters, ~500 candidates/cell — the regime where the
   r14 receipt showed BOTH 4-bit modes stop ranking): by-residual
-  indexes at pq_bits=4 vs pq_bits=8 across the shortlist sweep.
+  indexes at pq_bits=4 vs pq_bits=8 across the shortlist sweep;
+- (r15 follow-on) the PER-PROBE WINDOW contract
+  (ivf_search(shortlist_per_probe=True)) on the n_probe sweep — the
+  committed fix for the fixed-window dilution — and a FINER-CELLS
+  sweep (n_cells=64 on the clustered corpus, ~62 candidates/cell)
+  measuring the operating-point guide's claimed lever at the density
+  floor: finer cells + multi-probe where wider codes don't rank.
 
 The brute method shares the query set (vec_id % 50 == 0), so recall
 is a cheap per-query set intersection.
@@ -94,13 +100,17 @@ def _fixture_queries(spark, sf: str):
     )
 
 
-def _persisted_adc_sets(spark, sf: str, idx: str, shortlist: int, n_probe: int = 1):
+def _persisted_adc_sets(
+    spark, sf: str, idx: str, shortlist: int, n_probe: int = 1,
+    shortlist_per_probe: bool = False,
+):
     from flink_parameter_server_spark.operators.ann_index import ivf_search
 
     return _topk_sets(
         ivf_search(
             spark, idx, _fixture_queries(spark, sf), k=K, n_probe=n_probe,
             adc=True, shortlist=shortlist,
+            shortlist_per_probe=shortlist_per_probe,
         )
     )
 
@@ -188,6 +198,20 @@ def _sweep(spark, sf: str, label: str) -> dict:
             4,
         )
         scratch_release()
+        # r15 follow-on: the same probe with the per-probe window
+        # contract (shortlist_per_probe=True, s=32 per probed cell) —
+        # the committed fix for the fixed-window dilution above
+        rec[f"res_s32pp_p{p}"] = round(
+            recall_at_k(
+                _persisted_adc_sets(
+                    spark, sf, f"{IDX_ROOT}_{label}_res", 32, n_probe=p,
+                    shortlist_per_probe=True,
+                ),
+                brute,
+            ),
+            4,
+        )
+        scratch_release()
     return rec
 
 
@@ -233,6 +257,50 @@ def _density_sweep(spark, sf: str, label: str) -> dict:
     return rec
 
 
+def _finer_cells_sweep(spark, sf: str, label: str) -> dict:
+    """r15 follow-on: the operating-point guide's claim for the ~500
+    candidates/cell density floor — FINER CELLS (restore a rankable
+    per-cell density) + multi-probe (recover the scatter) — measured at
+    the exact geometry where the density receipt showed neither code
+    width ranks (n_cells=8, d4_s32=0.059). Same corpus, n_cells=64
+    (~62 candidates/cell), by-residual 4-bit, n_probe sweep with the
+    per-probe window contract."""
+    from flink_parameter_server_spark.operators import similarity as sim
+    from flink_parameter_server_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from flink_parameter_server_spark.scratch import release as scratch_release
+
+    emb = sim.embeddings_normed(spark, sf).select("vec_id", "embedding")
+    queries = _fixture_queries(spark, sf)
+    idx = f"{IDX_ROOT}_{label}_finer"
+    build_ivf_index(
+        spark, emb, idx, n_cells=64, iters=3, pq=True, by_residual=True
+    )
+    brute = _topk_sets(ivf_search(spark, idx, queries, k=K, n_probe=64))
+    rec = {}
+    for p in N_PROBES + (16,):
+        rec[f"f64_exact_p{p}"] = round(
+            recall_at_k(
+                _topk_sets(ivf_search(spark, idx, queries, k=K, n_probe=p)), brute
+            ),
+            4,
+        )
+        scratch_release()
+        rec[f"f64_adc_pp_p{p}"] = round(
+            recall_at_k(
+                _persisted_adc_sets(
+                    spark, sf, idx, 32, n_probe=p, shortlist_per_probe=True
+                ),
+                brute,
+            ),
+            4,
+        )
+        scratch_release()
+    return rec
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
@@ -251,6 +319,8 @@ def main() -> None:
         print(f"{label}: {rec}", flush=True)
     dens = _density_sweep(spark, CLUSTERED_DIR, "clustered-4k")
     print(f"density clustered-4k: {dens}", flush=True)
+    finer = _finer_cells_sweep(spark, CLUSTERED_DIR, "clustered-4k")
+    print(f"finer-cells clustered-4k: {finer}", flush=True)
     cols = (
         ["ivf", "ivf2", "ivf2_p2", "ivf2_p4"]
         + [f"ivfpq_s{s}" for s in SHORTLISTS]
@@ -273,6 +343,23 @@ def main() -> None:
     for label, rec in rows:
         rec["res_s32_p1"] = rec["res_s32"]
         print(f"| {label} | " + " | ".join(str(rec[c]) for c in pcols) + " |")
+    # r15 follow-on: per-probe window contract columns
+    ppcols = ["res_s32_p1"] + [f"res_s32pp_p{p}" for p in N_PROBES[1:]]
+    print("\n| corpus | " + " | ".join(ppcols) + " |")
+    print("|" + "---|" * (len(ppcols) + 1))
+    for label, rec in rows:
+        print(f"| {label} | " + " | ".join(str(rec[c]) for c in ppcols) + " |")
+    # r15 follow-on: finer-cells lever at the density floor
+    fcols = [f"f64_exact_p{p}" for p in N_PROBES + (16,)] + [
+        f"f64_adc_pp_p{p}" for p in N_PROBES + (16,)
+    ]
+    print("\n| corpus | " + " | ".join(fcols) + " |")
+    print("|" + "---|" * (len(fcols) + 1))
+    print(
+        "| clustered-4k-finer | "
+        + " | ".join(str(finer[c]) for c in fcols)
+        + " |"
+    )
     # r15 density table (clustered-4k, n_cells=8 == clusters, ~500/cell)
     dcols = ["exact_p1_dens"] + [f"d4_s{s}" for s in SHORTLISTS] + [
         f"d8_s{s}" for s in SHORTLISTS
@@ -281,7 +368,7 @@ def main() -> None:
     print("|" + "---|" * (len(dcols) + 1))
     print("| clustered-4k-dens | " + " | ".join(str(dens[c]) for c in dcols) + " |")
     print(json.dumps({"metric": "ann_recall_at_10", "rows": dict(rows),
-                      "density": dens}))
+                      "density": dens, "finer_cells": finer}))
     spark.stop()
 
 
