@@ -881,11 +881,18 @@ def ivf_search(
        r15 density receipt); there the fix is FINER CELLS (restore a
        rankable per-cell density) + n_probe to recover the scatter,
        i.e. move the problem back to regime 1, which has an exact
-       lever.
+       lever — measured escape: rebuild n_cells 8 -> 64 on the floor
+       corpus takes ADC 0.059 -> 1.00 at p16 with per-probe windows,
+       exact 0.99 by p8 (r15 finer-cells receipt).
+    Diagnose with :func:`index_stats` — its ``density_regime`` names
+    the live regime from these same receipts without eyeballing cell
+    sizes; :func:`rebuild_index` executes the finer-cells escape
+    (end-to-end pin: test_density_floor_escape_loop_end_to_end).
     Interaction: ADC recall is NOT monotone in n_probe (extra probed
     candidates can displace shortlist slots on quantized scores —
     measured dip 0.75 -> 0.70 at p2 -> p4, s=32); when raising
-    n_probe under ADC, raise shortlist with it.
+    n_probe under ADC, raise shortlist with it — or pass
+    ``shortlist_per_probe=True`` (below), which does exactly that.
 
     ``shortlist_per_probe=True`` (r15) makes that rule the contract
     instead of caller discipline: the ADC refine window becomes
