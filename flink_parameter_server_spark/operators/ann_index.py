@@ -93,6 +93,7 @@ def _train_centroids(
     build_ids: set,
     two_level: bool = False,
     n_super: int | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """Lloyd training over a normed (vec_id, embedding, ne) frame —
     factored out of :func:`build_ivf_index` (r10) so the in-memory
@@ -114,9 +115,35 @@ def _train_centroids(
     holds every centroid — pinned); at real n_super the pruned
     assignment can follow a DIFFERENT Lloyd trajectory from the same
     init (standard hierarchical k-means — same objective, measured
-    quality-comparable-or-better on the clustered pin)."""
+    quality-comparable-or-better on the clustered pin).
+
+    ``train_cap`` (r15): run the Lloyd ITERATIONS over the first
+    ``train_cap`` vectors in the SAME seeded-hash order the init uses
+    (a superset of the init rows by construction), instead of the full
+    catalog. The full-catalog assignment pass stays with the caller —
+    this bounds only the trainer, which is otherwise iters extra
+    n*n_cells passes (the n^1.5 term the r15 ivf_scale receipt
+    measured dominating the build). orderBy+limit is a TakeOrdered
+    (per-partition top-cap + driver merge), not a full sort shuffle.
+    None = train on everything (the pre-r15 path, byte-identical)."""
+    tv = v
+    if train_cap is not None:
+        # the limit's output is ONE partition (TakeOrdered collapses to
+        # the driver-merge task) — left alone it serializes every Lloyd
+        # assignment pass, the FIXTURES.md #13 pathology (measured: the
+        # capped x10 build ran 72.5 s vs 40.1 uncapped before this
+        # repartition). The consumer is the heavy broadcast-cosine
+        # assignment, the case where restoring width wins; the
+        # round-robin shuffle is bounded by train_cap rows.
+        tv = scoped_checkpoint(
+            v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
+            .limit(train_cap)
+            .select("vec_id", "embedding", "ne")
+            .repartition(v.sparkSession.sparkContext.defaultParallelism),
+            build_ids,
+        )
     cent = scoped_checkpoint(
-        v.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
+        tv.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
         .limit(n_cells)
         .select(
             F.row_number()
@@ -132,9 +159,9 @@ def _train_centroids(
             children, sup_local = _two_level_tables(
                 v.sparkSession, cent, n_super, iters, seed
             )
-            assigned = _two_level_assign(v, children, sup_local)
+            assigned = _two_level_assign(tv, children, sup_local)
         else:
-            assigned = _assign(v, cent)
+            assigned = _assign(tv, cent)
         means = (
             assigned.select("cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -437,6 +464,7 @@ def _pq_train_residual_codebook(
     iters: int = 2,
     build_ids: set | None = None,
     n_codes: int | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """By-residual codebook via per-subspace Lloyd k-means — the
     "sampled k-means per subspace" form _pq_train_codebook's docstring
@@ -456,13 +484,27 @@ def _pq_train_residual_codebook(
     lane's pins tolerate (exactness pins are codebook-independent, the
     losslessness pins compare against the PERSISTED codebook).
     ``n_codes`` (r15): codewords per subspace — PQ_K for the 4-bit
-    default, 256 for pq_bits=8."""
+    default, 256 for pq_bits=8. ``train_cap`` (r15): train over the
+    first train_cap rows of ``assigned`` in the coarse trainer's
+    seeded-hash order — same bounded-sample discipline, same reason
+    (the iterations are the avoidable full-catalog passes; the encode
+    of every vector happens downstream regardless)."""
     from ..functions.vectors import l2sq
     from .similarity import PQ_K, _pq_subvecs
 
     if n_codes is None:
         n_codes = PQ_K
-    sv = _pq_subvecs(_residual_xn(assigned, cent), "vec_id", "sv")
+    rows = assigned
+    if train_cap is not None:
+        # same single-partition-after-limit hazard as the coarse
+        # trainer's sample (FIXTURES.md #13) — restore width before the
+        # subvector explode + Lloyd passes
+        rows = (
+            assigned.orderBy(int_hash(F.col("vec_id"), 0, seed), "vec_id")
+            .limit(train_cap)
+            .repartition(assigned.sparkSession.sparkContext.defaultParallelism)
+        )
+    sv = _pq_subvecs(_residual_xn(rows, cent), "vec_id", "sv")
     worder = Window.partitionBy("m").orderBy(
         int_hash(F.col("vec_id"), 0, seed), "vec_id"
     )
@@ -688,6 +730,7 @@ def build_ivf_index(
     pq: bool = False,
     by_residual: bool = False,
     pq_bits: int = 4,
+    train_max_per_cell: int | None = None,
 ) -> None:
     """Train the coarse quantizer and write the index.
 
@@ -731,7 +774,23 @@ def build_ivf_index(
     reason (BASELINE.md r14/r15): at ~500 candidates/cell BOTH 4-bit
     modes' codes stop ranking within the cell — 8-bit codes are the
     escape hatch at that density; the marker, pack/rank-table/LUT, and
-    every lifecycle encode thread the persisted width."""
+    every lifecycle encode thread the persisted width.
+
+    ``train_max_per_cell`` (r15 — the bounded-sample trainer): run the
+    Lloyd iterations (coarse AND, under by_residual, the residual
+    codebook) over the first ``train_max_per_cell * n_cells`` vectors
+    in seeded-hash order instead of the full catalog — the standard
+    coarse-quantizer training bound (FAISS trains on a capped sample;
+    256/cell is its convention). Measured reason (BASELINE.md r15
+    ivf_scale receipt): training passes are the n^1.5 term that
+    dominates the build by x100 catalog (447 s at 200k vectors), while
+    the one full-catalog assignment pass the index REQUIRES is a
+    single n*n_cells map — sampling the trainer bounds the avoidable
+    part. Training-time only: nothing about the persisted layout,
+    lifecycle encodes, or search changes; quality holds where cells
+    are genuinely clustered (recall pinned on the clustered corpus)
+    because Lloyd needs density, not every point. None (default) =
+    train on everything — byte-identical to the pre-r15 path."""
     # ADVICE r14: silent-ignore is the wrong contract for PQ options
     # on a pq=False build
     if not pq:
@@ -747,6 +806,11 @@ def build_ivf_index(
             )
     if pq_bits not in (4, 8):
         raise ValueError(f"pq_bits must be 4 or 8, got {pq_bits}")
+    if train_max_per_cell is not None and train_max_per_cell < 1:
+        raise ValueError(
+            f"train_max_per_cell must be >= 1 when set, got {train_max_per_cell}"
+        )
+    train_cap = None if train_max_per_cell is None else train_max_per_cell * n_cells
     # the build consumes every iteration checkpoint by the final writes,
     # so its scratch is self-contained: collect the exact ids each
     # checkpoint pins (scoped_checkpoint — a global before/after diff
@@ -755,7 +819,7 @@ def build_ivf_index(
     # until driver GC)
     build_ids: set[int] = set()
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-    cent = _train_centroids(v, n_cells, iters, seed, build_ids)
+    cent = _train_centroids(v, n_cells, iters, seed, build_ids, train_cap=train_cap)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     assigned = scoped_checkpoint(
         _assign(v, cent).select("vec_id", "embedding", "ne", "cid"), build_ids
@@ -772,7 +836,8 @@ def build_ivf_index(
         n_codes = 1 << pq_bits
         cb = (
             _pq_train_residual_codebook(
-                assigned, cent, seed, build_ids=build_ids, n_codes=n_codes
+                assigned, cent, seed, build_ids=build_ids, n_codes=n_codes,
+                train_cap=train_cap,
             )
             if by_residual
             else _pq_train_codebook(v, seed, n_codes=n_codes)
@@ -1270,7 +1335,8 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
 
 
 def rebuild_index(
-    spark, index_dir: str, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED
+    spark, index_dir: str, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED,
+    train_max_per_cell: int | None = None,
 ) -> dict:
     """The documented :func:`cell_skew` rebuild trigger made
     actionable: retrain the coarse quantizer over the CURRENT catalog
@@ -1303,7 +1369,7 @@ def rebuild_index(
     tmp = index_dir.rstrip("/") + "_rebuild"
     build_ivf_index(
         spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq,
-        by_residual=by_res, pq_bits=bits,
+        by_residual=by_res, pq_bits=bits, train_max_per_cell=train_max_per_cell,
     )
     tables = ["centroids", "cells"] + (
         ["pq_codebook", "pq_codes", "pq_mode"] if pq else []

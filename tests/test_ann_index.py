@@ -1117,3 +1117,77 @@ def test_density_floor_escape_loop_end_to_end(spark, tmp_path):
     )
     assert adc_rec >= 5 * floor_rec, (floor_rec, adc_rec)
     assert adc_rec >= 0.4, (floor_rec, adc_rec)
+
+
+def test_bounded_sample_trainer_quality_and_contract(spark, tmp_path):
+    """r15: build_ivf_index(train_max_per_cell=N) bounds the Lloyd
+    iterations (coarse + residual codebook) to the first N*n_cells
+    vectors in seeded-hash order — the avoidable n^1.5 term the
+    ivf_scale receipt measured dominating the build. Pins: (1) the
+    sampled build still degrades gracefully to exact brute at covering
+    probe (exactness never depended on centroid quality); (2) on the
+    clustered corpus a genuine sample (256 of 400 vectors) loses no
+    recall at the multi-probe operating point; (3) the validation
+    contract rejects a sub-1 cap."""
+    import pytest as _pytest
+
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = str(tmp_path / "sampled")
+    build_ivf_index(
+        spark, emb, idx, n_cells=32, iters=3, pq=True, by_residual=True,
+        train_max_per_cell=8,  # cap 256 < 400 rows: a genuine sample
+    )
+    # independent brute: direct cross-join top-K over the corpus
+    e = emb.withColumn("ne", F.sqrt(norm2(as_double(F.col("embedding")))))
+    qn = e.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"),
+    )
+    scored = (
+        qn.crossJoin(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "ne")
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")), as_double(F.col("embedding")),
+                    F.col("nq"), F.col("ne"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ind_brute = _recall_sets(
+        scored.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") <= K)
+    )
+    brute = _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=32))
+    assert _recall_at(brute, ind_brute) == 1.0  # covering probe == brute
+    recs = {
+        p: _recall_at(
+            _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=p)), brute
+        )
+        for p in (1, 4)
+    }
+    assert recs[4] >= 0.9, recs  # sampled centroids keep the operating point
+    adc = _recall_at(
+        _recall_sets(
+            ivf_search(
+                spark, idx, queries, k=K, n_probe=4, adc=True, shortlist=32,
+                shortlist_per_probe=True,
+            )
+        ),
+        brute,
+    )
+    assert adc >= 0.9, (recs, adc)  # sampled residual codebook still ranks
+    with _pytest.raises(ValueError, match="train_max_per_cell"):
+        build_ivf_index(
+            spark, emb, str(tmp_path / "bad"), n_cells=8, train_max_per_cell=0
+        )
