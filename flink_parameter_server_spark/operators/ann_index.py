@@ -731,6 +731,8 @@ def build_ivf_index(
     by_residual: bool = False,
     pq_bits: int = 4,
     train_max_per_cell: int | None = None,
+    two_level: bool = False,
+    n_super: int | None = None,
 ) -> None:
     """Train the coarse quantizer and write the index.
 
@@ -790,7 +792,22 @@ def build_ivf_index(
     lifecycle encodes, or search changes; quality holds where cells
     are genuinely clustered (recall pinned on the clustered corpus)
     because Lloyd needs density, not every point. None (default) =
-    train on everything — byte-identical to the pre-r15 path."""
+    train on everything — byte-identical to the pre-r15 path.
+
+    ``two_level`` (r15 — the other half of the build-at-scale story):
+    route BOTH the Lloyd training passes AND the final full-catalog
+    assignment through the centroid-of-centroids prune
+    (:func:`kmeans_assign_two_level`'s machinery) — ~2n*sqrt(k)
+    cosines instead of n*k, the term `train_max_per_cell` cannot
+    remove because the index requires every vector assigned once.
+    Approximation contract (same as the r11 assignment prune):
+    ``n_super=1`` degenerates to the flat build BITWISE (one super
+    cell holds every centroid — pinned); at real ``n_super`` a vector
+    can land in a different cell than flat argmax, which moves
+    RECALL, never correctness — cells remain a partition of the
+    catalog, so the covering probe stays exact (pinned against an
+    independent brute) and lifecycle appends (flat-assigned by
+    add_vectors) coexist in the same cells table."""
     # ADVICE r14: silent-ignore is the wrong contract for PQ options
     # on a pq=False build
     if not pq:
@@ -810,6 +827,12 @@ def build_ivf_index(
         raise ValueError(
             f"train_max_per_cell must be >= 1 when set, got {train_max_per_cell}"
         )
+    # same silent-ignore contract as the PQ options (ADVICE r14)
+    if n_super is not None and not two_level:
+        raise ValueError(
+            "build_ivf_index(n_super=...) requires two_level=True — "
+            "n_super sizes the super-quantizer of the two-level prune"
+        )
     train_cap = None if train_max_per_cell is None else train_max_per_cell * n_cells
     # the build consumes every iteration checkpoint by the final writes,
     # so its scratch is self-contained: collect the exact ids each
@@ -819,10 +842,18 @@ def build_ivf_index(
     # until driver GC)
     build_ids: set[int] = set()
     v = _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
-    cent = _train_centroids(v, n_cells, iters, seed, build_ids, train_cap=train_cap)
+    cent = _train_centroids(
+        v, n_cells, iters, seed, build_ids,
+        two_level=two_level, n_super=n_super, train_cap=train_cap,
+    )
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    if two_level:
+        children, sup_local = _two_level_tables(spark, cent, n_super, iters, seed)
+        final_assign = _two_level_assign(v, children, sup_local)
+    else:
+        final_assign = _assign(v, cent)
     assigned = scoped_checkpoint(
-        _assign(v, cent).select("vec_id", "embedding", "ne", "cid"), build_ids
+        final_assign.select("vec_id", "embedding", "ne", "cid"), build_ids
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/cells")
     if pq:
@@ -1337,6 +1368,8 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
 def rebuild_index(
     spark, index_dir: str, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED,
     train_max_per_cell: int | None = None,
+    two_level: bool = False,
+    n_super: int | None = None,
 ) -> dict:
     """The documented :func:`cell_skew` rebuild trigger made
     actionable: retrain the coarse quantizer over the CURRENT catalog
@@ -1370,6 +1403,7 @@ def rebuild_index(
     build_ivf_index(
         spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq,
         by_residual=by_res, pq_bits=bits, train_max_per_cell=train_max_per_cell,
+        two_level=two_level, n_super=n_super,
     )
     tables = ["centroids", "cells"] + (
         ["pq_codebook", "pq_codes", "pq_mode"] if pq else []

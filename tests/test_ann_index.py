@@ -1191,3 +1191,90 @@ def test_bounded_sample_trainer_quality_and_contract(spark, tmp_path):
         build_ivf_index(
             spark, emb, str(tmp_path / "bad"), n_cells=8, train_max_per_cell=0
         )
+
+
+def test_two_level_build_degenerate_exact_and_operating_point(spark, tmp_path):
+    """r15: build_ivf_index(two_level=True) routes training AND the
+    final full-catalog assignment through the centroid-of-centroids
+    prune (~2n*sqrt(k) vs n*k — the build term train_max_per_cell
+    cannot remove). Pins the approximation contract: (1) n_super=1
+    degenerates to the flat build BITWISE (identical (vec_id, cid)
+    cells); (2) at real n_super the covering probe stays exact against
+    an independent brute (cells partition the catalog regardless of
+    assignment quality) and the clustered operating point holds;
+    (3) n_super without two_level raises; (4) composes with the
+    sampled trainer + by-residual PQ (ADC searches run)."""
+    import pytest as _pytest
+
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    flat_idx = str(tmp_path / "flat")
+    deg_idx = str(tmp_path / "deg")
+    build_ivf_index(spark, emb, flat_idx, n_cells=16, iters=2)
+    build_ivf_index(
+        spark, emb, deg_idx, n_cells=16, iters=2, two_level=True, n_super=1
+    )
+    flat_cells = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{flat_idx}/cells")
+        .select("vec_id", "cid").collect()
+    }
+    deg_cells = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{deg_idx}/cells")
+        .select("vec_id", "cid").collect()
+    }
+    assert flat_cells == deg_cells  # one super cell == flat, bitwise
+    # real n_super, composed with sampled trainer + residual PQ
+    idx = str(tmp_path / "2l")
+    build_ivf_index(
+        spark, emb, idx, n_cells=32, iters=3, two_level=True,
+        train_max_per_cell=8, pq=True, by_residual=True,
+    )
+    e = emb.withColumn("ne", F.sqrt(norm2(as_double(F.col("embedding")))))
+    qn = e.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"),
+    )
+    scored = (
+        qn.crossJoin(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding", "ne")
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                _fast_cosine(
+                    as_double(F.col("qv")), as_double(F.col("embedding")),
+                    F.col("nq"), F.col("ne"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ind_brute = _recall_sets(
+        scored.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") <= K)
+    )
+    covering = _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=32))
+    assert _recall_at(covering, ind_brute) == 1.0
+    p4 = _recall_at(
+        _recall_sets(ivf_search(spark, idx, queries, k=K, n_probe=4)), ind_brute
+    )
+    assert p4 >= 0.9, p4
+    adc = _recall_at(
+        _recall_sets(
+            ivf_search(
+                spark, idx, queries, k=K, n_probe=4, adc=True, shortlist=32,
+                shortlist_per_probe=True,
+            )
+        ),
+        ind_brute,
+    )
+    assert adc >= 0.9, (p4, adc)
+    with _pytest.raises(ValueError, match="n_super"):
+        build_ivf_index(spark, emb, str(tmp_path / "bad2"), n_cells=8, n_super=2)

@@ -121,6 +121,16 @@ def main() -> int:
         )
         build_sampled_s = round(time.monotonic() - t0, 2)
         scratch_release()
+        # r15: both build-side levers — bounded-sample training AND the
+        # two-level assignment prune (~2n*sqrt(k) vs n*k on the one
+        # full-catalog pass the index requires)
+        t0 = time.monotonic()
+        build_ivf_index(
+            spark, emb, f"{idx}_2l", n_cells=n_cells, iters=2, pq=True,
+            by_residual=True, train_max_per_cell=256, two_level=True,
+        )
+        build_2l_sampled_s = round(time.monotonic() - t0, 2)
+        scratch_release()
         q = _queries(spark, emb_path).cache()
         q.count()
         row = {
@@ -128,6 +138,7 @@ def main() -> int:
             "n_cells": n_cells,
             "build_s": build_s,
             "build_sampled_s": build_sampled_s,
+            "build_2l_sampled_s": build_2l_sampled_s,
             "train_rows_sampled": min(n, 256 * n_cells),
         }
         for name, kw in (
