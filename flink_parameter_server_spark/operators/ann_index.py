@@ -572,6 +572,39 @@ def pq_by_residual(spark, index_dir: str) -> bool:
     return bool(row["by_residual"]) if row is not None else False
 
 
+def assign_two_level(spark, index_dir: str) -> bool:
+    """Was this index built with the two-level assignment prune? The
+    persisted ``assign_children``/``assign_super`` tables ARE the mode
+    marker (r15) — their presence means every lifecycle assignment
+    must dispatch through them (add_vectors replay-idempotency: a
+    replayed id must land in the cell it is already in, which only a
+    persisted, immutable quantizer guarantees). Indexes built flat —
+    including every pre-r15 index — read as False."""
+    from ..sources.fsutil import path_exists
+
+    return path_exists(spark, f"{index_dir}/assign_children")
+
+
+def _load_assign_tables(spark, index_dir: str):
+    return (
+        spark.read.parquet(f"{index_dir}/assign_children"),
+        spark.read.parquet(f"{index_dir}/assign_super"),
+    )
+
+
+def _assign_for_index(spark, index_dir: str, vn: DataFrame) -> DataFrame:
+    """Assign a normed (vec_id, embedding, ne) frame in the index's
+    PERSISTED mode — the coarse-assignment analog of
+    :func:`_encode_codes`: the one dispatch point every post-build
+    assignment shares, so a two-level index can never accrete
+    flat-argmax rows (or vice versa)."""
+    if assign_two_level(spark, index_dir):
+        children, sup_local = _load_assign_tables(spark, index_dir)
+        return _two_level_assign(vn, children, sup_local)
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    return _assign(vn, cent)
+
+
 def pq_code_bits(spark, index_dir: str) -> int:
     """Persisted code width in bits per subspace (r15): 4 = the nibble
     packing default (PQ_K=16 codewords), 8 = byte packing (256
@@ -849,8 +882,26 @@ def build_ivf_index(
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     if two_level:
         children, sup_local = _two_level_tables(spark, cent, n_super, iters, seed)
+        # the quantizer hierarchy PERSISTS (r15): assignment must be a
+        # deterministic function of persisted state for add_vectors'
+        # replay-idempotency contract (a replayed id must land in the
+        # cell it is already in) — the derived super tables' Lloyd is
+        # float-fold-order dependent across runs, so deriving them per
+        # append could re-place a replayed id and silently duplicate
+        # it. Same design as pq_mode: persist the mode, dispatch every
+        # later assignment through it.
+        children.write.mode("overwrite").parquet(f"{index_dir}/assign_children")
+        sup_local.write.mode("overwrite").parquet(f"{index_dir}/assign_super")
         final_assign = _two_level_assign(v, children, sup_local)
     else:
+        # a flat (re)build over a previously two-level dir must clear
+        # the stale hierarchy, or mode detection would keep dispatching
+        # appends through a quantizer the cells no longer follow
+        from ..sources.fsutil import delete_path, path_exists as _pe
+
+        for tbl in ("assign_children", "assign_super"):
+            if _pe(spark, f"{index_dir}/{tbl}"):
+                delete_path(spark, f"{index_dir}/{tbl}")
         final_assign = _assign(v, cent)
     assigned = scoped_checkpoint(
         final_assign.select("vec_id", "embedding", "ne", "cid"), build_ids
@@ -1007,7 +1058,14 @@ def ivf_search(
         "ne",
     )
     if two_level:
-        children, sup_local = _two_level_tables(spark, cent, None, 2, IVF_SEED)
+        # a two-level-BUILT index persists its hierarchy (r15) — use it
+        # (consistent with the cells' own assignment, and free); derive
+        # from the centroids only on a flat-built index, the pre-r15
+        # behavior
+        if assign_two_level(spark, index_dir):
+            children, sup_local = _load_assign_tables(spark, index_dir)
+        else:
+            children, sup_local = _two_level_tables(spark, cent, None, 2, IVF_SEED)
         probes = _two_level_assign(
             q, children, sup_local, n_super_probe=n_super_probe, keep_top=n_probe
         ).select(
@@ -1230,7 +1288,12 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     embedding, ne, cid) from this module's own ``_assign`` arithmetic
     (e.g. semantic_dedup's per-batch assignment) and skips the
     re-norm + re-assign pass entirely; the caller vouches for
-    batch-unique vec_ids in that case.
+    batch-unique vec_ids in that case — AND (r15) for matching the
+    index's persisted assignment mode: on a two-level-built index
+    (:func:`assign_two_level`) a flat-argmax preassignment can place a
+    replayed id in a different cell than the build did, defeating the
+    presence probe below. Non-preassigned calls dispatch through
+    :func:`_assign_for_index` automatically.
 
     Drift: appended vectors join their nearest EXISTING cell, so a
     shifting distribution skews cell sizes instead of moving
@@ -1241,7 +1304,6 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
     if preassigned:
         v = emb.select("vec_id", "embedding", "ne", "cid")
     else:
-        cent = spark.read.parquet(f"{index_dir}/centroids")
         # one row per vec_id WITHIN the batch too (ADVICE r8): the
         # left_anti below only guards against ids already indexed, so an
         # intra-batch duplicate id would append twice and surface as a
@@ -1249,13 +1311,19 @@ def add_vectors(spark, index_dir: str, emb: DataFrame, preassigned: bool = False
         # keeper = min embedding (as its string rendering) per vec_id —
         # duplicate ids with conflicting embeddings violate the one-id
         # contract anyway, but the keeper must not depend on scan order.
+        # Assignment dispatches through the index's PERSISTED mode
+        # (r15, _assign_for_index): on a two-level-built index a flat
+        # argmax here could place a replayed id in a DIFFERENT cell
+        # than the build did — the presence probe scans only the
+        # batch's cells, so the replay would append a silent duplicate.
         wdup = Window.partitionBy("vec_id").orderBy(F.col("embedding").cast("string"))
-        v = _assign(
+        v = _assign_for_index(
+            spark,
+            index_dir,
             _normed(emb.select("vec_id", "embedding"), "embedding", "ne")
             .withColumn("_rn", F.row_number().over(wdup))
             .where(F.col("_rn") == 1)
             .drop("_rn"),
-            cent,
         )
     # pin the assignment once: the touched-cid collect, the cells
     # append, and (on a PQ index) the codes append all consume it
@@ -1368,7 +1436,7 @@ def compact_index(spark, index_dir: str, target_files_per_cell: int = 1) -> None
 def rebuild_index(
     spark, index_dir: str, n_cells: int = 16, iters: int = 2, seed: int = IVF_SEED,
     train_max_per_cell: int | None = None,
-    two_level: bool = False,
+    two_level: bool | None = None,
     n_super: int | None = None,
 ) -> dict:
     """The documented :func:`cell_skew` rebuild trigger made
@@ -1399,19 +1467,29 @@ def rebuild_index(
     pq = path_exists(spark, os.path.join(index_dir, "pq_codebook"))
     by_res = pq and pq_by_residual(spark, index_dir)
     bits = pq_code_bits(spark, index_dir) if pq else 4
+    # two_level=None (default) inherits the persisted assignment mode,
+    # like pq/by_res/bits above; an explicit bool overrides (r15)
+    two_l = assign_two_level(spark, index_dir) if two_level is None else two_level
     tmp = index_dir.rstrip("/") + "_rebuild"
     build_ivf_index(
         spark, emb, tmp, n_cells=n_cells, iters=iters, seed=seed, pq=pq,
         by_residual=by_res, pq_bits=bits, train_max_per_cell=train_max_per_cell,
-        two_level=two_level, n_super=n_super,
+        two_level=two_l, n_super=n_super,
     )
     tables = ["centroids", "cells"] + (
         ["pq_codebook", "pq_codes", "pq_mode"] if pq else []
-    )
+    ) + (["assign_children", "assign_super"] if two_l else [])
     for name in tables:
         old = os.path.join(index_dir, name)
         delete_path(spark, old)
         rename_path(spark, os.path.join(tmp, name), old)
+    if not two_l:
+        # a flat rebuild of a previously two-level index sheds the
+        # stale hierarchy (the swap list above never visits it)
+        for name in ("assign_children", "assign_super"):
+            old = os.path.join(index_dir, name)
+            if path_exists(spark, old):
+                delete_path(spark, old)
     delete_path(spark, tmp)
     return cell_skew(spark, index_dir)
 
@@ -1515,5 +1593,6 @@ def index_stats(spark, index_dir: str) -> dict:
         "pq": pq,
         "by_residual": pq_by_residual(spark, index_dir) if pq else False,
         "pq_bits": pq_code_bits(spark, index_dir) if pq else None,
+        "assign_mode": "two_level" if assign_two_level(spark, index_dir) else "flat",
         "density_regime": regime,
     }

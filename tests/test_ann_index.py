@@ -1278,3 +1278,53 @@ def test_two_level_build_degenerate_exact_and_operating_point(spark, tmp_path):
     assert adc >= 0.9, (p4, adc)
     with _pytest.raises(ValueError, match="n_super"):
         build_ivf_index(spark, emb, str(tmp_path / "bad2"), n_cells=8, n_super=2)
+
+
+def test_two_level_lifecycle_mode_dispatch(spark, tmp_path):
+    """r15: a two-level build PERSISTS its quantizer hierarchy and
+    every later lifecycle assignment dispatches through it (the
+    coarse-assignment analog of the pq_mode design). Pins: (1)
+    add_vectors appends FOLLOW the persisted prune (recomputed
+    persisted-mode assignment == what landed in cells), so (2) a
+    replayed batch is idempotent — the hazard this exists to prevent
+    is a flat-argmax replay landing an id in a different cell than the
+    build did and silently duplicating it; (3) the PQ codes replica
+    stays in lockstep through mode-dispatched appends; (4) rebuild
+    inherits the persisted mode by default and an explicit flat
+    rebuild sheds the hierarchy."""
+    from flink_parameter_server_spark.operators.ann_index import (
+        _assign_for_index,
+        _normed,
+        rebuild_index,
+    )
+
+    emb = _clustered_emb(spark)
+    base = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "2ll")
+    build_ivf_index(
+        spark, base, idx, n_cells=16, iters=2, two_level=True, pq=True,
+        by_residual=True,
+    )
+    assert index_stats(spark, idx)["assign_mode"] == "two_level"
+    add_vectors(spark, idx, batch)
+    assert spark.read.parquet(f"{idx}/cells").count() == 400
+    add_vectors(spark, idx, batch)  # replay: idempotent under the mode
+    assert spark.read.parquet(f"{idx}/cells").count() == 400
+    assert spark.read.parquet(f"{idx}/pq_codes").count() == 400
+    vn = _normed(batch.select("vec_id", "embedding"), "embedding", "ne")
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in _assign_for_index(spark, idx, vn)
+        .select("vec_id", "cid").collect()
+    }
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{idx}/cells")
+        .where(F.col("vec_id") >= 300).select("vec_id", "cid").collect()
+    }
+    assert got == want  # appends followed the persisted prune
+    rebuild_index(spark, idx, n_cells=16, iters=2)
+    assert index_stats(spark, idx)["assign_mode"] == "two_level"
+    rebuild_index(spark, idx, n_cells=16, iters=2, two_level=False)
+    assert index_stats(spark, idx)["assign_mode"] == "flat"
