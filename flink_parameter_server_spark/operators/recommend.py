@@ -109,26 +109,46 @@ def copurchase_recommend_top5(spark, sf_dir, broadcast_dims: bool = True):
         .distinct()
     )
     already = cust_items.select("custkey", F.col("item").alias("rec"))
-    # Shuffle layout: the scored candidate set (|cust_items| x CAND_M,
-    # ~15.5M rows at sf0.1) is the expensive thing to move, so move it
-    # ONCE. Both small sides broadcast (cooc is capped at |items| x
-    # CAND_M by construction; `already` is one (custkey, item) pair set),
-    # then a single repartition on custkey feeds BOTH the aggregation and
-    # the window: hash(custkey) satisfies the clustering requirement of
-    # groupBy(custkey, rec) and of the custkey window, so neither inserts
-    # another exchange — one wide shuffle total, vs agg-on-(custkey,rec)
-    # + window-on-custkey re-shuffles of the same 15.5M rows.
+    # Shuffle layout (r15 optimization, guide §2.3/§8: make every shuffle
+    # but the last move a lightweight proxy): establish the custkey
+    # partitioning BEFORE the CAND_M-fold candidate fan-out, not after.
+    # The pre-join (custkey, item) set is ~30x smaller than the scored
+    # candidate set (|cust_items| x CAND_M, ~16.5M rows at sf0.1), and
+    # hash(custkey) satisfies the clustering requirement of BOTH the
+    # groupBy(custkey, rec) and the custkey window, while the broadcast
+    # joins preserve the streamed side's partitioning — so the scored
+    # fan-out crosses ZERO exchanges (measured: one 550k-row exchange
+    # replaces the 16.5M-row one, 5.4 -> 4.6 s at sf0.1; plan receipt in
+    # plans/r15/copurchase_recommend_top5_after.txt).
+    # Two deliberate details:
+    # - the repartition sits ABOVE the cache read (the cached plan's
+    #   output partitioning is not propagated to consumers under AQE, so
+    #   repartitioning before the cache was measured useless), and moves
+    #   only the narrow pre-fan-out rows;
+    # - the width is pinned to defaultParallelism, NOT left to AQE
+    #   coalescing: AQE sizes the exchange by its own ~10 MB output and
+    #   would collapse it to 1-2 partitions, serializing the 30x fan-out
+    #   ABOVE it (measured 8.0 s vs 4.6 s). The explicit width scales
+    #   with the cluster, not with the pre-fan-out byte count.
     # At 100 TB neither side broadcasts: drop both hints and the same
-    # program runs as co-partitioned SMJs (AQE picks them); the
-    # one-exchange agg+window reuse still holds.
+    # program runs as co-partitioned SMJs (AQE picks them) with the
+    # post-anti-join repartition feeding agg + window as before.
     maybe_broadcast = F.broadcast if broadcast_dims else (lambda df: df)
-    scores = (
-        cust_items.join(maybe_broadcast(cooc), "item")
-        .join(maybe_broadcast(already), ["custkey", "rec"], "left_anti")
-        .repartition("custkey")
-        .groupBy("custkey", "rec")
-        .agg(F.sum("w").alias("score"))
+    streamed = (
+        cust_items.repartition(
+            cust_items.sparkSession.sparkContext.defaultParallelism, "custkey"
+        )
+        if broadcast_dims
+        else cust_items
     )
+    pre = streamed.join(maybe_broadcast(cooc), "item").join(
+        maybe_broadcast(already), ["custkey", "rec"], "left_anti"
+    )
+    if not broadcast_dims:
+        # SMJ path: the joins re-keyed the rows (item, then custkey/rec);
+        # one custkey repartition of the scored set feeds agg + window
+        pre = pre.repartition("custkey")
+    scores = pre.groupBy("custkey", "rec").agg(F.sum("w").alias("score"))
     w = Window.partitionBy("custkey").orderBy(F.col("score").desc(), F.col("rec"))
     return scores.select("custkey", "rec", "score", F.row_number().over(w).alias("rk")).where(
         F.col("rk") <= TOP_K
