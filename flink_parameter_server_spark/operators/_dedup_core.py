@@ -181,7 +181,7 @@ CC_MAX_ITERS = 15
 
 
 def star_connected_components(
-    edges, max_rounds: int = CC_MAX_ITERS, probe_every: int = 2,
+    edges, max_rounds: int = CC_MAX_ITERS, probe_every: int = 1,
     scratch_ids: set[int] | None = None,
 ):
     """Alternating small-star/large-star connected components (Kiveris et
@@ -199,11 +199,20 @@ def star_connected_components(
     Each half-round is one groupBy-min + one join (two shuffles/round),
     edge set localCheckpoint'ed so lineage stays flat. Convergence is
     probed every `probe_every` rounds with a single tiny aggregate
-    (count + order-independent hash-sum of the edge set) instead of a
-    per-round driver job (VERDICT r2 task #4's probe-cadence ask);
+    (count + order-independent hash-sum of the edge set);
     exceeding `max_rounds` RAISES rather than silently returning
     unconverged labels (ADVICE r2: the old loop fell through after
     CC_MAX_ITERS with wrong clusters).
+
+    ``probe_every`` defaults to 1 (r15, guide §1 measure-first): the
+    probe is one count+hash aggregate over the round's already-
+    checkpointed edge set — orders of magnitude cheaper than a round
+    (five shuffle stages + an eager checkpoint). With cadence 2 a graph
+    that stabilizes at round k ran to the next even round before the
+    equality was seen (measured at sf0.1: the minhash graph converged
+    at round 2 but ran 4 rounds, 2x the loop cost; cadence 1 returned
+    at round 2). Cadence >1 only pays when the probe itself rivals a
+    round, which the bounded aggregate never does.
 
     Returns (parents DataFrame (child, root), rounds_used).
     edges: DataFrame (a, b), undirected, no self loops required.

@@ -1423,7 +1423,7 @@ def embedding_semantic_pairs(spark, sf_dir, assign=None):
     return _semantic_pairs(scratch(ivf_assign(emb)))
 
 
-def semdedup_prune(spark, sf_dir, assign=None):
+def semdedup_prune(spark, sf_dir, assign=None, _parents=None):
     """SemDeDup's keep-rule over the semantic pair graph: connected
     components of same-cell duplicate pairs (star-CC, the shared
     _dedup_core machinery), and within each component KEEP the vector
@@ -1444,7 +1444,15 @@ def semdedup_prune(spark, sf_dir, assign=None):
     r10: ann_index.kmeans_assign(keep_centroid_cos=True) drives the
     whole prune through fixed-k sampled-k-means cells, the 100 TB
     geometry (k ~ sqrt(n): bounded broadcast, sub-quadratic assignment
-    AND pair join — sizing analysis in ann_index.kmeans_centroids)."""
+    AND pair join — sizing analysis in ann_index.kmeans_centroids).
+
+    ``_parents``: a precomputed CC parents frame (child ``a`` -> root
+    ``b``) over this assign's pair graph — r15: dedup_cluster_canonical
+    runs ONE fused star-CC over the text and semantic edge sets (on
+    disjoint encoded id spaces) and hands the decoded semantic half
+    here, instead of this function paying a second full CC loop. The
+    caller owns the equivalence argument (same pair generator, same
+    assign)."""
     from ..scratch import scratch
     from ._dedup_core import star_connected_components
 
@@ -1463,10 +1471,13 @@ def semdedup_prune(spark, sf_dir, assign=None):
         assign = scratch(
             ivf_assign(emb, keep_centroid_cos=True).where(F.col("ne") > 0)
         )
-    pairs = _semantic_pairs(assign).select(
-        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
-    )
-    parents, _ = star_connected_components(pairs)
+    if _parents is None:
+        pairs = _semantic_pairs(assign).select(
+            F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+        )
+        parents, _ = star_connected_components(pairs)
+    else:
+        parents = _parents
     labeled = (
         assign.select("vec_id", "cid", "cos_c")
         .join(

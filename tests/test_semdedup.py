@@ -255,3 +255,52 @@ def test_counted_centroid_rule_bounded_at_sqrt_n(spark):
         .collect()
     }
     assert got_cids <= want_cids and got_cids
+
+
+def test_fused_cc_matches_standalone_runs(spark):
+    """r15: dedup_cluster_canonical fuses the text (minhash) and
+    semantic (IVF-cell) CC runs into ONE star-CC over disjoint encoded
+    id spaces (2*id / 2*id+1). Pin the equivalence on both scales: the
+    'text' half must equal a standalone star-CC over the minhash pair
+    graph, and the 'semantic' half a standalone semdedup_prune."""
+    from flink_parameter_server_spark.operators._dedup_core import (
+        star_connected_components,
+    )
+    from flink_parameter_server_spark.operators._util import t
+    from flink_parameter_server_spark.operators.dedup import (
+        dedup_cluster_canonical,
+        dedup_minhash_lsh,
+    )
+    from flink_parameter_server_spark.operators.similarity import semdedup_prune
+    from flink_parameter_server_spark.scratch import release
+
+    for sf in (SF_SMALL, SF_MED):
+        release()
+        fused = dedup_cluster_canonical(spark, sf)
+        got_text = {
+            (r["doc_id"], r["cluster"], r["is_canonical"])
+            for r in fused.where("space = 'text'").collect()
+        }
+        got_sem = {
+            (r["doc_id"], r["cluster"], r["is_canonical"])
+            for r in fused.where("space = 'semantic'").collect()
+        }
+
+        release()
+        pairs = dedup_minhash_lsh(spark, sf).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        parents, _ = star_connected_components(pairs)
+        roots = {r["a"]: r["b"] for r in parents.collect()}
+        want_text = set()
+        for r in t(spark, sf, "documents").select("doc_id").collect():
+            root = roots.get(r["doc_id"], r["doc_id"])
+            want_text.add((r["doc_id"], root, int(root == r["doc_id"])))
+        assert got_text == want_text
+
+        release()
+        want_sem = {
+            (r["vec_id"], r["component"], r["keep"])
+            for r in semdedup_prune(spark, sf).collect()
+        }
+        assert got_sem == want_sem
