@@ -600,15 +600,28 @@ def embedding_ann_topk(spark, sf_dir):
     # one scratch-persisted flat cell assignment feeds the ivf AND
     # ivfpq branches (r12 — the double-compute class)
     assign1 = scratch(ivf_assign(embeddings_normed(spark, sf_dir)))
-    ivf = embedding_ivf_ann(spark, sf_dir, _assign=assign1).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    # r15: the in-cell EXACT cosine set (query x cell-mate, the 'ivf'
+    # branch's scored frame) is also exactly what both PQ lanes consume
+    # — as the candidate pair set for ADC ranking and as the refine
+    # scores for their shortlists. Compute it once, scratch it, and let
+    # all three branches read it (it was computed 3x before: the ivf
+    # re-rank and each lane's refine join re-derived the same rounded
+    # cosines from the raw vectors).
+    scored1 = scratch(_ivf_scored(assign1))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    ivfpq = embedding_ivfpq_ann(spark, sf_dir, _assign=assign1).select(
-        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    ivf = (
+        scored1.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 1)
+        .select(
+            F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+        )
     )
-    ivfpqr = embedding_ivfpq_res_ann(spark, sf_dir, _assign=assign1).select(
-        F.lit("ivfpq_res").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
+    # both PQ lanes through ONE fused ADC -> shortlist -> refine chain
+    # (lane-discriminated union: half the joins/windows of two separate
+    # lane plans; per-lane arithmetic unchanged — see _ivfpq_fused)
+    pq_both = _ivfpq_fused(spark, sf_dir, assign1, scored1)
     # one scratch-persisted two-level catalog assignment feeds BOTH
     # ivf2 branches (r12 — the double-compute class)
     assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
@@ -624,8 +637,7 @@ def embedding_ann_topk(spark, sf_dir):
     return (
         brute.unionByName(simhash)
         .unionByName(ivf)
-        .unionByName(ivfpq)
-        .unionByName(ivfpqr)
+        .unionByName(pq_both)
         .unionByName(ivf2)
         .unionByName(ivf2p)
     )
@@ -947,6 +959,127 @@ def embedding_ivf_ann(spark, sf_dir, _assign=None, k: int = 1):
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _ivf_scored(assign):
+    """The flat-IVF in-cell EXACT cosine set: (query_id, neighbor_id,
+    cos_sim 6dp) for every %50 query x same-cell catalog vector — the
+    shared sub-result of the consolidated ANN entry (r15): the 'ivf'
+    branch window-ranks it directly, and both PQ lanes consume it as
+    their candidate pair set AND their refine scores (the three
+    branches previously re-derived these cosines independently)."""
+    q = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"), "cid",
+    )
+    return q.join(assign, "cid").where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _fast_cosine(
+                as_double(F.col("qv")), as_double(F.col("embedding")),
+                F.col("nq"), F.col("ne"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+
+
+def _ivfpq_fused(spark, sf_dir, assign, scored):
+    """Both IVFADC lanes (method='ivfpq' plain / 'ivfpq_res'
+    by-residual) through ONE lane-discriminated ADC -> shortlist ->
+    refine chain (r15). Per-lane arithmetic is IDENTICAL to
+    :func:`embedding_ivfpq_ann` / :func:`embedding_ivfpq_res_ann` at
+    the registered defaults (k=1, shortlist=None): the lane-specific
+    pieces (codebook, codes, per-query LUT) are built per lane exactly
+    as before, then union with a `method` column so the candidate
+    join, the ADC window, the refine join and the final top-k window
+    each run ONCE over (method, query_id) instead of once per lane —
+    and the refine reads the shared exact-cosine frame (``scored``)
+    instead of re-deriving cosines from raw vectors. Equivalence is
+    pinned test-side against the standalone lane functions; the
+    standalone functions remain the sweepable (k=, shortlist=) tool
+    surface."""
+    from ..scratch import scratch
+
+    refine_n = PQ_SHORTLIST
+    emb = embeddings_normed(spark, sf_dir)
+
+    # --- plain lane builds (embedding_ivfpq_ann verbatim)
+    cb_p = scratch(pq_codebook(emb))
+    codes_p = pq_codes_arr(emb, codebook=cb_p).withColumnRenamed("vec_id", "neighbor_id")
+    lut_p = pq_lut_map(emb.where(F.col("vec_id") % 50 == 0), cb_p)
+
+    # --- residual lane builds (embedding_ivfpq_res_ann verbatim)
+    nrow = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    centn = (
+        emb.crossJoin(F.broadcast(nrow))
+        .where(F.col("vec_id") % counted_stride_col(F.col("n_emb")) == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(
+                as_double(F.col("embedding")), lambda c: c / F.col("ne")
+            ).alias("cvn"),
+        )
+    )
+    rx = scratch(
+        _pq_normed(assign, keep=("cid",))
+        .join(F.broadcast(centn), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("xn", "cvn", lambda a, b: a - b).alias("xn"),
+        )
+    )
+    cb_r = scratch(
+        _pq_subvecs(
+            rx.crossJoin(F.broadcast(nrow))
+            .where(F.col("vec_id") % _pq_stride_col(F.col("n_emb")) == 0)
+            .select("vec_id", "xn"),
+            "vec_id",
+            "cs",
+        ).select(F.col("vec_id").alias("aid"), "m", "cs")
+    )
+    codes_r = pq_codes_from_xn(rx.select("vec_id", "xn"), cb_r).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    lut_r = pq_lut_map(emb.where(F.col("vec_id") % 50 == 0), cb_r)
+
+    # --- fused chain
+    codes = codes_p.select(F.lit("ivfpq").alias("method"), "neighbor_id", "codes").unionByName(
+        codes_r.select(F.lit("ivfpq_res").alias("method"), "neighbor_id", "codes")
+    )
+    luts = lut_p.select(F.lit("ivfpq").alias("method"), "query_id", "lmap").unionByName(
+        lut_r.select(F.lit("ivfpq_res").alias("method"), "query_id", "lmap")
+    )
+    cand = scored.select("query_id", "neighbor_id")
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(luts, ["method", "query_id"])
+        .select(
+            "method",
+            "query_id",
+            "neighbor_id",
+            pq_adc_mic(F.col("codes"), F.col("lmap")).alias("adc_mic"),
+        )
+    )
+    wq = Window.partitionBy("method", "query_id").orderBy(
+        F.col("adc_mic").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= refine_n)
+        .select("method", "query_id", "neighbor_id")
+    )
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(scored, ["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 1)
+        .select("method", "query_id", "neighbor_id", "cos_sim", "rk")
+    )
 
 
 def _pq_stride_col(n_col):
