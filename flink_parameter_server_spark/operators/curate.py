@@ -147,9 +147,24 @@ def corpus_curate(spark, sf_dir, sem_assign=None, quality_rules=None):
     from ._dedup_core import norm_content_hash
 
     nh = norm_content_hash("text")
-    surv1k = surv1.withColumn(
-        "e_ok",
-        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(nh)),
+    # r15: EAGER-checkpoint the keeper frame — it is consumed by the
+    # final decision assembly (e_ok) and, through surv2, by the
+    # signature build, the decontamination semi-join, the CC edge
+    # filters and the split; each consumer re-derived the
+    # sha256-window keeper lineage (the greason tracked-checkpoint
+    # discipline, same rationale: eager, not lazy scratch, because
+    # parallel branches of one plan race an unmaterialized cache and
+    # duplicate the compute; measured ~25% off the whole entry at
+    # sf0.1). ~46k narrow rows; at 100 TB this is the natural survivor
+    # materialization barrier between the cheap gates and the
+    # expensive pair stages.
+    from ..scratch import tracked_checkpoint as _tc
+
+    surv1k = _tc(
+        surv1.withColumn(
+            "e_ok",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(nh)),
+        ).select("doc_id", "lang", "source", "e_ok")
     )
     surv2 = surv1k.where("e_ok").select("doc_id", "lang", "source")
 
