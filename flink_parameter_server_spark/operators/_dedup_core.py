@@ -113,10 +113,14 @@ def token_hashes(docs):
     # hash-partition by doc_id (not round-robin): spreads the single-file
     # scan the same, and the per-doc reassembly groupBy below then reuses
     # this exchange instead of re-shuffling every token occurrence
-    # (measured 1.6x on the build at sf0.1)
-    pos = docs.repartition(32, F.col("doc_id")).select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
-    )
+    # (measured 1.6x on the build at sf0.1). Width = defaultParallelism
+    # (r15): the old literal 32 only matched local[32]; the exchange
+    # input is narrow (doc_id, text) but the stage ABOVE it fans out
+    # per-token work, so it must track cluster width, not byte size —
+    # the fan_out sizing rule.
+    pos = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok"))
     vhash = (
         pos.select("tok").distinct().select("tok", poly_hash(F.col("tok"), 0).alias("h"))
     )

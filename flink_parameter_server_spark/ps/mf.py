@@ -90,8 +90,12 @@ def train(spark: SparkSession, r: DataFrame, epochs: int = 2) -> DataFrame:
     # back by key: O(|users|) hash evals total, and `uv` reaches the
     # delta math as a join attribute — projection collapse cannot
     # re-inline the 8-hash init array into each transform element (the
-    # trap measured in BASELINE.md's perf notes; 25x on this trainer)
-    ufac = r.select("user").distinct().select("user", user_vec("user").alias("uv"))
+    # trap measured in BASELINE.md's perf notes; 25x on this trainer).
+    # scratch-persisted (r15): every epoch's step re-referenced the
+    # distinct+hash build, one exchange per epoch beyond the first
+    ufac = scratch(
+        r.select("user").distinct().select("user", user_vec("user").alias("uv"))
+    )
 
     def step(data: DataFrame, server: BatchParameterServer) -> DataFrame:
         pulled = server.pull(data.select(F.col("item").alias("param_id"), "user", "rating"))

@@ -32,6 +32,7 @@ maxFilesPerTrigger / maxOffsetsPerTrigger).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -47,6 +48,9 @@ from ..functions.hashing import KNUTH, MOD
 from ..ps.mf import FACTOR_HI, FACTOR_LO, ITEM_SEED, K, LR, USER_SEED
 
 STATE_SCHEMA = StructType([StructField("vec", ArrayType(DoubleType()))])
+# factor-dimension index row, hoisted out of the per-key update path
+# (one per executor import, not one per group)
+_JS = np.arange(K, dtype=np.int64)
 OUTPUT_SCHEMA = StructType(
     [StructField("item", LongType()), StructField("n_updates", LongType())]
     + [StructField(f"f{j}", DoubleType()) for j in range(K)]
@@ -75,19 +79,26 @@ def _online_mf_update(key, pdf_iter, state: GroupState):
     # Materialize the whole micro-batch for this key before sorting: a key
     # whose rows span multiple Arrow batches (> arrow.maxRecordsPerBatch)
     # must still process records in global seq order, not per-chunk order.
+    # (r15: this function runs once per ITEM key — ~19k tiny groups per
+    # micro-batch at sf0.1 — so the per-group pandas overhead IS the
+    # stream's cost; the common 1-chunk/1-row path skips concat and sort,
+    # trajectory unchanged.)
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
     if chunks:
         import numpy as np
 
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         users = pdf["user"].to_numpy(dtype=np.int64)
         ratings = pdf["rating"].to_numpy(dtype=np.float64)
+        if len(users) > 1:
+            order = np.argsort(pdf["seq"].to_numpy(dtype=np.int64), kind="stable")
+            users = users[order]
+            ratings = ratings[order]
         # vectorized batch precompute of all user vectors (the hash init
         # is pure arithmetic); the SGD recurrence itself is inherently
         # sequential (v_{t+1} depends on v_t), so only the inner K-dim
         # ops are vectorized — semantics identical to the scalar loop.
-        js = np.arange(K, dtype=np.int64)
-        hs = ((users[:, None] + 1) * KNUTH + (js[None, :] + 1) * 40503 + USER_SEED * 97) % MOD
+        hs = ((users[:, None] + 1) * KNUTH + (_JS[None, :] + 1) * 40503 + USER_SEED * 97) % MOD
         U = FACTOR_LO + hs / MOD * (FACTOR_HI - FACTOR_LO)
         vv = np.asarray(v, dtype=np.float64)
         for t in range(len(users)):
@@ -97,7 +108,10 @@ def _online_mf_update(key, pdf_iter, state: GroupState):
         v = [float(x) for x in vv]
         n += len(users)
     state.update(([float(x) for x in v],))  # plain floats: numpy scalars break state pickling
-    yield pd.DataFrame([{"item": item, "n_updates": n, **{f"f{j}": v[j] for j in range(K)}}])
+    out = {"item": item, "n_updates": n}
+    for j in range(K):
+        out[f"f{j}"] = [v[j]]
+    yield pd.DataFrame(out)
 
 
 def online_mf_stream(spark: SparkSession, ratings_stream: DataFrame) -> DataFrame:
