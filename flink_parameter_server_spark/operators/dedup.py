@@ -146,6 +146,11 @@ def dedup_minhash_lsh(spark, sf_dir, sh=None):
     )
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # |union| by inclusion-exclusion (r15, guide §1.2 per-task work):
+    # shingles are array_distinct'ed SETS, so |a ∪ b| = |a| + |b| - |a ∩ b|
+    # exactly — one O(n) hash-set pass per candidate pair instead of two,
+    # integer arithmetic, value-identical jaccard
+    isz = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
@@ -153,8 +158,8 @@ def dedup_minhash_lsh(spark, sf_dir, sh=None):
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
+                isz.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - isz)
             ).alias("jac"),
         )
     )
@@ -609,9 +614,15 @@ def dedup_ngram_jaccard(
             .select(
                 F.col("doc_id").alias("doc_a"),
                 "doc_b",
+                # grams are array_distinct'ed sets: |union| by
+                # inclusion-exclusion — one array pass, value-identical
                 (
                     F.size(F.array_intersect("grams", "grams_b")).cast("double")
-                    / F.size(F.array_union("grams", "grams_b"))
+                    / (
+                        F.size("grams")
+                        + F.size("grams_b")
+                        - F.size(F.array_intersect("grams", "grams_b"))
+                    )
                 ).alias("jac"),
             )
         )
@@ -664,9 +675,14 @@ def dedup_ngram_jaccard(
             .select(
                 "doc_a",
                 "doc_b",
+                # same inclusion-exclusion rewrite as the band strategy
                 (
                     F.size(F.array_intersect("grams", "grams_b")).cast("double")
-                    / F.size(F.array_union("grams", "grams_b"))
+                    / (
+                        F.size("grams")
+                        + F.size("grams_b")
+                        - F.size(F.array_intersect("grams", "grams_b"))
+                    )
                 ).alias("jac"),
             )
         )
