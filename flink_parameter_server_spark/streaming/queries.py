@@ -249,70 +249,89 @@ def streaming_static_enrich(spark, sf_dir):
     "tests/test_streaming.py.",
 )
 def online_ps_sequential(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from ..ps import pa
     from .online_ps import K, online_mf_stream, online_pa_stream
 
-    # --- MF: per-record SGD on item-keyed state
-    ratings = (
-        mf.ratings(spark, sf_dir)
-        .where(F.col("user") % 10 == 0)
-        .withColumn("seq", F.monotonically_increasing_id())
-        .select("seq", "user", "item", "rating")
-    )
-    # NOTE: no shuffle-partition clamp here — the per-record Python SGD
-    # loop is CPU-bound per key, so it wants the full task parallelism
-    # (unlike the pure-JVM stateful windows, where extra state stores are
-    # overhead at test scale).
-    tmp = tempfile.mkdtemp(prefix="fps_online_mf_")
-    name = f"online_mf_{uuid.uuid4().hex[:8]}"
-    ratings.coalesce(1).write.parquet(f"{tmp}/src")
-    stream = spark.readStream.schema(ratings.schema).parquet(f"{tmp}/src")
-    q = (
-        online_mf_stream(spark, stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    mf_wide = spark.table(name)
-    mf_part = (
-        mf_wide.select(
-            "item",
-            "n_updates",
-            F.posexplode(F.array(*[F.col(f"f{j}") for j in range(K)])).alias("dim", "v"),
+    # r15 (guide §2.6): the MF and PA streams are fully independent
+    # (own source dirs, checkpoints, memory sinks, state keys) but
+    # previously ran back-to-back — each is source-write + availableNow
+    # micro-batch run + awaitTermination, i.e. a serial driver wait.
+    # Running both on driver threads overlaps the two streams' batches;
+    # per-stream trajectories are untouched (each stream's within-key
+    # seq order is what defines them). Values pinned identical in the
+    # r15 A/B; measured 4.7-5.5 s -> 3.6-4.0 s at sf0.1.
+    def _mf_run():
+        # --- MF: per-record SGD on item-keyed state
+        ratings = (
+            mf.ratings(spark, sf_dir)
+            .where(F.col("user") % 10 == 0)
+            .withColumn("seq", F.monotonically_increasing_id())
+            .select("seq", "user", "item", "rating")
         )
-        .select(
-            F.lit("mf").alias("family"),
-            F.col("item").alias("key"),
-            F.col("dim").cast("long").alias("dim"),
-            F.round("v", 6).alias("value"),
-            "n_updates",
+        # NOTE: no shuffle-partition clamp here — the per-record Python
+        # SGD loop is CPU-bound per key, so it wants the full task
+        # parallelism (unlike the pure-JVM stateful windows, where extra
+        # state stores are overhead at test scale).
+        tmp = tempfile.mkdtemp(prefix="fps_online_mf_")
+        name = f"online_mf_{uuid.uuid4().hex[:8]}"
+        ratings.coalesce(1).write.parquet(f"{tmp}/src")
+        stream = spark.readStream.schema(ratings.schema).parquet(f"{tmp}/src")
+        q = (
+            online_mf_stream(spark, stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-    )
+        q.awaitTermination()
+        mf_wide = spark.table(name)
+        return (
+            mf_wide.select(
+                "item",
+                "n_updates",
+                F.posexplode(F.array(*[F.col(f"f{j}") for j in range(K)])).alias("dim", "v"),
+            )
+            .select(
+                F.lit("mf").alias("family"),
+                F.col("item").alias("key"),
+                F.col("dim").cast("long").alias("dim"),
+                F.round("v", 6).alias("value"),
+                "n_updates",
+            )
+        )
 
-    # --- PA: per-record PA-I on a single model key
-    inst = (
-        pa.instances(spark, sf_dir)
-        .where(F.col("row_id") % 4 == 0)
-        .select(
-            F.col("row_id").alias("seq"),
-            F.lit(0).cast("long").alias("model_id"),
-            "y",
-            "x",
+    def _pa_run():
+        # --- PA: per-record PA-I on a single model key
+        inst = (
+            pa.instances(spark, sf_dir)
+            .where(F.col("row_id") % 4 == 0)
+            .select(
+                F.col("row_id").alias("seq"),
+                F.lit(0).cast("long").alias("model_id"),
+                "y",
+                "x",
+            )
         )
-    )
-    out = _run_instance_stream(
-        spark, inst, lambda s: online_pa_stream(spark, s), "fps_online_pa_",
-        ["model_id", "n_updates", "feat_id", "w"],
-    )
-    pa_part = out.select(
-        F.lit("pa").alias("family"),
-        F.col("feat_id").alias("key"),
-        F.lit(0).cast("long").alias("dim"),
-        F.round(F.col("w"), 6).alias("value"),
-        "n_updates",
-    )
+        out = _run_instance_stream(
+            spark, inst, lambda s: online_pa_stream(spark, s), "fps_online_pa_",
+            ["model_id", "n_updates", "feat_id", "w"],
+        )
+        return out.select(
+            F.lit("pa").alias("family"),
+            F.col("feat_id").alias("key"),
+            F.lit(0).cast("long").alias("dim"),
+            F.round(F.col("w"), 6).alias("value"),
+            "n_updates",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mf_fut = pool.submit(inheritable_thread_target(_mf_run))
+        pa_fut = pool.submit(inheritable_thread_target(_pa_run))
+        mf_part, pa_part = mf_fut.result(), pa_fut.result()
     return mf_part.unionByName(pa_part)
