@@ -67,29 +67,47 @@ WHERE sid < max_sid
     "final watermark, ms-truncated exactly as Spark tracks it).",
 )
 def streaming_sessions(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .sinks import session_timeout_stream
     from .windows import run_to_memory, session_windows_stream
 
-    builtin = run_to_memory(
-        session_windows_stream(spark, sf_dir), f"stq_sess_{uuid.uuid4().hex[:8]}"
-    ).select(
-        F.lit("builtin").alias("impl"),
-        "user_id",
-        "session_start_us",
-        "n_events",
-        "dur_us",
-        F.lit(None).cast("string").alias("close_reason"),
-    )
-    custom = run_to_memory(
-        session_timeout_stream(spark, sf_dir), f"stq_sesstmo_{uuid.uuid4().hex[:8]}"
-    ).select(
-        F.lit("timeout_state").alias("impl"),
-        "user_id",
-        "session_start_us",
-        "n_events",
-        "dur_us",
-        "close_reason",
-    )
+    # r15 (guide §2.6): the two sessionizers are independent stream
+    # runs (own sinks/checkpoints, same read-only source) that ran
+    # back-to-back — overlap them on driver threads. Each stream's
+    # own micro-batch sequence (what its semantics depend on) is
+    # untouched; both are availableNow runs over the same static
+    # parquet events.
+    def _builtin():
+        return run_to_memory(
+            session_windows_stream(spark, sf_dir), f"stq_sess_{uuid.uuid4().hex[:8]}"
+        ).select(
+            F.lit("builtin").alias("impl"),
+            "user_id",
+            "session_start_us",
+            "n_events",
+            "dur_us",
+            F.lit(None).cast("string").alias("close_reason"),
+        )
+
+    def _custom():
+        return run_to_memory(
+            session_timeout_stream(spark, sf_dir), f"stq_sesstmo_{uuid.uuid4().hex[:8]}"
+        ).select(
+            F.lit("timeout_state").alias("impl"),
+            "user_id",
+            "session_start_us",
+            "n_events",
+            "dur_us",
+            "close_reason",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        b_fut = pool.submit(inheritable_thread_target(_builtin))
+        c_fut = pool.submit(inheritable_thread_target(_custom))
+        builtin, custom = b_fut.result(), c_fut.result()
     return builtin.unionByName(custom)
 
 
@@ -120,25 +138,41 @@ FROM events GROUP BY 1, 2, 3
     "micro-batching.",
 )
 def streaming_agg_sinks(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .sinks import foreachbatch_upsert
     from .windows import run_to_memory, tumbling_daily_stream
 
-    window_part = run_to_memory(
-        tumbling_daily_stream(spark, sf_dir), f"stq_tumb_{uuid.uuid4().hex[:8]}"
-    ).select(
-        F.lit("window_memory").alias("sink"),
-        "day",
-        "event_type",
-        "n",
-        F.lit(None).cast("double").alias("total_value"),
-    )
-    upsert_part = foreachbatch_upsert(spark, sf_dir).select(
-        F.lit("upsert_files").alias("sink"),
-        F.lit(None).cast("string").alias("day"),
-        "event_type",
-        "n",
-        "total_value",
-    )
+    # r15 (guide §2.6): the memory-sink window stream and the
+    # foreachBatch upsert stream are independent availableNow runs —
+    # overlap them on driver threads (the foreachBatch sink's scoped
+    # checkpointing is concurrency-safe by design, scratch.py).
+    def _window():
+        return run_to_memory(
+            tumbling_daily_stream(spark, sf_dir), f"stq_tumb_{uuid.uuid4().hex[:8]}"
+        ).select(
+            F.lit("window_memory").alias("sink"),
+            "day",
+            "event_type",
+            "n",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+
+    def _upsert():
+        return foreachbatch_upsert(spark, sf_dir).select(
+            F.lit("upsert_files").alias("sink"),
+            F.lit(None).cast("string").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        w_fut = pool.submit(inheritable_thread_target(_window))
+        u_fut = pool.submit(inheritable_thread_target(_upsert))
+        window_part, upsert_part = w_fut.result(), u_fut.result()
     return window_part.unionByName(upsert_part)
 
 
