@@ -589,51 +589,82 @@ SELECT * FROM ({_IVFPQ_RES_ANN_SQL}) AS ivfpq_res_part
     "adds per-subspace Lloyd residual codewords, BASELINE.md r14).",
 )
 def embedding_ann_topk(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from ..scratch import scratch
 
-    brute = embedding_cosine_topk(spark, sf_dir).select(
-        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    simhash = embedding_simhash_ann(spark, sf_dir).select(
-        F.lit("simhash").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    # one scratch-persisted flat cell assignment feeds the ivf AND
-    # ivfpq branches (r12 — the double-compute class)
-    assign1 = scratch(ivf_assign(embeddings_normed(spark, sf_dir)))
-    # r15: the in-cell EXACT cosine set (query x cell-mate, the 'ivf'
-    # branch's scored frame) is also exactly what both PQ lanes consume
-    # — as the candidate pair set for ADC ranking and as the refine
-    # scores for their shortlists. Compute it once, scratch it, and let
-    # all three branches read it (it was computed 3x before: the ivf
-    # re-rank and each lane's refine join re-derived the same rounded
-    # cosines from the raw vectors).
-    scored1 = scratch(_ivf_scored(assign1))
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    ivf = (
-        scored1.withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= 1)
-        .select(
-            F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    # r15 (guide §2.6 / §7.3): ~4 s of this entry was DRIVER-side plan
+    # construction — seven method branches' Catalyst analysis built
+    # back-to-back (the fused PQ chain alone ~1.5 s of pure DataFrame
+    # building). The four independent construction chains (brute |
+    # simhash | flat-assignment family | two-level family) now build on
+    # driver threads; the produced plans, scratch sharing and values are
+    # identical (threaded-vs-serial collect pinned in the r15 A/B).
+    # Measured: 7.6-9.0 s -> 5.6-6.5 s at sf0.1.
+    def _brute():
+        return embedding_cosine_topk(spark, sf_dir).select(
+            F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
         )
-    )
-    # both PQ lanes through ONE fused ADC -> shortlist -> refine chain
-    # (lane-discriminated union: half the joins/windows of two separate
-    # lane plans; per-lane arithmetic unchanged — see _ivfpq_fused)
-    pq_both = _ivfpq_fused(spark, sf_dir, assign1, scored1)
-    # one scratch-persisted two-level catalog assignment feeds BOTH
-    # ivf2 branches (r12 — the double-compute class)
-    assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
-    ivf2 = embedding_ivf2_ann(spark, sf_dir, _assign=assign2).select(
-        F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    ivf2p = embedding_ivf2_ann(
-        spark, sf_dir, probes=IVF2_PROBES, _assign=assign2
-    ).select(
-        F.lit(f"ivf2_p{IVF2_PROBES}").alias("method"),
-        "query_id", "neighbor_id", "cos_sim", "rk",
-    )
+
+    def _simhash():
+        return embedding_simhash_ann(spark, sf_dir).select(
+            F.lit("simhash").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+        )
+
+    def _flat_family():
+        # one scratch-persisted flat cell assignment feeds the ivf AND
+        # ivfpq branches (r12 — the double-compute class)
+        assign1 = scratch(ivf_assign(embeddings_normed(spark, sf_dir)))
+        # r15: the in-cell EXACT cosine set (query x cell-mate, the
+        # 'ivf' branch's scored frame) is also exactly what both PQ
+        # lanes consume — as the candidate pair set for ADC ranking and
+        # as the refine scores for their shortlists. Compute it once,
+        # scratch it, and let all three branches read it (it was
+        # computed 3x before: the ivf re-rank and each lane's refine
+        # join re-derived the same rounded cosines from the raw
+        # vectors).
+        scored1 = scratch(_ivf_scored(assign1))
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        ivf = (
+            scored1.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= 1)
+            .select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+            )
+        )
+        # both PQ lanes through ONE fused ADC -> shortlist -> refine
+        # chain (lane-discriminated union: half the joins/windows of two
+        # separate lane plans; per-lane arithmetic unchanged — see
+        # _ivfpq_fused)
+        return ivf, _ivfpq_fused(spark, sf_dir, assign1, scored1)
+
+    def _two_level_family():
+        # one scratch-persisted two-level catalog assignment feeds BOTH
+        # ivf2 branches (r12 — the double-compute class)
+        assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
+        ivf2 = embedding_ivf2_ann(spark, sf_dir, _assign=assign2).select(
+            F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+        )
+        ivf2p = embedding_ivf2_ann(
+            spark, sf_dir, probes=IVF2_PROBES, _assign=assign2
+        ).select(
+            F.lit(f"ivf2_p{IVF2_PROBES}").alias("method"),
+            "query_id", "neighbor_id", "cos_sim", "rk",
+        )
+        return ivf2, ivf2p
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fb = pool.submit(inheritable_thread_target(_brute))
+        fs = pool.submit(inheritable_thread_target(_simhash))
+        ff = pool.submit(inheritable_thread_target(_flat_family))
+        f2 = pool.submit(inheritable_thread_target(_two_level_family))
+        brute, simhash = fb.result(), fs.result()
+        ivf, pq_both = ff.result()
+        ivf2, ivf2p = f2.result()
     return (
         brute.unionByName(simhash)
         .unionByName(ivf)
