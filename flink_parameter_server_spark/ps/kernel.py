@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..scratch import persistent_rdd_ids, scratch, track_checkpoint_ids
+from ..scratch import scoped_checkpoint, scratch, track_checkpoint_ids
 
 InitFn = Callable[[Column], Column]  # param_id -> initial value (deterministic)
 
@@ -129,9 +129,13 @@ class BatchParameterServer:
         merged = scratch(merged)
         if self._epoch % self.checkpoint_every == 0:
             spark = merged.sparkSession
-            before = persistent_rdd_ids(spark)
-            merged = merged.localCheckpoint(eager=True)  # cut lineage
-            track_checkpoint_ids(spark, persistent_rdd_ids(spark) - before)
+            # exact-attributed lineage cut (r15): scoped_checkpoint reads
+            # the checkpoint RDD id off the LogicalRDD plan, so a trainer
+            # checkpointing on one driver thread can never claim (and
+            # later free) blocks a concurrent thread persisted
+            ids: set[int] = set()
+            merged = scoped_checkpoint(merged, ids)
+            track_checkpoint_ids(spark, ids)
         old = self.params
         self.params = merged
         if old is not None:

@@ -91,23 +91,58 @@ def tracked_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def _direct_checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """Exact block attribution for a just-localCheckpoint'ed frame: the
+    Dataset analyzes to ``LogicalRDD`` over the materialized (and
+    persisted) RDD, whose id owns the checkpoint blocks — read it off
+    the plan instead of diffing the session-global persisted-RDD set.
+    Returns None if the plan shape is ever not LogicalRDD (a Spark
+    behavior change), so the caller can fall back."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return int(plan.rdd().id())
+    except Exception:  # py4j surface moved — treat as not-attributable
+        pass
+    return None
+
+
+_DIRECT_ATTRIBUTION = True  # drops to False if the plan probe ever fails
+
+
 def scoped_checkpoint(df: DataFrame, ids: set[int]) -> DataFrame:
     """``localCheckpoint()`` whose persisted RDD ids are attributed to
     THIS call and added to ``ids`` — the caller frees exactly those at
     its own consumption barrier (``unpersist_rdd_ids``) or hands them to
     :func:`track_checkpoint_ids`.
 
-    Why not a global before/after diff around a whole batch: two
-    foreachBatch sinks sharing one SparkSession (dedup + semantic
-    streams — a normal serving deployment) interleave on driver
-    threads, and a global diff in sink A claims and frees sink B's
+    Attribution must be EXACT under driver concurrency: two foreachBatch
+    sinks sharing one SparkSession (dedup + semantic streams — a normal
+    serving deployment) interleave on driver threads, and a global
+    before/after diff in sink A claims and frees sink B's
     concurrently-pinned checkpoint blocks; localCheckpoint lineage is
     truncated, so B's decisions write then fails on missing blocks (r9
-    review). The module lock serializes only the (diff, eager
-    materialize, diff) window, making the attribution exact; concurrent
-    sinks pay lock latency during checkpoint materialization, never
-    correctness."""
+    review). r15: exactness now comes from reading the checkpointed
+    RDD's id directly off the returned Dataset's LogicalRDD plan
+    (:func:`_direct_checkpoint_rdd_id`) — no global diff, so concurrent
+    checkpoint MATERIALIZATIONS no longer serialize on the module lock
+    (the lock previously bracketed the whole eager materialize, making
+    every §2.6-style overlapped chain that checkpoints wait on every
+    other). The locked (diff, materialize, diff) window survives only
+    as the fallback if the plan probe ever stops returning LogicalRDD;
+    the one call that trips the probe keeps its blocks pinned until
+    session end (leaking one RDD is safe; freeing a guessed one is
+    not)."""
+    global _DIRECT_ATTRIBUTION
     spark = df.sparkSession
+    if _DIRECT_ATTRIBUTION:
+        out = df.localCheckpoint()
+        rid = _direct_checkpoint_rdd_id(out)
+        if rid is not None:
+            ids.add(rid)
+            return out
+        _DIRECT_ATTRIBUTION = False
+        return out
     with _CKPT_LOCK:
         before = persistent_rdd_ids(spark)
         out = df.localCheckpoint()

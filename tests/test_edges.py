@@ -69,3 +69,43 @@ def test_udf_surface_demo_runs(spark):
     rows = udf_surface_demo(spark, SF_SMALL).collect()
     assert len(rows) > 0
     assert all(r.n_toks > 0 and r.n_events == 100 for r in rows)
+
+
+def test_scoped_checkpoint_exact_attribution_concurrent(spark):
+    """r15: scoped_checkpoint attributes checkpoint blocks by reading
+    the LogicalRDD id off the returned plan (no global diff, no lock
+    around materialization). Two concurrent checkpoints must each claim
+    exactly their own RDD id, and freeing one must leave the other's
+    blocks (and data) alive."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from flink_parameter_server_spark.scratch import (
+        persistent_rdd_ids,
+        scoped_checkpoint,
+        unpersist_rdd_ids,
+    )
+
+    def ckpt(tag):
+        ids: set[int] = set()
+        df = spark.range(0, 50_000).selectExpr("id", f"id * {tag} as v")
+        out = scoped_checkpoint(df, ids)
+        return out, ids
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(inheritable_thread_target(ckpt), 3)
+        f2 = pool.submit(inheritable_thread_target(ckpt), 7)
+        out1, ids1 = f1.result()
+        out2, ids2 = f2.result()
+
+    # each call claimed exactly one id, they differ, and both are live
+    assert len(ids1) == 1 and len(ids2) == 1 and ids1 != ids2
+    live = persistent_rdd_ids(spark)
+    assert ids1 <= live and ids2 <= live
+    # freeing one must not touch the other: its blocks stay persisted
+    # and its (lineage-truncated) data remains readable
+    unpersist_rdd_ids(spark, ids1)
+    assert ids2 <= persistent_rdd_ids(spark)
+    assert out2.count() == 50_000
+    unpersist_rdd_ids(spark, ids2)
