@@ -745,27 +745,47 @@ FROM ({SEMANTIC_PAIRS_SQL}) AS sem_part
     "this module and operators/similarity.py.",
 )
 def dedup_near_dup_pairs(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .similarity import embedding_near_dup_pairs, embedding_semantic_pairs
 
-    emb = embedding_near_dup_pairs(spark, sf_dir).select(
-        F.lit("embedding").alias("method"),
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.col("cos_sim").alias("score"),
-    )
-    sem = embedding_semantic_pairs(spark, sf_dir).select(
-        F.lit("semantic").alias("method"),
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.col("cos_sim").alias("score"),
-    )
+    # r15 (guide §2.6 / §7.3): ~2.5 s of this entry was serial
+    # driver-side plan construction across the six method branches.
+    # The shared token-hash / shingle relations build first (so every
+    # text lane closes over the same scratch frames), then the six
+    # branch constructions run on driver threads; plans and values are
+    # unchanged — only Catalyst analysis overlaps.
     tha = token_hash_arrays(spark, sf_dir)  # one hash build for all 4 text methods
     sh = hashed_shingles(spark, sf_dir, tha=tha)
+
+    builders = [
+        lambda: dedup_minhash_lsh(spark, sf_dir, sh=sh),
+        lambda: dedup_simhash(spark, sf_dir, sh=sh),
+        lambda: dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir),
+        lambda: dedup_substring_spans(spark, sf_dir, tha=tha),
+        lambda: embedding_near_dup_pairs(spark, sf_dir).select(
+            F.lit("embedding").alias("method"),
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            F.col("cos_sim").alias("score"),
+        ),
+        lambda: embedding_semantic_pairs(spark, sf_dir).select(
+            F.lit("semantic").alias("method"),
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            F.col("cos_sim").alias("score"),
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        mh, sim, ng, ss, emb, sem = pool.map(
+            inheritable_thread_target(lambda b: b()), builders
+        )
     return (
-        dedup_minhash_lsh(spark, sf_dir, sh=sh)
-        .unionByName(dedup_simhash(spark, sf_dir, sh=sh))
-        .unionByName(dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir))
-        .unionByName(dedup_substring_spans(spark, sf_dir, tha=tha))
+        mh.unionByName(sim)
+        .unionByName(ng)
+        .unionByName(ss)
         .unionByName(emb)
         .unionByName(sem)
     )
