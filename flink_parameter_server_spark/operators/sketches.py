@@ -329,12 +329,21 @@ SELECT * FROM ({_CMS_HEAVY_SQL}) AS cms_heavy_part
     "oracle.",
 )
 def sketch_point_queries(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    # r15 (guide §2.6): the three sketch branches share the persisted
+    # freq relation; their plan constructions overlap on driver threads
     freq = _lang_token_freq(spark, sf_dir)
-    return (
-        _bloom_membership(spark, sf_dir, freq=freq)
-        .unionByName(_cms_frequency(spark, sf_dir, freq=freq))
-        .unionByName(_cms_heavy(spark, sf_dir, freq=freq))
-    )
+    builders = [
+        lambda: _bloom_membership(spark, sf_dir, freq=freq),
+        lambda: _cms_frequency(spark, sf_dir, freq=freq),
+        lambda: _cms_heavy(spark, sf_dir, freq=freq),
+    ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        bloom, cms, heavy = pool.map(inheritable_thread_target(lambda b: b()), builders)
+    return bloom.unionByName(cms).unionByName(heavy)
 
 
 def _lang_token_freq(spark, sf_dir):

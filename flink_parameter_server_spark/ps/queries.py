@@ -764,12 +764,23 @@ SELECT 'doc_quality' AS task, * FROM ({_doc_quality_sql()}) AS dq_task
     "featurize, 64-key step shuffle, broadcast-w1 scoring).",
 )
 def pa_predict_binary(spark, sf_dir):
-    base = pa.predict_binary(pa.instances(spark, sf_dir)).select(
-        F.lit("embeddings").alias("task"), "row_id", "y", "y_pred", "margin"
-    )
-    dq = pa.doc_quality_filter(spark, sf_dir).select(
-        F.lit("doc_quality").alias("task"), "row_id", "y", "y_pred", "margin"
-    )
+    # r15 (guide §2.6): the two tasks are independent; their plan
+    # construction (the doc-quality featurize->train->score chain is
+    # ~1.5 s of Catalyst analysis) overlaps on driver threads
+    def _base():
+        return pa.predict_binary(pa.instances(spark, sf_dir)).select(
+            F.lit("embeddings").alias("task"), "row_id", "y", "y_pred", "margin"
+        )
+
+    def _dq():
+        return pa.doc_quality_filter(spark, sf_dir).select(
+            F.lit("doc_quality").alias("task"), "row_id", "y", "y_pred", "margin"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        b_fut = pool.submit(inheritable_thread_target(_base))
+        d_fut = pool.submit(inheritable_thread_target(_dq))
+        base, dq = b_fut.result(), d_fut.result()
     return base.unionByName(dq)
 
 
