@@ -169,39 +169,53 @@ def revenue_by_nation(spark, sf_dir):
     'rollup': ROLLUP over the region -> nation -> total hierarchy on the
     same broadcast dimension join (revenue = account-balance total).
     """
-    rollup_part = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(money_sum(F.col("s_acctbal")).alias("revenue"), F.count(F.lit(1)).alias("n_suppliers"))
-        .select(F.lit("rollup").alias("part"), "r_name", "n_name", "revenue", "n_suppliers")
-    )
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
-    nation = F.broadcast(t(spark, sf_dir, "nation"))
-    region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    by_nation = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select(
-            F.lit("by_nation").alias("part"),
-            F.lit(None).cast("string").alias("r_name"),
-            "n_name",
-            "revenue",
-            F.lit(None).cast("long").alias("n_suppliers"),
+    # r15 (guide §2.6): the star join and the rollup are independent
+    # branches — their plan constructions overlap on driver threads
+    def _rollup_part():
+        return (
+            t(spark, sf_dir, "supplier")
+            .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+            .rollup("r_name", "n_name")
+            .agg(money_sum(F.col("s_acctbal")).alias("revenue"), F.count(F.lit(1)).alias("n_suppliers"))
+            .select(F.lit("rollup").alias("part"), "r_name", "n_name", "revenue", "n_suppliers")
         )
-    )
+
+    def _by_nation():
+        cust = t(spark, sf_dir, "customer")
+        orders = t(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = t(spark, sf_dir, "lineitem")
+        supp = F.broadcast(t(spark, sf_dir, "supplier"))
+        nation = F.broadcast(t(spark, sf_dir, "nation"))
+        region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .select(
+                F.lit("by_nation").alias("part"),
+                F.lit(None).cast("string").alias("r_name"),
+                "n_name",
+                "revenue",
+                F.lit(None).cast("long").alias("n_suppliers"),
+            )
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bn_fut = pool.submit(inheritable_thread_target(_by_nation))
+        ru_fut = pool.submit(inheritable_thread_target(_rollup_part))
+        by_nation, rollup_part = bn_fut.result(), ru_fut.result()
     return by_nation.unionByName(rollup_part)
 
 

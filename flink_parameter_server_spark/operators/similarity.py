@@ -93,7 +93,7 @@ def _with_norm(df, vec_col: str, out: str, scan_partitions: int | None = None):
     # and this branch never fires.
     n = scan_partitions if scan_partitions is not None else df.rdd.getNumPartitions()
     if n < 16:
-        df = df.repartition(32)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.withColumn(out, F.sqrt(norm2(as_double(F.col(vec_col)))))
 
 

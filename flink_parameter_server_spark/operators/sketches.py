@@ -181,45 +181,61 @@ def ams_sketches(spark, sf_dir):
     # relation (one scan, one shuffle).
     occ = (
         t(spark, sf_dir, "documents")
-        .repartition(32)  # single-file scan: spread the explode
+        .repartition(spark.sparkContext.defaultParallelism)  # single-file scan: spread the explode
         .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     )
     freq = scratch(occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))
-    counters = freq.groupBy("lang").agg(
-        *[F.sum(F.col("f") * _ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
-    )
     sq_mean = (
         sum(F.col(f"c{s}") * F.col(f"c{s}") for s in AMS_SEEDS).cast("double")
         / F.lit(len(AMS_SEEDS))
     )
-    est = counters.select("lang", F.round(sq_mean, 6).alias("f2_estimate"))
-    exact = freq.groupBy("lang").agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
-    lang_part = est.join(exact, "lang").select(
-        F.lit("lang_f2").alias("sketch"),
-        F.col("lang").alias("key"),
-        "f2_estimate",
-        F.col("f2_exact").alias("f2_check"),
-    )
 
-    # time-aware variant: AMS per tumbling 1-day event-time window
-    ev = t(spark, sf_dir, "events").select(
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"), "user_id"
-    )
-    dcounters = ev.groupBy("day").agg(
-        *[
-            F.sum(
-                F.when(int_hash(F.col("user_id"), j=0, seed=s) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"c{s}")
-            for s in AMS_SEEDS
-        ],
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    daily_part = dcounters.select(
-        F.lit("daily").alias("sketch"),
-        F.col("day").alias("key"),
-        F.round(sq_mean, 6).alias("f2_estimate"),
-        F.col("n_events").alias("f2_check"),
-    )
+    # r15 (guide §2.6): the lang_f2 and daily branches touch different
+    # tables and share nothing but the seed list — their plan
+    # constructions (the 8-seed interpreted-hash agg trees are the bulk
+    # of this entry's ~1.2 s Catalyst analysis) overlap on driver threads
+    def _lang_part():
+        counters = freq.groupBy("lang").agg(
+            *[F.sum(F.col("f") * _ams_sign(F.col("tok"), s)).alias(f"c{s}") for s in AMS_SEEDS]
+        )
+        est = counters.select("lang", F.round(sq_mean, 6).alias("f2_estimate"))
+        exact = freq.groupBy("lang").agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
+        return est.join(exact, "lang").select(
+            F.lit("lang_f2").alias("sketch"),
+            F.col("lang").alias("key"),
+            "f2_estimate",
+            F.col("f2_exact").alias("f2_check"),
+        )
+
+    def _daily_part():
+        # time-aware variant: AMS per tumbling 1-day event-time window
+        ev = t(spark, sf_dir, "events").select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        dcounters = ev.groupBy("day").agg(
+            *[
+                F.sum(
+                    F.when(int_hash(F.col("user_id"), j=0, seed=s) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+                ).alias(f"c{s}")
+                for s in AMS_SEEDS
+            ],
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return dcounters.select(
+            F.lit("daily").alias("sketch"),
+            F.col("day").alias("key"),
+            F.round(sq_mean, 6).alias("f2_estimate"),
+            F.col("n_events").alias("f2_check"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        l_fut = pool.submit(inheritable_thread_target(_lang_part))
+        d_fut = pool.submit(inheritable_thread_target(_daily_part))
+        lang_part, daily_part = l_fut.result(), d_fut.result()
     return lang_part.unionByName(daily_part)
 
 
@@ -352,7 +368,7 @@ def _lang_token_freq(spark, sf_dir):
     instead of two each)."""
     occ = (
         t(spark, sf_dir, "documents")
-        .repartition(32)  # single-file scan: spread the explode
+        .repartition(spark.sparkContext.defaultParallelism)  # single-file scan: spread the explode
         .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     )
     return scratch(occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))

@@ -743,7 +743,7 @@ def text_profile(spark, sf_dir):
 
     th_df = tk.select(
         "doc_id", F.expr(f"transform(toks, s -> {_ph_ssql('s', 0)})").alias("th")
-    ).repartition(32, "doc_id")
+    ).repartition(tk.sparkSession.sparkContext.defaultParallelism, "doc_id")
     # ExactSubstr REMOVAL (late r11, Lee et al. 2022): per-doc deleted
     # token positions from corpus-wide duplicate spans — reuses this
     # entry's th build (the removal's own shuffles are linear; see

@@ -288,26 +288,26 @@ def topk_candidates(
         users = (
             t(spark, sf_dir, "customer")
             .where(F.col("c_custkey") % user_stride == 0)
-            .repartition(32)
+            .repartition(spark.sparkContext.defaultParallelism)
             .select(F.col("c_custkey").alias("user"), user_vec("c_custkey").alias("uv"))
         )
     else:
         users = user_factors.select(
             F.col("id").alias("user"), F.col("vec").alias("uv")
-        ).repartition(32)
+        ).repartition(spark.sparkContext.defaultParallelism)
     users = users.withColumn("unorm", F.sqrt(vectors.dot_fixed(F.col("uv"), F.col("uv"), K)))
     # repartition: the part table is one parquet split; without this the
     # whole pair loop runs in a single task
     if item_factors is None:
         items = (
             t(spark, sf_dir, "part")
-            .repartition(32)
+            .repartition(spark.sparkContext.defaultParallelism)
             .select(F.col("p_partkey").alias("item"), item_vec("p_partkey").alias("iv"))
         )
     else:
         items = item_factors.select(
             F.col("id").alias("item"), F.col("vec").alias("iv")
-        ).repartition(32)
+        ).repartition(spark.sparkContext.defaultParallelism)
     items = items.withColumn("inorm", F.sqrt(vectors.dot_fixed(F.col("iv"), F.col("iv"), K)))
     prefix = items.orderBy(F.col("inorm").desc(), F.col("item")).limit(SEED_M)
     # users stay DISTRIBUTED; only the bounded SEED_M-row prefix is
@@ -369,7 +369,7 @@ def topk_candidates(
         # upstream is ~|users| tiny rows, AQE folds its exchange to one
         # partition, and without this the whole pair-scoring probe (the
         # expensive part) runs in a single task
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     scored = (
         users_b.join(items_b, ["band", "salt"])

@@ -89,60 +89,73 @@ def ps_kernel_ops(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
 
-    # --- pull over lazily-initialized K=4 item vectors
-    keys = (
-        li.where(F.col("l_orderkey") % 100 == 0)
-        .select(F.col("l_partkey").alias("param_id"))
-        .distinct()
-    )
-    pulled = BatchParameterServer(init_fn=lambda pid: mf.item_vec(pid)).pull(keys)
-    pull_part = pulled.select(
-        F.lit("pull").alias("op"),
-        "param_id",
-        F.posexplode("value").alias("dim", "raw"),
-    ).select("op", "param_id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("w"))
+    # r15 (guide §2.6): the dump->load->pull leg runs EAGER work at
+    # build time (a checkpointed push fold, a parquet model dump, the
+    # reload) while the pull/push legs are pure plan construction —
+    # the two run on driver threads so the eager leg's jobs overlap
+    # the other legs' Catalyst analysis.
+    def _pull_push():
+        # --- pull over lazily-initialized K=4 item vectors
+        keys = (
+            li.where(F.col("l_orderkey") % 100 == 0)
+            .select(F.col("l_partkey").alias("param_id"))
+            .distinct()
+        )
+        pulled = BatchParameterServer(init_fn=lambda pid: mf.item_vec(pid)).pull(keys)
+        pull_part = pulled.select(
+            F.lit("pull").alias("op"),
+            "param_id",
+            F.posexplode("value").alias("dim", "raw"),
+        ).select("op", "param_id", F.col("dim").cast("long").alias("dim"), F.round("raw", 6).alias("w"))
 
-    # --- push: fold one round of summed deltas into init state
-    deltas = li.groupBy(F.col("l_partkey").alias("param_id")).agg(
-        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d")
-    )
-    push_part = deltas.select(
-        F.lit("push").alias("op"),
-        "param_id",
-        F.lit(0).cast("long").alias("dim"),
-        F.round(
-            factor_element(F.col("param_id"), F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
-            + F.lit(0.001) * F.col("d").cast("double"),
-            6,
-        ).alias("w"),
-    )
+        # --- push: fold one round of summed deltas into init state
+        deltas = li.groupBy(F.col("l_partkey").alias("param_id")).agg(
+            F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d")
+        )
+        push_part = deltas.select(
+            F.lit("push").alias("op"),
+            "param_id",
+            F.lit(0).cast("long").alias("dim"),
+            F.round(
+                factor_element(F.col("param_id"), F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+                + F.lit(0.001) * F.col("d").cast("double"),
+                6,
+            ).alias("w"),
+        )
+        return pull_part, push_part
 
-    # --- dump -> load -> pull (A6/B11)
-    init_fn = lambda pid: F.array(  # noqa: E731
-        factor_element(pid, F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
-    )
-    load_deltas = (
-        li.where(F.col("l_partkey") % 3 == 0)
-        .groupBy(F.col("l_partkey").alias("param_id"))
-        .agg(F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d"))
-        .select("param_id", F.array(F.lit(0.001) * F.col("d").cast("double")).alias("delta"))
-    )
-    trained = BatchParameterServer(init_fn=init_fn)
-    trained.push(load_deltas)
-    tmp = tempfile.mkdtemp(prefix="fps_model_dump_")
-    trained.params.write.mode("overwrite").parquet(f"{tmp}/model")
-    loaded = BatchParameterServer.load(spark, f"{tmp}/model", init_fn=init_fn)
-    load_keys = (
-        t(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 20 == 0)
-        .select(F.col("p_partkey").alias("param_id"))
-    )
-    load_part = loaded.pull(load_keys).select(
-        F.lit("load_pull").alias("op"),
-        "param_id",
-        F.lit(0).cast("long").alias("dim"),
-        F.round(F.element_at("value", 1), 6).alias("w"),
-    )
+    def _load():
+        # --- dump -> load -> pull (A6/B11)
+        init_fn = lambda pid: F.array(  # noqa: E731
+            factor_element(pid, F.lit(0), mf.ITEM_SEED, mf.FACTOR_LO, mf.FACTOR_HI)
+        )
+        load_deltas = (
+            li.where(F.col("l_partkey") % 3 == 0)
+            .groupBy(F.col("l_partkey").alias("param_id"))
+            .agg(F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,6)")).alias("d"))
+            .select("param_id", F.array(F.lit(0.001) * F.col("d").cast("double")).alias("delta"))
+        )
+        trained = BatchParameterServer(init_fn=init_fn)
+        trained.push(load_deltas)
+        tmp = tempfile.mkdtemp(prefix="fps_model_dump_")
+        trained.params.write.mode("overwrite").parquet(f"{tmp}/model")
+        loaded = BatchParameterServer.load(spark, f"{tmp}/model", init_fn=init_fn)
+        load_keys = (
+            t(spark, sf_dir, "part")
+            .where(F.col("p_partkey") % 20 == 0)
+            .select(F.col("p_partkey").alias("param_id"))
+        )
+        return loaded.pull(load_keys).select(
+            F.lit("load_pull").alias("op"),
+            "param_id",
+            F.lit(0).cast("long").alias("dim"),
+            F.round(F.element_at("value", 1), 6).alias("w"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pp_fut = pool.submit(inheritable_thread_target(_pull_push))
+        ld_fut = pool.submit(inheritable_thread_target(_load))
+        (pull_part, push_part), load_part = pp_fut.result(), ld_fut.result()
 
     return pull_part.unionByName(push_part).unionByName(load_part)
 
@@ -849,18 +862,30 @@ FROM base LEFT JOIN deltas USING (class_id, feat_id)
 )
 def pa_step_weights(spark, sf_dir):
     inst = scratch(pa.instances(spark, sf_dir))  # feeds both parts
-    binaries = pa.binary_steps_all_variants(inst).select(
-        "variant",
-        F.lit(-1).cast("long").alias("class_id"),
-        "feat_id",
-        F.round("w", 6).alias("w"),
-    )
-    multi = pa.multiclass_step(inst).select(
-        F.lit("mc").alias("variant"),
-        F.col("class_id").cast("long").alias("class_id"),
-        F.col("feat_id").cast("long").alias("feat_id"),
-        F.round("w", 6).alias("w"),
-    )
+
+    # r15 (guide §2.6): the two branch constructions are ~1.6 s of
+    # Catalyst analysis (64-wide constant-folded expression trees);
+    # they are independent given inst, so they analyze on driver threads
+    def _binaries():
+        return pa.binary_steps_all_variants(inst).select(
+            "variant",
+            F.lit(-1).cast("long").alias("class_id"),
+            "feat_id",
+            F.round("w", 6).alias("w"),
+        )
+
+    def _multi():
+        return pa.multiclass_step(inst).select(
+            F.lit("mc").alias("variant"),
+            F.col("class_id").cast("long").alias("class_id"),
+            F.col("feat_id").cast("long").alias("feat_id"),
+            F.round("w", 6).alias("w"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        b_fut = pool.submit(inheritable_thread_target(_binaries))
+        m_fut = pool.submit(inheritable_thread_target(_multi))
+        binaries, multi = b_fut.result(), m_fut.result()
     return binaries.unionByName(multi)
 
 
