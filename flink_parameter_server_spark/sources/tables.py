@@ -28,9 +28,25 @@ TABLES = (
 )
 
 
+# (session, sf_dir, table) -> lazy scan DataFrame. Each load_table call
+# used to re-run spark.read.parquet — a driver-side file listing plus a
+# footer schema read, measured 100-160 ms/call at sf0.1 — and entries
+# call their tables several times per plan construction. The memo
+# returns the SAME lazy scan plan (guide §6: cached file listing);
+# nothing about execution changes — every action still scans the
+# parquet files. Keyed on the session object so a restarted session
+# (tests) gets fresh scans; fixture files are static for a process's
+# lifetime, which is the memo's contract.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark, os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -46,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz: same instant under UTC
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _SCAN_CACHE[key] = df
     return df
 
 
