@@ -30,6 +30,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# (session, sf_dir) -> probed physical type of events.ts (see
+# stream_events; fixture files are static for a process's lifetime)
+_TS_TYPE_CACHE: dict[tuple, str] = {}
+
+
 def _events_schema(ts_type: str) -> StructType:
     # three-way on the probed dtype, mirroring sources/tables.py: int64
     # nanos (nanosAsLong read mode), UTC-adjusted micros ('timestamp'),
@@ -62,7 +67,14 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
-    ts_type = dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
+    # r15: memoize the footer probe like sources.tables._SCAN_CACHE —
+    # a batch-read schema probe costs ~100 ms of driver listing per
+    # stream construction and the fixture file is static per process
+    key = (spark, os.path.abspath(sf_dir))
+    ts_type = _TS_TYPE_CACHE.get(key)
+    if ts_type is None:
+        ts_type = dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
+        _TS_TYPE_CACHE[key] = ts_type
     reader = spark.readStream.schema(_events_schema(ts_type)).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
