@@ -39,14 +39,11 @@ def main():
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     qs = entrymod.queries()
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
     for name in NAMES:
         fn = qs[name]
         for rep in range(3):
             release()
             sc.setJobDescription(f"{name} rep{rep}")
-            jobs0 = len(tracker.getJobIdsForGroup() or [])
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get() if False else None
             t0 = time.time()
             fn(spark, SF).count()
             dt = time.time() - t0
