@@ -28,6 +28,20 @@ multimodal_pipeline [1.80, 0.61, 0.61]) that medians absorbed but a
 warmup removes at the source, making the n reps i.i.d.  BASELINE.md
 notes the series change.
 
+Since round 16 (VERDICT r15 next-round #7/#9, additions only):
+- the compact artifact stamps `default_parallelism` (sc.defaultParallelism)
+  and the resolved `master` string so the driver's scaling heuristic can
+  self-verify that SPARK_GRAFT_CPUS was honored (r15's
+  `suspect_cpus_ignored` fired falsely);
+- entries whose WARMUP rep ran under 1 s get
+  $SPARK_GRAFT_BENCH_REPS_SUBSEC timed reps (default 7) instead of
+  $SPARK_GRAFT_BENCH_REPS: 16 of r15's 18 "regressed" entries were
+  untouched sub-second tails whose 3-rep medians moved 0.02-0.4 s on a
+  drifting host. More reps on sub-second entries cost ~0.5 min total
+  and cut the false-regression rate; medians stay medians, heavier
+  entries keep the exact r5+ methodology. The per-entry rep count is
+  recorded in the samples side file (len of each sample list).
+
 Since round 7 (VERDICT r6 next-round #1): the bench is PROBE-GATED.
 Before any timed rep it runs tools/host_health.probe() (two small
 plan-stable entries vs the committed healthy-host medians in
@@ -113,9 +127,28 @@ def main() -> None:
     errors: dict[str, str] = {}
     warmup_errors: dict[str, str] = {}
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
-    for rep in range(-warmup, reps):
+    # r16: sub-second entries get extra reps (noise control, see header).
+    # target_reps stays `reps` until an entry's warmup proves it
+    # sub-second; entries with no/failed warmup keep the base rep count.
+    reps_subsec = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUBSEC", "7")))
+    target_reps: dict[str, int] = {n: reps for n in names}
+
+    def rep_sequence():
+        # warmup passes first (target_reps learned there), then timed
+        # passes up to the per-entry target; entries interleave within
+        # each pass exactly as before so host drift spreads across all
+        for r in range(-warmup, 0):
+            yield r
+        r = 0
+        while any(r < target_reps[n] for n in names):
+            yield r
+            r += 1
+
+    for rep in rep_sequence():
         timed = rep >= 0
         for name in names:
+            if timed and rep >= target_reps[name]:
+                continue
             t0 = time.time()
             # one broken entry (e.g. a fixture-regen surprise) must not
             # cost the round its other 49 numbers — record and move on
@@ -135,6 +168,8 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if timed:
                 samples[name].append(dt)
+            elif dt < 1.0:
+                target_reps[name] = reps_subsec
             tag = f"rep{rep}" if timed else "warmup"
             print(f"# {tag} {name}: {dt:.2f}s ({n_rows} rows)", file=sys.stderr)
 
@@ -165,6 +200,11 @@ def main() -> None:
         ),
         "sf": float(sf),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # r16 (VERDICT r15 #7): self-describing scaling artifacts — the
+        # effective width the session actually ran with, not just the env
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
     }
     if errors:
         compact["errors"] = errors

@@ -611,19 +611,22 @@ def dedup_ngram_jaccard(
                 & (F.col("doc_id") < F.col("doc_b")),
             )
             .where(F.abs(F.col("n_chars") - F.col("nc_b")) <= NGRAM_BAND)
+            # grams are array_distinct'ed sets: |union| by
+            # inclusion-exclusion — one array pass, value-identical.
+            # r16: the intersection size is computed ONCE in a prior
+            # projection (was twice in one expression, relying on
+            # codegen CSE to dedup the O(n) array pass).
             .select(
                 F.col("doc_id").alias("doc_a"),
                 "doc_b",
-                # grams are array_distinct'ed sets: |union| by
-                # inclusion-exclusion — one array pass, value-identical
-                (
-                    F.size(F.array_intersect("grams", "grams_b")).cast("double")
-                    / (
-                        F.size("grams")
-                        + F.size("grams_b")
-                        - F.size(F.array_intersect("grams", "grams_b"))
-                    )
-                ).alias("jac"),
+                F.size("grams").alias("sz_a"),
+                F.size("grams_b").alias("sz_b"),
+                F.size(F.array_intersect("grams", "grams_b")).alias("sz_i"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("sz_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("sz_i"))).alias("jac"),
             )
         )
     elif strategy == "prefix":
@@ -672,18 +675,19 @@ def dedup_ngram_jaccard(
             cand.join(ga, "doc_a")
             .join(gb, "doc_b")
             .where(F.abs(F.col("nc_a") - F.col("nc_b")) <= NGRAM_BAND)
+            # same inclusion-exclusion rewrite as the band strategy,
+            # intersection size computed once in a prior projection (r16)
             .select(
                 "doc_a",
                 "doc_b",
-                # same inclusion-exclusion rewrite as the band strategy
-                (
-                    F.size(F.array_intersect("grams", "grams_b")).cast("double")
-                    / (
-                        F.size("grams")
-                        + F.size("grams_b")
-                        - F.size(F.array_intersect("grams", "grams_b"))
-                    )
-                ).alias("jac"),
+                F.size("grams").alias("sz_a"),
+                F.size("grams_b").alias("sz_b"),
+                F.size(F.array_intersect("grams", "grams_b")).alias("sz_i"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("sz_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("sz_i"))).alias("jac"),
             )
         )
     else:
@@ -850,12 +854,16 @@ def dedup_cluster_canonical(spark, sf_dir):
         (F.col("vec_a") * 2 + 1).alias("a"), (F.col("vec_b") * 2 + 1).alias("b")
     )
     parents, _ = star_connected_components(text_pairs.unionByName(sem_pairs))
+    # integer decode (r16, ADVICE r15): x >> 1 inverts both encodings
+    # exactly (2*id -> id, 2*id+1 -> id) over the full documented
+    # id < 2^62 range; the previous double division was only exact
+    # below 2^53. Components never bridge spaces, so a and b always
+    # share the parity selected on `a`.
     tparents = parents.where(F.col("a") % 2 == 0).select(
-        (F.col("a") / 2).cast("long").alias("a"), (F.col("b") / 2).cast("long").alias("b")
+        F.shiftright("a", 1).alias("a"), F.shiftright("b", 1).alias("b")
     )
     sparents = parents.where(F.col("a") % 2 == 1).select(
-        ((F.col("a") - 1) / 2).cast("long").alias("a"),
-        ((F.col("b") - 1) / 2).cast("long").alias("b"),
+        F.shiftright("a", 1).alias("a"), F.shiftright("b", 1).alias("b")
     )
     labels = (
         t(spark, sf_dir, "documents")

@@ -28,13 +28,14 @@ must be consumed before the next registry query starts; that is the
 documented contract of the driver harness and of every runner in this
 repo.
 
-Driver-side id-diffing of ``getPersistentRDDs`` assumes one query
-builds at a time (single driver thread) — true for every harness here.
+Checkpoint block attribution is per-call and lock-free (r15: the id is
+read directly off the checkpointed Dataset's LogicalRDD plan), so
+queries may materialize checkpoints from several driver threads at once
+— which the §2.6 intra-query overlaps introduced in r15 do.
 """
 
 from __future__ import annotations
 
-import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,6 @@ from pyspark.storagelevel import StorageLevel
 
 _CACHED: list[DataFrame] = []
 _CHECKPOINT_HANDLES: list[Any] = []  # py4j JavaRDD handles
-_CKPT_LOCK = threading.Lock()
 
 
 def scratch(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
@@ -107,9 +107,6 @@ def _direct_checkpoint_rdd_id(df: DataFrame) -> int | None:
     return None
 
 
-_DIRECT_ATTRIBUTION = True  # drops to False if the plan probe ever fails
-
-
 def scoped_checkpoint(df: DataFrame, ids: set[int]) -> DataFrame:
     """``localCheckpoint()`` whose persisted RDD ids are attributed to
     THIS call and added to ``ids`` — the caller frees exactly those at
@@ -122,31 +119,20 @@ def scoped_checkpoint(df: DataFrame, ids: set[int]) -> DataFrame:
     before/after diff in sink A claims and frees sink B's
     concurrently-pinned checkpoint blocks; localCheckpoint lineage is
     truncated, so B's decisions write then fails on missing blocks (r9
-    review). r15: exactness now comes from reading the checkpointed
-    RDD's id directly off the returned Dataset's LogicalRDD plan
+    review). r15: exactness comes from reading the checkpointed RDD's id
+    directly off the returned Dataset's LogicalRDD plan
     (:func:`_direct_checkpoint_rdd_id`) — no global diff, so concurrent
-    checkpoint MATERIALIZATIONS no longer serialize on the module lock
-    (the lock previously bracketed the whole eager materialize, making
-    every §2.6-style overlapped chain that checkpoints wait on every
-    other). The locked (diff, materialize, diff) window survives only
-    as the fallback if the plan probe ever stops returning LogicalRDD;
-    the one call that trips the probe keeps its blocks pinned until
-    session end (leaking one RDD is safe; freeing a guessed one is
-    not)."""
-    global _DIRECT_ATTRIBUTION
-    spark = df.sparkSession
-    if _DIRECT_ATTRIBUTION:
-        out = df.localCheckpoint()
-        rid = _direct_checkpoint_rdd_id(out)
-        if rid is not None:
-            ids.add(rid)
-            return out
-        _DIRECT_ATTRIBUTION = False
-        return out
-    with _CKPT_LOCK:
-        before = persistent_rdd_ids(spark)
-        out = df.localCheckpoint()
-        ids |= persistent_rdd_ids(spark) - before
+    checkpoint MATERIALIZATIONS don't serialize on a module lock. r16
+    (ADVICE r15): a probe failure no longer flips a process-global into
+    a locked diff-mode fallback — mixed-mode attribution could claim a
+    concurrent direct-mode thread's blocks, the exact r9 bug class.
+    Instead, THAT call's blocks simply stay pinned until session end
+    (leaking one RDD is safe; freeing a guessed one is not), and the
+    next call probes again."""
+    out = df.localCheckpoint()
+    rid = _direct_checkpoint_rdd_id(out)
+    if rid is not None:
+        ids.add(rid)
     return out
 
 

@@ -11,6 +11,7 @@ partitioned/bucketed table layout with no code change.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,26 +29,33 @@ TABLES = (
 )
 
 
-# (session, sf_dir, table) -> lazy scan DataFrame. Each load_table call
+# session -> {(sf_dir, table): lazy scan DataFrame}. Each load_table call
 # used to re-run spark.read.parquet — a driver-side file listing plus a
 # footer schema read, measured 100-160 ms/call at sf0.1 — and entries
 # call their tables several times per plan construction. The memo
 # returns the SAME lazy scan plan (guide §6: cached file listing);
 # nothing about execution changes — every action still scans the
-# parquet files. Keyed on the session object so a restarted session
-# (tests) gets fresh scans; fixture files are static for a process's
-# lifetime, which is the memo's contract.
-_SCAN_CACHE: dict[tuple, DataFrame] = {}
+# parquet files. WeakKeyDictionary keyed on the session (r16, ADVICE
+# r15): a stopped session's entries — and the py4j DataFrame handles
+# they hold — are dropped when the session is garbage-collected, so
+# multi-session test runs don't grow the cache unboundedly. Fixture
+# files are static for a process's lifetime, which is the memo's
+# contract.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark, os.path.abspath(sf_dir), name)
-    cached = _SCAN_CACHE.get(key)
+    # re-asserted on hits too: a conf reset elsewhere must be self-healed
+    # by the next load_table call (ADVICE r15), and the setting governs
+    # how the cached lazy scan READS, not how it was built.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # The fixture generator has stored ts as TIMESTAMP_NS (read as
@@ -62,7 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz: same instant under UTC
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _SCAN_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

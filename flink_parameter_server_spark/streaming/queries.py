@@ -9,6 +9,7 @@ online, D21) — is registered rows-only here.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -283,21 +284,18 @@ def streaming_static_enrich(spark, sf_dir):
     "tests/test_streaming.py.",
 )
 def online_ps_sequential(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
     from ..ps import pa
     from .online_ps import K, online_mf_stream, online_pa_stream
 
-    # r15 (guide §2.6): the MF and PA streams are fully independent
-    # (own source dirs, checkpoints, memory sinks, state keys) but
-    # previously ran back-to-back — each is source-write + availableNow
-    # micro-batch run + awaitTermination, i.e. a serial driver wait.
-    # Running both on driver threads overlaps the two streams' batches;
-    # per-stream trajectories are untouched (each stream's within-key
-    # seq order is what defines them). Values pinned identical in the
-    # r15 A/B; measured 4.7-5.5 s -> 3.6-4.0 s at sf0.1.
+    # r16: the r15 driver-thread overlap of the two streams (c8e1f46)
+    # REGRESSED under the driver's cold-process bench (4.55 -> 9.47 s at
+    # 32 cores, 8-core reps consistent) even though the warm in-process
+    # A/B showed a win: two concurrent pandas-UDF availableNow streams
+    # each spin their own Python worker pool + state stores against
+    # ~19k groups/batch, and cold-process worker spin-up contention
+    # exceeds the overlap. The streams now run back-to-back again; the
+    # r15 vectorized per-group hot path (1c75f74) stays — it is
+    # independently sound and semantics-identical.
     def _mf_run():
         # --- MF: per-record SGD on item-keyed state
         ratings = (
@@ -364,8 +362,16 @@ def online_ps_sequential(spark, sf_dir):
             "n_updates",
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        mf_fut = pool.submit(inheritable_thread_target(_mf_run))
-        pa_fut = pool.submit(inheritable_thread_target(_pa_run))
-        mf_part, pa_part = mf_fut.result(), pa_fut.result()
+    if os.environ.get("FPS_ONLINE_PS_THREADED"):  # A/B instrumentation only
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            mf_fut = pool.submit(inheritable_thread_target(_mf_run))
+            pa_fut = pool.submit(inheritable_thread_target(_pa_run))
+            mf_part, pa_part = mf_fut.result(), pa_fut.result()
+        return mf_part.unionByName(pa_part)
+    mf_part = _mf_run()
+    pa_part = _pa_run()
     return mf_part.unionByName(pa_part)

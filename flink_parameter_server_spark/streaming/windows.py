@@ -16,6 +16,8 @@ work; exercised in tests via maxFilesPerTrigger=1.
 
 from __future__ import annotations
 
+import threading
+import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +32,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# (session, sf_dir) -> probed physical type of events.ts (see
-# stream_events; fixture files are static for a process's lifetime)
-_TS_TYPE_CACHE: dict[tuple, str] = {}
+# session -> {sf_dir: probed physical type of events.ts} (see
+# stream_events; fixture files are static for a process's lifetime).
+# Weakly keyed on the session (r16, ADVICE r15) so stopped test
+# sessions don't pin cache entries for the process lifetime.
+_TS_TYPE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def _events_schema(ts_type: str) -> StructType:
@@ -70,11 +74,12 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     # r15: memoize the footer probe like sources.tables._SCAN_CACHE —
     # a batch-read schema probe costs ~100 ms of driver listing per
     # stream construction and the fixture file is static per process
-    key = (spark, os.path.abspath(sf_dir))
-    ts_type = _TS_TYPE_CACHE.get(key)
+    per_session = _TS_TYPE_CACHE.setdefault(spark, {})
+    key = os.path.abspath(sf_dir)
+    ts_type = per_session.get(key)
     if ts_type is None:
         ts_type = dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
-        _TS_TYPE_CACHE[key] = ts_type
+        per_session[key] = ts_type
     reader = spark.readStream.schema(_events_schema(ts_type)).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -123,19 +128,48 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "value")
 
 
+# Refcounted clamp state per session id: {session_id: [depth, saved_value]}.
+# spark.sql.shuffle.partitions is SESSION-global, and r15 runs two clamped
+# stream runs on concurrent driver threads (streaming_sessions,
+# streaming_agg_sinks). An unsynchronized save/restore pair interleaved
+# A-set, B-save(clamped), A-restore, B-restore would leave the session
+# permanently clamped for every later batch entry; the refcount makes the
+# FIRST enter save+set and only the LAST exit restore, so concurrent
+# streams share one clamp window and the original value always comes back.
+_CLAMP_LOCK = threading.Lock()
+_CLAMP_STATE: dict[int, list] = {}
+
+
 @contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Temporarily clamp shuffle partitions for a finite test/driver
     stream run. Stateful streaming ops allocate one state store per
     shuffle partition with AQE disabled, so at tiny scale 32 stores are
     pure per-batch overhead; a production deployment sizes this to the
-    cluster (it is baked into the checkpoint at first start)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    cluster (it is baked into the checkpoint at first start).
+
+    Concurrency-safe: nested/concurrent uses on one session refcount the
+    clamp (first enter saves + sets, last exit restores). A concurrent
+    enter with a DIFFERENT n keeps the first clamp value — all in-repo
+    callers use the default."""
+    key = id(spark)
+    with _CLAMP_LOCK:
+        state = _CLAMP_STATE.get(key)
+        if state is None:
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            _CLAMP_STATE[key] = [1, old]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        with _CLAMP_LOCK:
+            state = _CLAMP_STATE[key]
+            state[0] -= 1
+            if state[0] == 0:
+                del _CLAMP_STATE[key]
+                spark.conf.set("spark.sql.shuffle.partitions", state[1])
 
 
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
