@@ -134,28 +134,50 @@ def token_hashes(docs):
         )
     )
 
-def shingle_sets(th_df):
-    """(doc_id, shingles array<bigint>) from (doc_id, th) — map-only.
-    Shingle combination uses slice+zip_with (NOT element_at in a
-    positional transform) so Catalyst's projection collapse can only
-    inline the hash-array expression a constant number of times,
-    keeping work O(tokens)/doc. Factored for streaming batch reuse."""
-    n = F.size("th")
-    s1 = F.slice(F.col("th"), F.lit(1), n - F.lit(2))
-    s2 = F.slice(F.col("th"), F.lit(2), n - F.lit(2))
-    s3 = F.slice(F.col("th"), F.lit(3), n - F.lit(2))
+def shingle_array(th_col=None):
+    """Guarded distinct word-3-gram shingle array expression over a
+    token-hash array column — the column form of :func:`shingle_sets`,
+    factored (r16) so the near-dup entry can derive shingles, grams and
+    spans in ONE pass over the token build. Shingle combination uses
+    slice+zip_with (NOT element_at in a positional transform) so
+    Catalyst's projection collapse can only inline the hash-array
+    expression a constant number of times, keeping work O(tokens)/doc."""
+    th = F.col("th") if th_col is None else th_col
+    n = F.size(th)
+    s1 = F.slice(th, F.lit(1), n - F.lit(2))
+    s2 = F.slice(th, F.lit(2), n - F.lit(2))
+    s3 = F.slice(th, F.lit(3), n - F.lit(2))
     shingles = F.zip_with(
         F.zip_with(s1, s2, lambda x, y: x * 31 + y), s3, lambda x, y: (x * 31 + y) % MOD
     )
-    return (
-        th_df.select(
-            "doc_id",
-            F.array_distinct(
-                # guard: Spark sequence(1, 0) would be DESCENDING, not empty
-                F.when(n < SHINGLE_N, F.array().cast("array<bigint>")).otherwise(shingles)
-            ).alias("shingles"),
-        )
-        .where(F.size("shingles") > 0)
+    return F.array_distinct(
+        # guard: Spark sequence(1, 0) would be DESCENDING, not empty
+        F.when(n < SHINGLE_N, F.array().cast("array<bigint>")).otherwise(shingles)
+    )
+
+
+def span_array(th_col=None, mod: int = MOD):
+    """Guarded distinct SPAN_K-token rolling-hash span array expression
+    (the detect-path form over MOD; the removal path keeps its own
+    SPAN_MOD build in span_occurrences). Factored (r16) with
+    :func:`shingle_array` for the shared near-dup relation."""
+    th = F.col("th") if th_col is None else th_col
+    n = F.size(th)
+    m = n - F.lit(SPAN_K - 1)
+    acc = F.slice(th, F.lit(1), m)
+    for k in range(1, SPAN_K):
+        acc = F.zip_with(acc, F.slice(th, F.lit(1 + k), m), lambda x, y: x * 31 + y)
+    spans = F.transform(acc, lambda x: x % F.lit(mod))
+    return F.array_distinct(
+        F.when(n < SPAN_K, F.array().cast("array<bigint>")).otherwise(spans)
+    )
+
+
+def shingle_sets(th_df):
+    """(doc_id, shingles array<bigint>) from (doc_id, th) — map-only.
+    Factored for streaming batch reuse; see :func:`shingle_array`."""
+    return th_df.select("doc_id", shingle_array().alias("shingles")).where(
+        F.size("shingles") > 0
     )
 
 def minhash_bands(sh):

@@ -43,7 +43,9 @@ from ._dedup_core import (  # noqa: F401 — re-exported: the public dedup surfa
     _mixer,
     _span_roll_sql,
     minhash_bands,
+    shingle_array,
     shingle_sets,
+    span_array,
     span_removal_positions,
     star_connected_components,
     token_hashes,
@@ -121,6 +123,39 @@ def hashed_shingles(spark, sf_dir, tha=None):
     if tha is None:
         tha = token_hash_arrays(spark, sf_dir)
     return scratch(shingle_sets(tha.select("doc_id", "th")))
+
+
+def near_dup_arrays(spark, sf_dir):
+    """ONE persisted relation carrying every per-doc array the four
+    text near-dup lanes verify on: (doc_id, source, n_chars, shingles,
+    grams, spans) — r16, guide §2.4 (share one exchange/materialization
+    instead of four). Previously the entry persisted FOUR relations
+    (token-hash arrays, then shingles, bigrams and spans each as its
+    own scratch frame re-reading the first), paying four materialization
+    passes; the three derived arrays are map-only over the token build,
+    so one projection materializes them together and each lane reads a
+    column-pruned slice of the single cache. The raw `th` array is NOT
+    kept — the lanes only consume the derived arrays, so the combined
+    cache is narrower than the old tha cache alone. Per-lane row sets
+    are preserved by re-applying each lane's non-empty filter on its
+    projection (empty arrays mark docs below that lane's minimum token
+    count). Column expressions are the factored single-source builders
+    (shingle_array / span_array / gram_array), so the standalone lane
+    functions and this relation can never drift apart."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars").join(
+        token_hashes(docs.select("doc_id", "text")), "doc_id"
+    )
+    return scratch(
+        base.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            shingle_array().alias("shingles"),
+            gram_array().alias("grams"),
+            span_array().alias("spans"),
+        )
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir, sh=None):
@@ -321,7 +356,7 @@ JOIN ns na ON doc_a = na.doc_id JOIN ns nb ON doc_b = nb.doc_id
 """
 
 
-def dedup_substring_spans(spark, sf_dir, tha=None):
+def dedup_substring_spans(spark, sf_dir, tha=None, spans_df=None):
     """Exact-substring near-dup: two docs pair iff they share >= 1
     k-token span (rolling hash of k consecutive token hashes — an
     exact repeated substring up to 1/MOD collisions); score = shared
@@ -336,21 +371,20 @@ def dedup_substring_spans(spark, sf_dir, tha=None):
     pair-generating equi-join never degenerates; final pair agg is one
     shuffle on (doc_a, doc_b). No all-pairs path at any scale.
     """
-    if tha is None:
-        tha = token_hash_arrays(spark, sf_dir)
-    n = F.size("th")
-    m = n - F.lit(SPAN_K - 1)
-    acc = F.slice(F.col("th"), F.lit(1), m)
-    for k in range(1, SPAN_K):
-        acc = F.zip_with(
-            acc, F.slice(F.col("th"), F.lit(1 + k), m), lambda x, y: x * 31 + y
+    if spans_df is not None:
+        # an already-persisted (doc_id, spans) frame — the column-pruned
+        # projection of near_dup_arrays' shared relation (r16); empty
+        # arrays mark docs under SPAN_K tokens, filtered here so the row
+        # set matches the standalone build exactly
+        spans = spans_df.where(F.size("spans") > 0)
+    else:
+        if tha is None:
+            tha = token_hash_arrays(spark, sf_dir)
+        spans = scratch(
+            tha.select("doc_id", span_array().alias("spans")).where(
+                F.size("spans") > 0
+            )
         )
-    spans_col = F.array_distinct(F.transform(acc, lambda x: x % F.lit(MOD)))
-    spans = scratch(
-        tha.select("doc_id", "th")
-        .where(n >= SPAN_K)
-        .select("doc_id", spans_col.alias("spans"))
-    )
     se = spans.select("doc_id", F.explode("spans").alias("sp"))
     sdf = se.groupBy("sp").agg(F.count(F.lit(1)).alias("c"))
     sef = se.join(
@@ -415,23 +449,31 @@ NGRAM_JT = 0.3  # bigram-Jaccard near-dup threshold
 PREFIX_MARGIN = 0.5
 
 
+def gram_array(th_col=None):
+    """Guarded distinct hashed word-bigram array expression over a
+    token-hash array column — the single-source gram builder shared by
+    :func:`ngram_grams_frame` and :func:`near_dup_arrays` (r16)."""
+    th = F.col("th") if th_col is None else th_col
+    n = F.size(th)
+    b1 = F.slice(th, F.lit(1), n - F.lit(1))
+    b2 = F.slice(th, F.lit(2), n - F.lit(1))
+    return F.array_distinct(
+        F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
+            F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
+        )
+    )
+
+
 def ngram_grams_frame(tha):
     """(doc_id, source, n_chars, band, grams) — hashed word-bigram sets
     per doc, the shared input of both candidate strategies AND the auto
     profiler (factored out so tests can profile arbitrary corpora)."""
-    n = F.size("th")
-    b1 = F.slice(F.col("th"), F.lit(1), n - F.lit(1))
-    b2 = F.slice(F.col("th"), F.lit(2), n - F.lit(1))
     return tha.select(
         "doc_id",
         "source",
         "n_chars",
         F.expr(f"n_chars div {NGRAM_BAND}").alias("band"),
-        F.array_distinct(
-            F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
-                F.zip_with(b1, b2, lambda x, y: (x * 31 + y) % MOD)
-            )
-        ).alias("grams"),
+        gram_array().alias("grams"),
     ).where(F.size("grams") > 0)
 
 
@@ -525,7 +567,8 @@ _NGRAM_STRATEGY_MEMO: dict[tuple[str, str], str] = {}
 
 
 def dedup_ngram_jaccard(
-    spark, sf_dir, tha=None, strategy: str = "auto", corpus_key: str | None = None
+    spark, sf_dir, tha=None, strategy: str = "auto", corpus_key: str | None = None,
+    g=None,
 ):
     """Word-bigram Jaccard near-dup over hashed bigrams; candidate
     generation selectable, exact verification (source equality,
@@ -577,10 +620,13 @@ def dedup_ngram_jaccard(
     paths are keyed equi-joins with no unbounded broadcast; the df
     table is one count aggregation, the per-doc ordering one keyed
     reassembly."""
-    if tha is None:
-        tha = token_hash_arrays(spark, sf_dir)
-        corpus_key = corpus_key or sf_dir  # default corpus IS sf_dir's documents
-    g = scratch(ngram_grams_frame(tha))
+    if g is None:
+        if tha is None:
+            tha = token_hash_arrays(spark, sf_dir)
+            corpus_key = corpus_key or sf_dir  # default corpus IS sf_dir docs
+        g = scratch(ngram_grams_frame(tha))
+    # else: g is an already-persisted grams frame (a column-pruned
+    # projection of near_dup_arrays' shared relation — r16)
 
     if strategy == "auto":
         memo_key = (
@@ -756,19 +802,32 @@ def dedup_near_dup_pairs(spark, sf_dir):
     from .similarity import embedding_near_dup_pairs, embedding_semantic_pairs
 
     # r15 (guide §2.6 / §7.3): ~2.5 s of this entry was serial
-    # driver-side plan construction across the six method branches.
-    # The shared token-hash / shingle relations build first (so every
-    # text lane closes over the same scratch frames), then the six
-    # branch constructions run on driver threads; plans and values are
-    # unchanged — only Catalyst analysis overlaps.
-    tha = token_hash_arrays(spark, sf_dir)  # one hash build for all 4 text methods
-    sh = hashed_shingles(spark, sf_dir, tha=tha)
+    # driver-side plan construction across the six method branches;
+    # the six branch constructions run on driver threads.
+    # r16 (guide §2.4): the four text lanes previously persisted FOUR
+    # relations (token-hash arrays + separate shingle/gram/span frames,
+    # three extra materialization passes re-reading the first). ONE
+    # shared relation (near_dup_arrays) now carries all three derived
+    # arrays — one materialization pass, each lane reads a
+    # column-pruned projection of the single cache; per-lane row sets
+    # and values unchanged (single-source column builders + the lanes'
+    # own non-empty filters).
+    rel = near_dup_arrays(spark, sf_dir)
+    sh = rel.select("doc_id", "shingles").where(F.size("shingles") > 0)
+    g = rel.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(f"n_chars div {NGRAM_BAND}").alias("band"),
+        "grams",
+    ).where(F.size("grams") > 0)
+    spans_df = rel.select("doc_id", "spans")
 
     builders = [
         lambda: dedup_minhash_lsh(spark, sf_dir, sh=sh),
         lambda: dedup_simhash(spark, sf_dir, sh=sh),
-        lambda: dedup_ngram_jaccard(spark, sf_dir, tha=tha, corpus_key=sf_dir),
-        lambda: dedup_substring_spans(spark, sf_dir, tha=tha),
+        lambda: dedup_ngram_jaccard(spark, sf_dir, corpus_key=sf_dir, g=g),
+        lambda: dedup_substring_spans(spark, sf_dir, spans_df=spans_df),
         lambda: embedding_near_dup_pairs(spark, sf_dir).select(
             F.lit("embedding").alias("method"),
             F.col("vec_a").alias("doc_a"),

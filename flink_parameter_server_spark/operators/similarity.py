@@ -644,16 +644,62 @@ def embedding_ann_topk(spark, sf_dir):
 
     def _two_level_family():
         # one scratch-persisted two-level catalog assignment feeds BOTH
-        # ivf2 branches (r12 — the double-compute class)
-        assign2 = scratch(ivf2_assign(embeddings_normed(spark, sf_dir)))
-        ivf2 = embedding_ivf2_ann(spark, sf_dir, _assign=assign2).select(
-            F.lit("ivf2").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+        # ivf2 branches (r12 — the double-compute class).
+        # r16 (the bfdfa78 fused-chain pattern, VERDICT r15 #6): the two
+        # lanes previously each built their own query-cell set (ivf2p
+        # re-deriving the whole two-level geometry inside
+        # ivf2_probe_cells) and each ran its own in-cell scoring join.
+        # Now: ONE geometry feeds the assignment and the probe path, ONE
+        # probe-cells frame with the super rank kept (its srn==1 subset
+        # IS the probes=1 cell set, bit-identical — same windows and
+        # tie-breaks), and ONE scored join feeds both lanes' rank
+        # windows. Per-lane candidate sets and values unchanged (the
+        # single-probe lane ranks only srn==1 rows).
+        emb2 = embeddings_normed(spark, sf_dir)
+        geo = _ivf2_geometry(emb2)
+        assign2 = scratch(ivf2_assign(emb2, _geometry=geo))
+        qcells = ivf2_probe_cells(
+            emb2,
+            emb2.where(F.col("vec_id") % 50 == 0),
+            IVF2_PROBES,
+            _geometry=geo,
+            keep_super_rank=True,
         )
-        ivf2p = embedding_ivf2_ann(
-            spark, sf_dir, probes=IVF2_PROBES, _assign=assign2
-        ).select(
-            F.lit(f"ivf2_p{IVF2_PROBES}").alias("method"),
-            "query_id", "neighbor_id", "cos_sim", "rk",
+        scored2 = scratch(
+            qcells.join(assign2, "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "srn",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    _fast_cosine(
+                        as_double(F.col("qv")), as_double(F.col("embedding")),
+                        F.col("nq"), F.col("ne"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        ivf2 = (
+            scored2.where(F.col("srn") == 1)
+            .withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= 1)
+            .select(
+                F.lit("ivf2").alias("method"),
+                "query_id", "neighbor_id", "cos_sim", "rk",
+            )
+        )
+        ivf2p = (
+            scored2.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= 1)
+            .select(
+                F.lit(f"ivf2_p{IVF2_PROBES}").alias("method"),
+                "query_id", "neighbor_id", "cos_sim", "rk",
+            )
         )
         return ivf2, ivf2p
 
@@ -759,7 +805,7 @@ def _ivf2_geometry(emb):
     return sup, parent
 
 
-def ivf2_probe_cells(emb, queries, probes: int):
+def ivf2_probe_cells(emb, queries, probes: int, _geometry=None, keep_super_rank=False):
     """Deterministic multi-probe for the hash-checked two-level lane
     (r12, VERDICT r11 #4 — the oracle lane's recall knob): each query
     ranks the super-centroids and probes its top-``probes`` supers
@@ -772,8 +818,15 @@ def ivf2_probe_cells(emb, queries, probes: int):
     SET grows monotonically with ``probes`` — so candidate sets are
     supersets and recall-vs-brute is monotone non-decreasing (pinned
     in tests). Every stage stays a deterministic rank, so the p>1
-    approximation is DuckDB-replayable like the rest of the lane."""
-    sup, parent = _ivf2_geometry(emb)
+    approximation is DuckDB-replayable like the rest of the lane.
+
+    ``_geometry`` (r16): pass a prebuilt (sup, parent) pair so the
+    consolidated entry derives the two-level geometry ONCE for the
+    assignment and the probe path. ``keep_super_rank`` additionally
+    carries each probed cell's super rank (``srn``) so a fused consumer
+    can recover the probes=1 cell set (srn == 1) from the probes=p
+    frame — bit-identical cells, same windows and tie-breaks."""
+    sup, parent = _geometry if _geometry is not None else _ivf2_geometry(emb)
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
     qsup = (
         queries.crossJoin(F.broadcast(sup))
@@ -787,17 +840,18 @@ def ivf2_probe_cells(emb, queries, probes: int):
                 F.col("ne"), F.col("ns"),
             ).alias("cos_s"),
         )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= probes)
-        .select("query_id", "qv", "nq", "scid")
+        .withColumn("srn", F.row_number().over(wq))
+        .where(F.col("srn") <= probes)
+        .select("query_id", "qv", "nq", "scid", "srn")
     )
     wch = Window.partitionBy("query_id", "scid").orderBy(
         F.col("cos_c").desc(), F.col("cid")
     )
+    extra = ["srn"] if keep_super_rank else []
     return (
         qsup.join(F.broadcast(parent), "scid")
         .select(
-            "query_id", "qv", "nq", "scid", "cid",
+            "query_id", "qv", "nq", "scid", "srn", "cid",
             _fast_cosine(
                 as_double(F.col("qv")), as_double(F.col("cv")),
                 F.col("nq"), F.col("nc"),
@@ -805,11 +859,11 @@ def ivf2_probe_cells(emb, queries, probes: int):
         )
         .withColumn("rn", F.row_number().over(wch))
         .where(F.col("rn") == 1)
-        .select("query_id", "qv", "nq", "cid")
+        .select("query_id", "qv", "nq", "cid", *extra)
     )
 
 
-def ivf2_assign(emb, keep_centroid_cos: bool = False):
+def ivf2_assign(emb, keep_centroid_cos: bool = False, _geometry=None):
     """Two-level counted-rule assignment (r11) — the DETERMINISTIC,
     oracle-replayable twin of ann_index.kmeans_assign_two_level:
 
@@ -832,8 +886,11 @@ def ivf2_assign(emb, keep_centroid_cos: bool = False):
     Zero-norm vectors keep the oracle's NULL-cosine ordering exactly
     as :func:`ivf_assign` does; PRUNE consumers filter ``ne > 0``
     AFTER assignment (the semdedup_prune default-path convention) —
-    tests/test_fixedk_semantic.py shows the composition."""
-    sup, parent = _ivf2_geometry(emb)
+    tests/test_fixedk_semantic.py shows the composition.
+
+    ``_geometry`` (r16): prebuilt (sup, parent), shared with the probe
+    path by the consolidated entry."""
+    sup, parent = _geometry if _geometry is not None else _ivf2_geometry(emb)
     wc = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("scid"))
     coarse = (
         emb.crossJoin(F.broadcast(sup))

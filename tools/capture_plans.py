@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registry entries into plans/r15/.
+"""Capture .explain("formatted") for registry entries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
-  suffix: 'before' or 'after' (file becomes plans/r15/<name>_<suffix>.txt)
+  suffix: 'before' or 'after' (file becomes plans/$FPS_PLANS_ROUND/<name>_<suffix>.txt;
+          FPS_PLANS_ROUND defaults to r16)
   names : subset of registry entries (default: all 50)
 
 NOTE: building some entries executes driver-side work (BPE merge table
 collect, CC rounds, trainer checkpoints), so this is not free — it is
-roughly one un-timed bench rep. Plans are the OPTIMIZATION_r15.md
+roughly one un-timed bench rep. Plans are the OPTIMIZATION_r<N>.md
 evidence the judge reads, so capture is worth one rep.
 """
 
@@ -26,7 +27,11 @@ def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or sorted(REGISTRY)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("FPS_PLANS_ROUND", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("fps-capture-plans")
