@@ -5,6 +5,7 @@ the probed cells — the property that makes the index an index."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -56,6 +57,7 @@ def _brute_topk(spark, k):
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+@pytest.mark.slow
 def test_ivf_index_roundtrip_full_probe_is_exact(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
@@ -70,6 +72,7 @@ def test_ivf_index_roundtrip_full_probe_is_exact(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_ivf_index_partial_probe_recall_and_pruning(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     build_ivf_index(spark, t(spark, SF, "embeddings"), idx, n_cells=N_CELLS, iters=2)
@@ -95,6 +98,7 @@ def test_ivf_index_partial_probe_recall_and_pruning(spark, tmp_path):
     assert recall >= 0.4, recall
 
 
+@pytest.mark.slow
 def test_ivf_search_two_level_probe(spark, tmp_path):
     """r11: the query-side centroid-of-centroids prune. Pins (1)
     covering every super cell (n_super_probe >= n_super = ceil(sqrt(
@@ -131,6 +135,7 @@ def test_ivf_search_two_level_probe(spark, tmp_path):
     assert len(got & want) / len(want) >= 0.2  # floor on worst-case fixture
 
 
+@pytest.mark.slow
 def test_add_vectors_incremental_append_and_reprobe(spark, tmp_path):
     """VERDICT r7 #8: the maintenance path. Build on half the catalog,
     add_vectors the other half (no Lloyd re-run), and a full-probe
@@ -264,6 +269,7 @@ def test_ivf_index_clustered_corpus_high_recall(spark, tmp_path):
     assert all(v == K for v in per_q.values()), per_q
 
 
+@pytest.mark.slow
 def test_compact_and_rebuild_preserve_catalog_and_results(spark, tmp_path):
     """r9 index maintenance: (1) compact_index collapses the per-batch
     small files add_vectors appends without changing any probe result;
@@ -316,6 +322,7 @@ def test_compact_and_rebuild_preserve_catalog_and_results(spark, tmp_path):
     assert full == brute
 
 
+@pytest.mark.slow
 def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
     """r12 persisted IVFADC: a pq=True build writes a constant-bounded
     codebook and a cid-partitioned 4-byte-codes replica; the ADC probe
@@ -506,6 +513,7 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path):
     assert dup_full == exact_grown
 
 
+@pytest.mark.slow
 def test_by_residual_ivfpq_lifecycle_and_clustered_recall(spark, tmp_path):
     """r14 by-residual IVFADC (Jegou et al. 2011 by_residual=true; the
     r13 documented divergence now an OPTION with a measured reason —
@@ -702,6 +710,7 @@ def test_ivf2_multiprobe_recall_at_10_monotone(spark):
     assert 0 < recs[1] <= 1 and recs[4] <= 1
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
     """VERDICT r13 #4 pin: ivfpq's recall@10-vs-brute is non-decreasing
     in the refine-window shortlist (10 -> 32 -> 64). Growing the
@@ -743,6 +752,7 @@ def test_ivfpq_recall_at_10_monotone_in_shortlist(spark):
         assert default_rec == recs[10]
 
 
+@pytest.mark.slow
 def test_pq8_width_contract_and_plain_lifecycle(spark, tmp_path):
     """r15 8-bit PQ codes (VERDICT r14 #2): pq_bits=8 trains a
     256-codeword-per-subspace codebook and byte-packs ranks into the
@@ -902,6 +912,7 @@ def _recall_at(m, b, k=10):
     return num / den if den else 0.0
 
 
+@pytest.mark.slow
 def test_pq8_residual_controlled_recall(spark, tmp_path):
     """r15 (VERDICT r14 #2, the quality half): at the controlled
     operating point (cells == clusters, ~50 candidates/cell — where the
@@ -992,6 +1003,7 @@ def test_persisted_multiprobe_recall_monotone(spark, tmp_path):
     assert recs[4] >= 0.9, recs  # and multi-probe recovers it
 
 
+@pytest.mark.slow
 def test_adc_shortlist_per_probe_repairs_multiprobe_dip(spark, tmp_path):
     """r15: ``shortlist_per_probe=True`` makes the committed interaction
     rule (raise shortlist WITH n_probe) the contract. Same
@@ -1034,6 +1046,7 @@ def test_adc_shortlist_per_probe_repairs_multiprobe_dip(spark, tmp_path):
     assert pp[1] == fixed[1], (fixed, pp)
 
 
+@pytest.mark.slow
 def test_index_stats_geometry_and_regimes(spark, tmp_path):
     """r15: index_stats = the operating-point probe — balance stats
     consistent with cell_skew, exact density quantiles, the persisted
@@ -1066,6 +1079,7 @@ def test_index_stats_geometry_and_regimes(spark, tmp_path):
     assert st2["pq_bits"] == 8
 
 
+@pytest.mark.slow
 def test_density_floor_escape_loop_end_to_end(spark, tmp_path):
     """r15: the operating-point guide's density-floor prescription as
     one executable loop — stats flags the floor, rebuild_index retrains
@@ -1193,6 +1207,7 @@ def test_bounded_sample_trainer_quality_and_contract(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_two_level_build_degenerate_exact_and_operating_point(spark, tmp_path):
     """r15: build_ivf_index(two_level=True) routes training AND the
     final full-catalog assignment through the centroid-of-centroids
@@ -1280,6 +1295,7 @@ def test_two_level_build_degenerate_exact_and_operating_point(spark, tmp_path):
         build_ivf_index(spark, emb, str(tmp_path / "bad2"), n_cells=8, n_super=2)
 
 
+@pytest.mark.slow
 def test_two_level_lifecycle_mode_dispatch(spark, tmp_path):
     """r15: a two-level build PERSISTS its quantizer hierarchy and
     every later lifecycle assignment dispatches through it (the

@@ -35,7 +35,12 @@ def _discriminated_specs():
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
             continue
-        out.append(pytest.param(spec, id=name))
+        # train_test_split's discriminator check re-runs the full
+        # curation pipeline (~70 s) and its parts are already covered
+        # by the sf0.01 oracle-parity gate — slow-marked (r16, the
+        # verify-window split)
+        marks = (pytest.mark.slow,) if name == "train_test_split" else ()
+        out.append(pytest.param(spec, id=name, marks=marks))
     return out
 
 

@@ -148,6 +148,7 @@ import pytest
 
 
 @pytest.mark.parametrize("geometry", ["kmeans", "ivf2"])
+@pytest.mark.slow
 def test_fixedk_corpus_curate_semantic_stage(spark, geometry):
     """The END-TO-END curated pipeline under an alternate sem_assign
     (fixed-k sampled k-means, or — r11 — the deterministic two-level
@@ -282,6 +283,7 @@ def test_fixedk_plan_constant_broadcast_and_cell_equijoin(spark):
     release()
 
 
+@pytest.mark.slow
 def test_two_level_assign_exact_on_clustered_and_bounded_on_fixture(spark):
     """r11 (VERDICT r10 missing-#2): the centroid-of-centroids prune
     (`kmeans_assign_two_level`, the k > sqrt(n) regime). Pins:

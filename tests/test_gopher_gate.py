@@ -306,6 +306,7 @@ def _english_corpus():
     return rows, clean("evx")  # + the eval-holdout doc to contaminate
 
 
+@pytest.mark.slow
 def test_full_published_set_end_to_end(spark, duck, tmp_path):
     """VERDICT r13 #3: the FULL Table A1 rule set (including
     'stopwords') through the ENTIRE batch pipeline, its streaming dual,

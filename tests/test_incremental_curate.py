@@ -9,6 +9,8 @@ micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -66,6 +68,7 @@ def test_single_batch_stage_semantics(spark, tmp_path):
     assert spark.read.parquet(os.path.join(eval_store, "shingles")).count() == 1
 
 
+@pytest.mark.slow
 def test_cross_batch_store_rejections_and_replay(spark, tmp_path):
     store = str(tmp_path / "store")
     b1 = _mkdocs(spark, [(1, BODY), (2, OTHER)])
@@ -95,6 +98,7 @@ def test_cross_batch_store_rejections_and_replay(spark, tmp_path):
     assert spark.read.parquet(os.path.join(store, "shingles")).count() == n_sh
 
 
+@pytest.mark.slow
 def test_batch_dup_provenance_is_canonical_when_keeper_store_rejected(spark, tmp_path):
     """ADVICE r8: if a batch's exact-dup keeper is itself rejected
     against the hash store, its batch duplicates must point at the
@@ -115,6 +119,7 @@ def test_batch_dup_provenance_is_canonical_when_keeper_store_rejected(spark, tmp
     assert d2[11] == ("rejected:exact_dup", 1)
 
 
+@pytest.mark.slow
 def test_batch_dup_provenance_is_canonical_when_keeper_near_or_contam_rejected(
     spark, tmp_path
 ):
@@ -156,6 +161,7 @@ def test_batch_dup_provenance_is_canonical_when_keeper_near_or_contam_rejected(
     assert d3[21] == ("rejected:exact_dup", 900)
 
 
+@pytest.mark.slow
 def test_single_pass_over_full_fixture_matches_batch_pipeline(spark, tmp_path):
     """VERDICT r8 #1 — the streamed-vs-batch equivalence pin (the
     analog of incremental_dedup's single-batch ≡ dedup_cluster_canonical
@@ -227,6 +233,7 @@ def test_streaming_wireup_carries_state(spark, tmp_path):
     assert spark.read.parquet(decisions).select("batch_id").distinct().count() == 2
 
 
+@pytest.mark.slow
 def test_semantic_stage_rejects_and_defers_store_writes(spark, tmp_path):
     """r9 semantic stage in streaming curation: two docs with DISTINCT
     text (near-dup passes) but near-identical embeddings -> the
@@ -303,6 +310,7 @@ def test_semantic_stage_rejects_and_defers_store_writes(spark, tmp_path):
     assert d3[21] == ("rejected:exact_dup", 1)
 
 
+@pytest.mark.slow
 def test_full_fixture_streamed_matches_batch_under_fixedk_geometry(spark, tmp_path):
     """r10: the streamed≡batch curation pin RE-RUN on the fixed-k
     sampled-k-means geometry (the 100 TB form — VERDICT r9 missing-#1):
@@ -365,6 +373,7 @@ def test_full_fixture_streamed_matches_batch_under_fixedk_geometry(spark, tmp_pa
     assert any(v == "rejected:semantic_dup" for v in want.values())
 
 
+@pytest.mark.slow
 def test_single_pass_with_gopher_rules_matches_batch_pipeline(spark, tmp_path):
     """r13: the streamed≡batch pin re-run WITH the Gopher Table A1 gate
     on — one curate_batch pass over the whole fixture with the flagship

@@ -10,6 +10,8 @@ same decisions per micro-batch."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_parameter_server_spark.operators._util import t
@@ -232,6 +234,7 @@ def test_decontamination_and_compaction(spark, tmp_path):
     assert got2 == {1: 900}
 
 
+@pytest.mark.slow
 def test_curate_contamination_equals_store_probe(spark, tmp_path):
     """VERDICT r7 #5: the curated pipeline's 'rejected:contaminated'
     stage must equal contamination_check against a store built from

@@ -10,6 +10,8 @@ Streaming wireup."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -88,6 +90,7 @@ def test_replay_overwrites_own_delta(spark, tmp_path):
     assert len(after) <= DSIR_B
 
 
+@pytest.mark.slow
 def test_compaction_preserves_weights_and_replay(spark, tmp_path):
     """r11 (VERDICT r10 missing-#3): compact_dsir_counts folds every
     bid delta into one file. Pins (1) aggregated counts and rescored

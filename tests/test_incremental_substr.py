@@ -4,6 +4,8 @@ canonical contract."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_parameter_server_spark.operators._dedup_core import (
@@ -122,6 +124,7 @@ def test_apply_span_cuts_rebuilds_text(spark, tmp_path):
     assert out[14]["substr_removed_text"] == "one two"
 
 
+@pytest.mark.slow
 def test_compact_span_store(spark, tmp_path):
     """Compaction folds all bid deltas into one distinct-span file:
     probe-identical before/after, a NEW batch's decisions identical
