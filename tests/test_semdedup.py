@@ -350,3 +350,62 @@ def test_fused_pq_lanes_match_standalone_functions(spark):
         }
         want_ivf = {tuple(r) for r in embedding_ivf_ann(spark, sf, _assign=a1).collect()}
         assert got_ivf == want_ivf and want_ivf
+
+
+def test_near_dup_arrays_matches_standalone_frames(spark):
+    """r16: the shared array relation's column-pruned projections must
+    equal the standalone per-lane frames row-for-row (the four text
+    lanes of dedup_near_dup_pairs read the relation instead of their
+    own scratch builds)."""
+    from flink_parameter_server_spark.operators.dedup import (
+        NGRAM_BAND,
+        near_dup_arrays,
+        ngram_grams_frame,
+        token_hash_arrays,
+    )
+    from flink_parameter_server_spark.operators._dedup_core import (
+        shingle_sets,
+        span_array,
+    )
+    from flink_parameter_server_spark.scratch import release, scratch
+
+    release()
+    sf = SF_SMALL
+    rel = near_dup_arrays(spark, sf)
+    tha = token_hash_arrays(spark, sf)
+
+    got_sh = {
+        (r["doc_id"], tuple(r["shingles"]))
+        for r in rel.select("doc_id", "shingles").where(F.size("shingles") > 0).collect()
+    }
+    want_sh = {
+        (r["doc_id"], tuple(r["shingles"]))
+        for r in shingle_sets(tha.select("doc_id", "th")).collect()
+    }
+    assert got_sh == want_sh and want_sh
+
+    got_g = {
+        (r["doc_id"], r["source"], r["n_chars"], r["band"], tuple(r["grams"]))
+        for r in rel.select(
+            "doc_id", "source", "n_chars",
+            F.expr(f"n_chars div {NGRAM_BAND}").alias("band"), "grams",
+        ).where(F.size("grams") > 0).collect()
+    }
+    want_g = {
+        (r["doc_id"], r["source"], r["n_chars"], r["band"], tuple(r["grams"]))
+        for r in ngram_grams_frame(tha).collect()
+    }
+    assert got_g == want_g and want_g
+
+    got_sp = {
+        (r["doc_id"], tuple(r["spans"]))
+        for r in rel.select("doc_id", "spans").where(F.size("spans") > 0).collect()
+    }
+    want_sp = {
+        (r["doc_id"], tuple(r["spans"]))
+        for r in tha.select("doc_id", span_array().alias("spans"))
+        .where(F.size("spans") > 0)
+        .collect()
+    }
+    assert got_sp == want_sp and want_sp
+    release()

@@ -567,3 +567,45 @@ def test_online_pa_matches_sequential_reference(spark):
     assert all(r.n_updates == len(rows) for r in out)
     for f, wf in enumerate(want):
         assert abs(got[f] - wf) < 1e-9, f"feat {f}: {got[f]} != {wf}"
+
+
+def test_stream_shuffle_clamp_is_refcounted_under_concurrency(spark):
+    """r16 (ADVICE r15): the clamp is a refcounted save/set-once,
+    restore-on-last-exit — two overlapping clamp windows on one session
+    (the streaming_sessions / streaming_agg_sinks shape) must both see
+    the clamped value and always restore the original, under any
+    interleaving."""
+    import threading
+    import time as _t
+
+    from flink_parameter_server_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    original = spark.conf.get(key)
+    seen = []
+    barrier = threading.Barrier(2)
+
+    def run(delay_in, delay_out):
+        barrier.wait()
+        _t.sleep(delay_in)
+        with stream_shuffle_partitions(spark):
+            seen.append(spark.conf.get(key))
+            _t.sleep(delay_out)
+
+    # deliberately staggered: A enters first, B enters while A is
+    # inside, A exits while B is still inside (the r15 race shape)
+    ta = threading.Thread(target=run, args=(0.0, 0.3))
+    tb = threading.Thread(target=run, args=(0.1, 0.5))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert seen == ["8", "8"]  # both windows saw the clamp
+    assert spark.conf.get(key) == original  # last exit restored
+
+    # nested (same-thread) form
+    with stream_shuffle_partitions(spark):
+        assert spark.conf.get(key) == "8"
+        with stream_shuffle_partitions(spark):
+            assert spark.conf.get(key) == "8"
+        assert spark.conf.get(key) == "8"  # inner exit must NOT restore
+    assert spark.conf.get(key) == original
